@@ -1,0 +1,18 @@
+"""BMCNet model family (NHWC Flax modules) + checkpoint conversion."""
+
+from bmcnet_esr_tpu.models.bmcnet import BMCNet, BMCNetPlain, Backbone, PlainBackbone
+from bmcnet_esr_tpu.models.layers import BIE, ChannelLayerNorm, ParallelBlk, ResidualBlock
+from bmcnet_esr_tpu.models.convert import convert_torch_state_dict, load_torch_checkpoint
+
+__all__ = [
+    "BMCNet",
+    "BMCNetPlain",
+    "Backbone",
+    "PlainBackbone",
+    "BIE",
+    "ChannelLayerNorm",
+    "ParallelBlk",
+    "ResidualBlock",
+    "convert_torch_state_dict",
+    "load_torch_checkpoint",
+]

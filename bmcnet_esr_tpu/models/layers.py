@@ -1,0 +1,170 @@
+"""Building blocks for the BMCNet family, NHWC / TPU-native.
+
+Re-designed counterparts of ``/root/reference/models/submodules.py``:
+
+* ``ChannelLayerNorm``   <- ``LayerNorm2d`` (``submodules.py:127-166``): the
+  reference normalizes over the channel dim of NCHW with eps inside the sqrt
+  and a hand-written backward; in NHWC the channel dim is the (fast) minor
+  axis, JAX autodiff reproduces the custom backward analytically, and the
+  reduction vectorizes over the 128-lane axis.
+* ``ResidualBlock``      <- ``ResidualBlock_noBN`` (``submodules.py:17-35``).
+* ``BIE``                <- bilateral information exchange
+  (``submodules.py:38-77``): shared-class-center channel attention.  The
+  ``[b, c, hw] x [b, hw, c]`` bmm pair becomes two einsums that XLA maps onto
+  the MXU; with c = n_c = 128 the attention matrix is exactly one MXU tile.
+* ``ParallelBlk``        <- ``models/BMCNet.py:3-32``.
+
+Weight tying is structural: the reference aliases modules
+(``self.conv2 = self.conv1``, ``submodules.py:43-45``; ``ModuleList([blk] *
+n_b)``, ``BMCNet.py:46``) so tied weights are a single parameter with
+gradients accumulated over call sites.  Here a module declared once in
+``setup`` and *called* at every site yields the identical single-parameter /
+summed-gradient semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+# Kaiming-normal fan-in with gain sqrt(2), then scaled by 0.1
+# (reference `initialize_weights`, submodules.py:107-124: variance scales by
+# 0.1**2 = 0.01, so variance_scaling(2 * 0.01)).
+conv_init = nn.initializers.variance_scaling(0.02, "fan_in", "normal")
+
+
+def _conv(nf: int, kernel: int, dtype, name: str | None = None) -> nn.Conv:
+    return nn.Conv(
+        features=nf,
+        kernel_size=(kernel, kernel),
+        padding=kernel // 2,
+        kernel_init=conv_init,
+        bias_init=nn.initializers.zeros_init(),
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+        name=name,
+    )
+
+
+class ChannelLayerNorm(nn.Module):
+    """LayerNorm over the channel axis of NHWC (eps inside the sqrt).
+
+    Parity: ``submodules.py:127-166`` — biased variance, ``eps = 1e-6``,
+    learned per-channel scale (ones) and bias (zeros).
+    """
+
+    features: int
+    eps: float = 1e-6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        scale = self.param("scale", nn.initializers.ones_init(), (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        y = (x32 - mu) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(self.dtype)
+
+
+class ResidualBlock(nn.Module):
+    """conv-relu-conv with identity skip (``submodules.py:17-35``)."""
+
+    nf: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.conv1 = _conv(self.nf, 3, self.dtype)
+        self.conv2 = _conv(self.nf, 3, self.dtype)
+
+    def __call__(self, x: Array) -> Array:
+        return x + self.conv2(nn.relu(self.conv1(x)))
+
+
+class BIE(nn.Module):
+    """Bilateral information exchange block (``submodules.py:38-77``).
+
+    Inputs/outputs are NHWC ``[B, H, W, nf]``.  ``conv2``/``convf2`` of the
+    reference are tied aliases of ``conv1``/``convf1`` (``submodules.py:43-45``)
+    — realized here by calling the same declared module at both sites.
+    """
+
+    nf: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.conv1 = ResidualBlock(self.nf, self.dtype)          # tied: also "conv2"
+        self.convf1 = _conv(self.nf, 1, self.dtype)              # tied: also "convf2"
+        self.norm_s = ChannelLayerNorm(self.nf, dtype=self.dtype)
+        self.clustering = _conv(self.nf, 1, self.dtype)
+        self.unclustering = _conv(self.nf, 1, self.dtype)
+        self.v1 = _conv(self.nf, 1, self.dtype)
+        self.v2 = _conv(self.nf, 1, self.dtype)
+
+    def __call__(self, x_1: Array, x_2: Array, x_s: Array) -> Tuple[Array, Array, Array]:
+        b, h, w, c = x_1.shape
+        scale = jnp.asarray(c, self.dtype) ** -0.5
+        hi = jax.lax.Precision.HIGHEST
+
+        x_1_ = self.conv1(x_1)
+        x_2_ = self.conv1(x_2)  # tied conv2
+
+        center1 = self.clustering(self.norm_s(self.convf1(jnp.concatenate([x_s, x_2], -1))))
+        center2 = self.clustering(self.norm_s(self.convf1(jnp.concatenate([x_s, x_1], -1))))
+
+        v_1 = self.v1(x_1).reshape(b, h * w, c)
+        v_2 = self.v2(x_2).reshape(b, h * w, c)
+        c1 = center1.reshape(b, h * w, c)
+        c2 = center2.reshape(b, h * w, c)
+
+        # torch: att = center[b,c,hw] @ v[b,hw,c]; here both operands live as
+        # [b, hw, c] so the contraction is over hw -> one MXU-tile [c, c].
+        att1 = jnp.einsum("bni,bnj->bij", c1, v_1, precision=hi) * scale
+        att2 = jnp.einsum("bni,bnj->bij", c2, v_2, precision=hi) * scale
+        att1 = jax.nn.softmax(att1, axis=-1)
+        att2 = jax.nn.softmax(att2, axis=-1)
+
+        # torch: out = att[b,c,c] @ v^T[b,c,hw] -> [b,c,hw]; NHWC: [b,hw,c].
+        out_1 = jnp.einsum("bij,bnj->bni", att1, v_1, precision=hi).reshape(b, h, w, c)
+        out_2 = jnp.einsum("bij,bnj->bni", att2, v_2, precision=hi).reshape(b, h, w, c)
+
+        x_s_ = self.unclustering(jnp.concatenate([center1, center2], -1)) + x_s
+
+        return out_1 + x_2_, out_2 + x_1_, x_s_
+
+
+class ParallelBlk(nn.Module):
+    """Per-polarity residual convs + local/global BIE (``BMCNet.py:3-32``).
+
+    ``conv2 = conv1`` and ``conv2_st = conv1_st`` are tied pairs; ``lBIE`` is
+    shared between the two polarity branches, ``gBIE`` fuses across them.
+    """
+
+    nf: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.conv1 = ResidualBlock(self.nf, self.dtype)     # tied: also conv2
+        self.conv1_st = ResidualBlock(self.nf, self.dtype)  # tied: also conv2_st
+        self.lBIE = BIE(self.nf, self.dtype)
+        self.gBIE = BIE(self.nf, self.dtype)
+
+    def __call__(self, x_1, x_2, x_s, x_1_st, x_2_st, x_1_s_st, x_2_s_st):
+        x_1 = self.conv1(x_1)
+        x_2 = self.conv1(x_2)
+        x_1_st = self.conv1_st(x_1_st)
+        x_2_st = self.conv1_st(x_2_st)
+
+        x_1, x_1_st, x_1_s_st = self.lBIE(x_1, x_1_st, x_1_s_st)
+        x_2, x_2_st, x_2_s_st = self.lBIE(x_2, x_2_st, x_2_s_st)
+
+        x_1, x_2, x_s = self.gBIE(x_1, x_2, x_s)
+
+        return x_1, x_2, x_s, x_1_st, x_2_st, x_1_s_st, x_2_s_st

@@ -1,0 +1,108 @@
+"""Golden parity: JAX models vs recorded reference-torch rollouts.
+
+Fixtures under tests/goldens/ were produced by tools/make_goldens.py from the
+reference implementation (random small models + the released
+BMCNet_plain_nfs_x4 checkpoint).  Tests convert the stored torch state dicts
+with models/convert.py and assert multi-step recurrent rollouts match.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bmcnet_esr_tpu.models import BMCNet, BMCNetPlain, convert_torch_state_dict
+
+GOLDENS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
+
+
+def load_golden(name):
+    z = np.load(os.path.join(GOLDENS, name))
+    sd = {k[3:]: z[k] for k in z.files if k.startswith("sd/")}
+    extras = {k: z[k] for k in z.files if not k.startswith("sd/")}
+    return sd, extras
+
+
+def to_nhwc_seq(x):
+    """torch [S, B, C, T, H, W] -> [S, B, T, H, W, C]"""
+    return np.transpose(x, (0, 1, 3, 4, 5, 2))
+
+
+def jax_rollout_plain(model, variables, x_seq):
+    s, b, t, h, w, c = x_seq.shape
+    hstate, o = model.init_state(b, h, w)
+    apply = jax.jit(model.apply)
+    preds, hs = [], []
+    for x in x_seq:
+        hstate, pred = apply(variables, x, hstate, o)
+        o = pred
+        preds.append(np.asarray(pred))
+        hs.append(np.asarray(hstate))
+    return np.stack(preds), np.stack(hs)
+
+
+def jax_rollout_full(model, variables, x_seq):
+    s, b, t, h, w, c = x_seq.shape
+    h1, h2, h3, o = model.init_state(b, h, w)
+    apply = jax.jit(model.apply)
+    preds, hs = [], []
+    for x in x_seq:
+        h1, h2, h3, pred = apply(variables, x, h1, h2, h3, o)
+        o = pred
+        preds.append(np.asarray(pred))
+        hs.append(np.asarray(h1))
+    return np.stack(preds), np.stack(hs)
+
+
+class TestPlainSmall:
+    def test_rollout_matches_torch(self):
+        sd, g = load_golden("plain_small.npz")
+        scale, n_c, n_b = g["meta"]
+        model = BMCNetPlain(scale=int(scale), n_c=int(n_c), n_b=int(n_b))
+        variables = convert_torch_state_dict(sd)
+        x_seq = jnp.asarray(to_nhwc_seq(g["x"]))
+        preds, hs = jax_rollout_plain(model, variables, x_seq)
+        want_preds = np.transpose(g["preds"], (0, 1, 3, 4, 2))  # NCHW->NHWC
+        want_hs = np.transpose(g["hs"], (0, 1, 3, 4, 2))
+        np.testing.assert_allclose(preds, want_preds, atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(hs, want_hs, atol=2e-5, rtol=1e-5)
+
+    def test_converter_verifies_tied_aliases(self):
+        sd, _ = load_golden("plain_small.npz")
+        sd = dict(sd)
+        key = "neuro.conv_f2.weight"  # alias of conv_f1
+        sd[key] = sd[key] + 1.0
+        with pytest.raises(ValueError, match="tied alias mismatch"):
+            convert_torch_state_dict(sd)
+
+
+class TestFullSmall:
+    def test_rollout_matches_torch(self):
+        sd, g = load_golden("full_small.npz")
+        scale, n_c, n_b = g["meta"]
+        model = BMCNet(scale=int(scale), n_c=int(n_c), n_b=int(n_b))
+        variables = convert_torch_state_dict(sd)
+        x_seq = jnp.asarray(to_nhwc_seq(g["x"]))
+        preds, hs = jax_rollout_full(model, variables, x_seq)
+        want_preds = np.transpose(g["preds"], (0, 1, 3, 4, 2))
+        want_hs = np.transpose(g["hs"], (0, 1, 3, 4, 2))
+        np.testing.assert_allclose(preds, want_preds, atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(hs, want_hs, atol=2e-5, rtol=1e-5)
+
+
+class TestReleasedCheckpoint:
+    def test_rollout_rmse_within_budget(self):
+        sd, g = load_golden("plain_nfs_x4_ckpt.npz")
+        model = BMCNetPlain(scale=4, n_c=128, n_b=5)
+        variables = convert_torch_state_dict(sd)
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables))
+        assert n_params == 1_003_296  # unique params after alias dedupe
+        x_seq = jnp.asarray(to_nhwc_seq(g["x"]))
+        preds, _ = jax_rollout_plain(model, variables, x_seq)
+        want = np.transpose(g["preds"], (0, 1, 3, 4, 2))
+        rmse = float(np.sqrt(np.mean((preds - want) ** 2)))
+        assert rmse < 1e-3, f"RMSE {rmse} exceeds parity budget"
+        np.testing.assert_allclose(preds, want, atol=5e-4, rtol=1e-4)
