@@ -1,0 +1,261 @@
+"""Data layer tests: packager schema, windowing math, augmentation,
+sequence clips, loader batching/sharding, device rasterization."""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from bmcnet_esr_tpu.data import (
+    DatasetConfig,
+    EventH5Dataset,
+    EventSequenceDataset,
+    SequenceLoader,
+    resolve_scale_layout,
+)
+from bmcnet_esr_tpu.data.h5dataset import AugmentConfig, PauseConfig, SequenceConfig
+from bmcnet_esr_tpu.data.packager import MultiScaleEventPackager, write_synthetic_fixture
+from bmcnet_esr_tpu.ops.batch import batch_events_to_counts, sliding_pairs
+
+
+@pytest.fixture(scope="module")
+def fixture_h5(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("data") / "seq0.h5")
+    # down4 input (16x24) with x4 GT at ori (64x96)
+    write_synthetic_fixture(
+        path,
+        sensor_resolution=(64, 96),
+        prefixes=("ori", "down2", "down4"),
+        events_per_scale={"ori": 60000, "down2": 16000, "down4": 4000},
+        seed=3,
+    )
+    return path
+
+
+def small_config(**kw):
+    base = dict(
+        scale=4,
+        ori_scale="down4",
+        window=256,
+        sliding_window=128,
+        need_gt_events=True,
+        sequence=SequenceConfig(sequence_length=4, seqn=2, step_size=2),
+    )
+    base.update(kw)
+    return DatasetConfig(**base)
+
+
+class TestPackagerSchema:
+    def test_reference_compatible_layout(self, fixture_h5):
+        with h5py.File(fixture_h5, "r") as f:
+            assert list(f.attrs["sensor_resolution"]) == [64, 96]
+            for prefix in ("ori", "down2", "down4"):
+                grp = f[f"{prefix}_events"]
+                assert grp["xs"].dtype == np.int16
+                assert grp["ys"].dtype == np.int16
+                assert grp["ts"].dtype == np.float64
+                assert grp["ps"].dtype == np.float64
+            assert set(np.unique(f["down4_events/ps"][:])) <= {-1.0, 1.0}
+
+    def test_append_resizes(self, tmp_path):
+        p = str(tmp_path / "x.h5")
+        with MultiScaleEventPackager(p) as pk:
+            pk.set_sensor_resolution([8, 8])
+            for _ in range(3):
+                pk.append_events("ori", [1, 2], [3, 4], [0.1, 0.2], [1, -1])
+        with h5py.File(p, "r") as f:
+            assert f["ori_events/xs"].shape == (6,)
+
+
+class TestScaleLayout:
+    @pytest.mark.parametrize(
+        "ori_scale,scale,gt_prefix,inp_res,gt_res",
+        [
+            ("down8", 4, "down2", (45, 80), (180, 320)),  # NFS train recipe
+            ("down16", 4, "down4", (22, 40), (90, 160)),  # NFS infer recipe
+            ("down4", 4, "ori", (90, 160), (360, 640)),
+            ("down4", 2, "down2", (90, 160), (180, 320)),
+            ("ori", 1, "ori", (360, 640), (360, 640)),
+        ],
+    )
+    def test_nfs_resolutions(self, ori_scale, scale, gt_prefix, inp_res, gt_res):
+        lay = resolve_scale_layout([360, 640], scale, ori_scale, need_gt_events=True)
+        assert lay.gt_prefix == gt_prefix
+        assert lay.inp_resolution == inp_res
+        assert lay.gt_resolution == gt_res
+
+    def test_no_gt_events_multiplies_resolution(self):
+        lay = resolve_scale_layout([360, 640], 4, "down8", need_gt_events=False)
+        assert lay.gt_prefix == "down8"
+        assert lay.gt_resolution == (45 * 4, 80 * 4)
+
+    def test_real_world_layout(self):
+        lay = resolve_scale_layout([992, 1776], 4, "down8", False, real_world_test=True)
+        assert lay.inp_prefix == "down8_real"
+        assert lay.gt_resolution == (round(992 / 2), round(1776 / 2))
+
+    def test_invalid_scale_raises(self):
+        with pytest.raises(ValueError):
+            resolve_scale_layout([64, 96], 8, "down4", need_gt_events=True)
+
+
+class TestWindowing:
+    def test_events_mode_indices(self, fixture_h5):
+        ds = EventH5Dataset(fixture_h5, small_config())
+        stride = 256 - 128
+        assert len(ds) == ds.num_events // stride
+        np.testing.assert_array_equal(ds.event_indices[:, 0], stride * np.arange(len(ds)))
+        assert (ds.event_indices[:, 1] <= ds.num_events - 1).all()
+        # all but the tail windows are full length
+        assert (np.diff(ds.event_indices[:-2], axis=1) == 256).all()
+
+    def test_gt_alignment_count_based(self, fixture_h5):
+        ds = EventH5Dataset(fixture_h5, small_config())
+        with h5py.File(fixture_h5, "r") as f:
+            inp_ts = f["down4_events/ts"][:]
+            gt_ts = f["ori_events/ts"][:]
+        for i in [0, 1, len(ds) // 2]:
+            i0, _ = ds.event_indices[i]
+            g0, g1 = ds.gt_event_indices[i]
+            if g1 < len(gt_ts) - 1:  # not end-clipped
+                assert g1 - g0 == 16 * 256
+                assert gt_ts[g0] >= inp_ts[i0]
+                if g0 > 0:
+                    assert gt_ts[g0 - 1] < inp_ts[i0]
+
+    def test_item_shapes_and_padding(self, fixture_h5):
+        cfg = small_config()
+        ds = EventH5Dataset(fixture_h5, cfg)
+        item = ds.get_window(0, seed=1)
+        assert item["inp_events"].shape == (4, 256)
+        assert item["gt_events"].shape == (4, 16 * 256)
+        assert item["inp_len"] == 256
+        # ts normalized to [0, 1]
+        ts = item["inp_events"][2, : item["inp_len"]]
+        assert ts[0] == 0.0 and 0.99 < ts[-1] <= 1.0
+        # padding is all-zero (p=0 -> no rasterization contribution)
+        assert (item["gt_events"][:, item["gt_len"] :] == 0).all()
+
+    def test_pause_window_is_zero(self, fixture_h5):
+        ds = EventH5Dataset(fixture_h5, small_config())
+        item = ds.get_window(0, seed=1, pause=True)
+        assert (item["inp_events"] == 0).all() and item["inp_len"] == 0
+
+    def test_time_mode_windows(self, fixture_h5):
+        cfg = small_config(mode="time", window=0.2, sliding_window=0.1)
+        ds = EventH5Dataset(fixture_h5, cfg)
+        with h5py.File(fixture_h5, "r") as f:
+            ts = f["down4_events/ts"][:]
+        i0, i1 = ds.event_indices[1]
+        start = ds.t0 + 0.1
+        assert ts[i0] >= start
+        assert ts[i1 - 1] < start + 0.2 or i1 == ds.num_events - 1
+
+
+class TestAugmentation:
+    def test_seed_determinism_and_flip_semantics(self, fixture_h5):
+        cfg = small_config(
+            augment=AugmentConfig(True, ("Horizontal",), (1.0,)),
+        )
+        ds = EventH5Dataset(fixture_h5, cfg)
+        a = ds.get_window(0, seed=5)
+        b = ds.get_window(0, seed=5)
+        np.testing.assert_array_equal(a["inp_events"], b["inp_events"])
+        # prob=1.0 horizontal flip: x -> W-1-x on the valid region
+        plain = EventH5Dataset(fixture_h5, small_config()).get_window(0, seed=5)
+        w = ds.layout.inp_resolution[1]
+        n = a["inp_len"]
+        np.testing.assert_array_equal(
+            a["inp_events"][0, :n], w - 1 - plain["inp_events"][0, :n]
+        )
+
+    def test_gt_flips_with_same_draw(self, fixture_h5):
+        cfg = small_config(augment=AugmentConfig(True, ("Polarity",), (1.0,)))
+        ds = EventH5Dataset(fixture_h5, cfg)
+        plain = EventH5Dataset(fixture_h5, small_config())
+        a, p = ds.get_window(0, seed=5), plain.get_window(0, seed=5)
+        n = a["gt_len"]
+        np.testing.assert_array_equal(a["gt_events"][3, :n], -p["gt_events"][3, :n])
+
+
+class TestSequences:
+    def test_clip_is_consecutive_windows(self, fixture_h5):
+        sq = EventSequenceDataset(fixture_h5, small_config())
+        clip = sq.get_clip(1, seed=0)
+        assert len(clip) == 4
+        ds = sq.dataset
+        for k, item in enumerate(clip):
+            i0, i1 = ds.event_indices[1 * 2 + k]
+            assert item["inp_len"] == i1 - i0
+
+    def test_pause_repeats_with_zero_input(self, fixture_h5):
+        cfg = small_config(
+            sequence=SequenceConfig(
+                4, 2, 2, PauseConfig(True, proba_pause_when_running=1.0, proba_pause_when_paused=1.0)
+            )
+        )
+        sq = EventSequenceDataset(fixture_h5, cfg)
+        clip = sq.get_clip(0, seed=0)
+        assert clip[0]["inp_len"] > 0
+        for item in clip[1:]:
+            assert item["inp_len"] == 0  # always paused after the first
+
+    def test_short_file_clamps(self, fixture_h5):
+        cfg = small_config(sequence=SequenceConfig(10**6, 2, None))
+        sq = EventSequenceDataset(fixture_h5, cfg)
+        assert len(sq) == 1 and sq.L == len(sq.dataset)
+
+
+class TestLoader:
+    def test_batch_shapes_and_order_determinism(self, fixture_h5):
+        cfg = small_config()
+        ld = SequenceLoader([fixture_h5], cfg, batch_size=2, shuffle=True, num_workers=3, seed=1)
+        batches = list(ld)
+        assert len(batches) == len(ld)
+        b0 = batches[0]
+        assert b0["inp_events"].shape == (2, 4, 4, 256)
+        assert b0["gt_events"].shape == (2, 4, 4, 4096)
+        assert b0["inp_len"].shape == (2, 4)
+        ld2 = SequenceLoader([fixture_h5], cfg, batch_size=2, shuffle=True, num_workers=1, seed=1)
+        batches2 = list(ld2)
+        for a, b in zip(batches, batches2):
+            np.testing.assert_array_equal(a["inp_events"], b["inp_events"])
+
+    def test_sharding_partitions_index_space(self, fixture_h5):
+        cfg = small_config()
+        full = SequenceLoader([fixture_h5], cfg, 1, shuffle=False, num_workers=1)
+        s0 = SequenceLoader([fixture_h5], cfg, 1, shuffle=False, num_workers=1, shard_index=0, shard_count=2)
+        s1 = SequenceLoader([fixture_h5], cfg, 1, shuffle=False, num_workers=1, shard_index=1, shard_count=2)
+        n_full = sum(1 for _ in full)
+        n0 = sum(1 for _ in s0)
+        n1 = sum(1 for _ in s1)
+        assert n0 + n1 == n_full
+        assert abs(n0 - n1) <= 1
+
+
+class TestDeviceRasterization:
+    def test_batch_counts_match_torch_oracle(self, fixture_h5):
+        cfg = small_config()
+        ld = SequenceLoader([fixture_h5], cfg, batch_size=2, shuffle=False, num_workers=1)
+        batch = next(iter(ld))
+        h, w = ld.inp_resolution
+        counts = np.asarray(batch_events_to_counts(jnp.asarray(batch["inp_events"]), (h, w)))
+        assert counts.shape == (2, 4, h, w, 2)
+        # oracle on one window (reference index_put_ semantics with y flip)
+        ev = batch["inp_events"][1, 2]
+        n = batch["inp_len"][1, 2]
+        img = torch.zeros(2, h, w)
+        for x, y, t, p in ev[:, :n].T:
+            img[0 if p > 0 else 1, h - 1 - int(y), int(x)] += 1
+        np.testing.assert_array_equal(counts[1, 2].transpose(2, 0, 1), img.numpy())
+
+    def test_sliding_pairs(self):
+        frames = jnp.arange(2 * 5 * 3 * 3 * 1).reshape(2, 5, 3, 3, 1)
+        pairs = sliding_pairs(frames, 2)
+        assert pairs.shape == (2, 4, 2, 3, 3, 1)
+        np.testing.assert_array_equal(np.asarray(pairs[:, 1, 0]), np.asarray(frames[:, 1]))
+        np.testing.assert_array_equal(np.asarray(pairs[:, 1, 1]), np.asarray(frames[:, 2]))
