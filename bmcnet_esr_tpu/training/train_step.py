@@ -1,0 +1,151 @@
+"""Jitted BPTT train/eval steps: rasterize -> scan -> grad -> update.
+
+The reference's training inner loop (``train.py:202-237``) runs a Python BPTT
+loop over 8 sliding windows with per-window ``.to(device)`` transfers and CPU
+pre-rasterized count images.  Here the whole iteration is ONE XLA program:
+
+  raw padded event windows [B, L, 4, N]  --(vmapped scatter)-->
+  count frames [B, L, H, W, 2]           --(sliding pairs + lax.scan)-->
+  recurrent forward/loss over S = L - seqn + 1 steps --(autodiff)-->
+  gradients -> optax update
+
+``jax.checkpoint`` on the scan body bounds BPTT memory (SURVEY.md §7 hard
+part #3).  Loss parity: per-step MSE against the *second* window's GT counts
+(``gt_cnt[:, 1]``, ``train.py:213``), summed over the unroll
+(``train.py:227-234``); the bicubic shape-fixup (``train.py:228``) applies
+when ``scale * inp_res != gt_res``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from bmcnet_esr_tpu.ops.batch import batch_events_to_counts, sliding_pairs
+from bmcnet_esr_tpu.ops.resize import resize_bicubic
+
+Array = jax.Array
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: Array
+
+
+def init_train_state(params, tx) -> TrainState:
+    return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def _rollout_losses(
+    model,
+    params,
+    inp_frames: Array,  # [B, L, H, W, 2]
+    gt_frames: Array,  # [B, L, kH, kW, 2]
+    seqn: int,
+    gt_resolution: Tuple[int, int],
+    use_remat: bool,
+) -> Array:
+    """Per-step MSE over the recurrent unroll -> [S]."""
+    b, l, h, w, _ = inp_frames.shape
+    pairs = sliding_pairs(inp_frames, seqn)  # [B, S, seqn, H, W, 2]
+    xs_seq = jnp.moveaxis(pairs, 1, 0)  # [S, B, seqn, H, W, 2]
+    s = xs_seq.shape[0]
+    # GT of the second window in each seqn-window (reference gt_cnt[:, 1])
+    gts_seq = jnp.moveaxis(gt_frames[:, 1 : 1 + s], 1, 0)  # [S, B, kH, kW, 2]
+
+    carry0 = tuple(model.init_state(b, h, w))
+
+    def body(carry, inputs):
+        x, gt = inputs
+        outs = model.apply(params, x, *carry)
+        pred = outs[-1]
+        if pred.shape[1:3] != gt.shape[1:3]:
+            pred_fit = resize_bicubic(pred, gt_resolution)
+        else:
+            pred_fit = pred
+        mse = jnp.mean(jnp.square(pred_fit - gt))
+        return tuple(outs), mse
+
+    if use_remat:
+        body = jax.checkpoint(body)
+
+    _, losses = jax.lax.scan(body, carry0, (xs_seq, gts_seq))
+    return losses
+
+
+def sequence_loss(
+    model,
+    params,
+    batch: Dict[str, Array],
+    inp_resolution: Tuple[int, int],
+    gt_resolution: Tuple[int, int],
+    seqn: int = 2,
+    use_remat: bool = True,
+) -> Tuple[Array, Dict[str, Array]]:
+    """Total BPTT loss for one batch of clips; aux = reference log metrics."""
+    inp_frames = batch_events_to_counts(batch["inp_events"], tuple(inp_resolution))
+    gt_frames = batch_events_to_counts(batch["gt_events"], tuple(gt_resolution))
+    losses = _rollout_losses(
+        model, params, inp_frames, gt_frames, seqn, tuple(gt_resolution), use_remat
+    )
+    total = jnp.sum(losses)
+    return total, {"mse_loss": losses[-1], "loss": total}
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    inp_resolution: Tuple[int, int],
+    gt_resolution: Tuple[int, int],
+    seqn: int = 2,
+    use_remat: bool = True,
+    donate: bool = True,
+) -> Callable[[TrainState, Dict[str, Array]], Tuple[TrainState, Dict[str, Array]]]:
+    """One fully-jitted optimizer iteration.
+
+    Under a device mesh, shard ``batch`` along the data axis and replicate
+    ``state``; the in-graph means/sums become XLA collectives automatically
+    (see ``bmcnet_esr_tpu.parallel``).
+    """
+
+    def step(state: TrainState, batch: Dict[str, Array]):
+        def loss_fn(params):
+            return sequence_loss(
+                model, params, batch, inp_resolution, gt_resolution, seqn, use_remat
+            )
+
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, opt_state, state.step + 1)
+        metrics = {
+            "train_loss": total,
+            "train_mse_loss": aux["mse_loss"],
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    model,
+    inp_resolution: Tuple[int, int],
+    gt_resolution: Tuple[int, int],
+    seqn: int = 2,
+) -> Callable[[Any, Dict[str, Array]], Dict[str, Array]]:
+    """Validation rollout (no grad): reference ``_valid`` metrics
+    (``train.py:466-532``)."""
+
+    def step(params, batch: Dict[str, Array]):
+        total, aux = sequence_loss(
+            model, params, batch, inp_resolution, gt_resolution, seqn, use_remat=False
+        )
+        return {"valid_loss": total, "valid_mse_loss": aux["mse_loss"]}
+
+    return jax.jit(step)

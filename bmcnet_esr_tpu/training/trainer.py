@@ -1,0 +1,273 @@
+"""Iteration-based trainer: the engine behind ``cli/train.py``.
+
+Re-design of the reference ``Trainer`` (``train.py:86-617``), iteration mode
+only — the epoch path is dead code upstream (SURVEY.md §8.1).  Structure:
+
+* the whole optimizer iteration (rasterize + BPTT scan + grad + update) is
+  one jitted step (``training/train_step.py``); the Python loop just feeds
+  numpy batches and pulls metrics at logging boundaries (device scalars stay
+  futures in between — no per-iteration sync, unlike the reference's
+  ``.item()`` every step, ``train.py:247-248``);
+* validation every ``valid_step`` iters over the valid loader
+  (``train.py:264-284``); early stopping on the monitored metric
+  (``min valid_loss`` default) with patience ``early_stop``
+  (``train.py:343-382``);
+* checkpoints every ``save_period`` and on best (``train.py:287-288``),
+  via Orbax with resume support (``--resume/--reset``);
+* scalars to tensorboard incl. learning rate + steps/sec.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bmcnet_esr_tpu.data import DatasetConfig, SequenceLoader, load_datalist
+from bmcnet_esr_tpu.models import BMCNet, BMCNetPlain
+from bmcnet_esr_tpu.training import checkpoint as ckpt_lib
+from bmcnet_esr_tpu.training.config import RunConfig
+from bmcnet_esr_tpu.training.optim import build_optimizer
+from bmcnet_esr_tpu.training.train_step import (
+    TrainState,
+    init_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from bmcnet_esr_tpu.utils import MetricTracker, TensorboardWriter, get_logger
+
+
+def build_model(config: Dict[str, Any], scale: int):
+    """Model factory.  The reference hard-codes ``n_c=128, n_b=5`` and
+    ignores the YAML model block (``train.py:638-639``, SURVEY.md §8.8); here
+    the block is honored with those defaults."""
+    mcfg = config.get("model", {}) or {}
+    args = mcfg.get("args", {}) or {}
+    n_c = int(args.get("n_c", 128))
+    n_b = int(args.get("n_b", 5))
+    variant = args.get("variant", "full")
+    cls = BMCNetPlain if variant == "plain" else BMCNet
+    return cls(scale=scale, n_c=n_c, n_b=n_b)
+
+
+def build_loader(dl_cfg: Dict[str, Any], *, shard_index=0, shard_count=1, seed=0) -> SequenceLoader:
+    paths = load_datalist(dl_cfg["path_to_datalist_txt"])
+    return SequenceLoader(
+        paths,
+        DatasetConfig.from_dict(dl_cfg["dataset"]),
+        batch_size=dl_cfg.get("batch_size", 2),
+        shuffle=dl_cfg.get("shuffle", False),
+        drop_last=dl_cfg.get("drop_last", False),
+        num_workers=dl_cfg.get("num_workers", 2),
+        seed=seed,
+        shard_index=shard_index,
+        shard_count=shard_count,
+    )
+
+
+class Trainer:
+    def __init__(
+        self,
+        run: RunConfig,
+        *,
+        train_loader: Optional[SequenceLoader] = None,
+        valid_loader: Optional[SequenceLoader] = None,
+        seed: int = 3407,
+        logger: Optional[logging.Logger] = None,
+    ):
+        self.run = run
+        cfg = run.config
+        self.logger = logger or get_logger("train")
+        self.seed = seed
+
+        tcfg = cfg["trainer"]["iteration_based_train"]
+        if not tcfg.get("enabled", True):
+            raise ValueError("only iteration-based training is supported (the "
+                             "reference's epoch path is dead code, SURVEY.md §8.1)")
+        self.iterations = int(tcfg["iterations"])
+        self.save_period = int(tcfg.get("save_period", 5000))
+        self.train_log_step = int(tcfg.get("train_log_step", 50))
+        self.valid_log_step = int(tcfg.get("valid_log_step", 50))
+        self.valid_step = int(tcfg.get("valid_step", 1000))
+
+        monitor = cfg["trainer"].get("monitor", "off")
+        if monitor == "off":
+            self.mnt_mode, self.mnt_metric = "off", None
+            self.mnt_best = 0.0
+        else:
+            self.mnt_mode, self.mnt_metric = monitor.split()
+            assert self.mnt_mode in ("min", "max")
+            self.mnt_best = math.inf if self.mnt_mode == "min" else -math.inf
+        self.early_stop = cfg["trainer"].get("early_stop", math.inf)
+        self.not_improved_count = 0
+
+        self.train_loader = train_loader or build_loader(cfg["train_dataloader"], seed=seed)
+        self.valid_loader = valid_loader
+        if valid_loader is None and "valid_dataloader" in cfg:
+            self.valid_loader = build_loader(cfg["valid_dataloader"], seed=seed)
+
+        scale = cfg["train_dataloader"]["dataset"]["scale"]
+        self.scale = scale
+        self.model = build_model(cfg, scale)
+        self.inp_resolution = self.train_loader.inp_resolution
+        self.gt_resolution = self.train_loader.gt_resolution
+        self.seqn = self.train_loader.seqn
+
+        self.tx, self.schedule = build_optimizer(
+            cfg.get("optimizer", {}), cfg.get("lr_scheduler", {}), tcfg
+        )
+
+        # init params on a batch-shaped dummy
+        h, w = self.inp_resolution
+        dummy = jnp.zeros((1, self.seqn, h, w, 2), jnp.float32)
+        state0 = tuple(self.model.init_state(1, h, w))
+        params = self.model.init(jax.random.key(seed), dummy, *state0)
+        self.state = init_train_state(params, self.tx)
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+        self.logger.info(f"model params: {n_params}")
+
+        self.train_step = make_train_step(
+            self.model, self.tx, self.inp_resolution, self.gt_resolution, self.seqn
+        )
+        self.eval_step = make_eval_step(
+            self.model, self.inp_resolution, self.gt_resolution, self.seqn
+        )
+
+        self.writer = TensorboardWriter(
+            run.log_dir, cfg["trainer"].get("tensorboard", True), self.logger
+        )
+        self.train_metrics = MetricTracker(["train_mse_loss", "train_loss"])
+        self.valid_metrics = MetricTracker(["valid_mse_loss", "valid_loss"])
+
+    # -- checkpointing -----------------------------------------------------
+
+    def save(self, iteration: int, best: bool = False) -> str:
+        meta = {
+            "training_mode": "iteration_based_train",
+            "monitor_best": float(self.mnt_best) if self.mnt_best not in (math.inf, -math.inf) else None,
+            "experiment": self.run.experiment,
+        }
+        path = ckpt_lib.save_checkpoint(
+            self.run.save_dir, self.state, iteration=iteration, best=best, meta=meta
+        )
+        self.logger.info(f"saved checkpoint: {path}")
+        return path
+
+    def resume(self, path: str, reset: bool = False) -> int:
+        state, meta = ckpt_lib.restore_checkpoint(path, self.state)
+        self.state = state
+        start = 0
+        if not reset:
+            start = int(meta.get("iteration", 0)) + 1
+            if meta.get("monitor_best") is not None:
+                self.mnt_best = meta["monitor_best"]
+            self.logger.info(f"resumed from {path} at iteration {start}")
+        else:
+            self.logger.info(f"loaded weights from {path}; trainer state reset")
+        return start
+
+    # -- evaluation --------------------------------------------------------
+
+    def _valid(self, stamp: int) -> Dict[str, float]:
+        self.valid_metrics.reset()
+        for batch_idx, batch in enumerate(self.valid_loader):
+            m = self.eval_step(self.state.params, batch)
+            self.valid_metrics.update("valid_mse_loss", float(m["valid_mse_loss"]))
+            self.valid_metrics.update("valid_loss", float(m["valid_loss"]))
+            if batch_idx % self.valid_log_step == 0:
+                self.logger.debug(
+                    f"valid stamp {stamp} [{batch_idx}/{len(self.valid_loader)}] "
+                    f"valid_loss: {float(m['valid_loss']):.4e}"
+                )
+        return self.valid_metrics.result()
+
+    def _eval_monitor(self, log: Dict[str, float]):
+        """(stop_training, best) from monitored metric (``train.py:343-382``)."""
+        if self.mnt_mode == "off":
+            return False, False
+        if self.mnt_metric not in log:
+            self.logger.warning(f"metric {self.mnt_metric!r} missing from valid log")
+            return False, False
+        value = log[self.mnt_metric]
+        improved = value <= self.mnt_best if self.mnt_mode == "min" else value >= self.mnt_best
+        if improved:
+            self.mnt_best = value
+            self.not_improved_count = 0
+            return False, True
+        self.not_improved_count += 1
+        if self.not_improved_count > self.early_stop:
+            self.logger.info(
+                f"no improvement for {self.early_stop} stamps; early stopping"
+            )
+            return True, False
+        return False, False
+
+    # -- main loop ---------------------------------------------------------
+
+    def train(self, start_iteration: int = 0) -> Dict[str, float]:
+        iter_idx = start_iteration
+        valid_stamp = 1
+        pending: list = []  # (iter, device-metrics) resolved at log boundaries
+        stop = False
+        t_start = time.time()
+
+        while not stop:
+            for batch in self.train_loader:
+                self.state, metrics = self.train_step(self.state, batch)
+                pending.append((iter_idx, metrics))
+
+                if iter_idx % self.train_log_step == 0:
+                    for it, m in pending:
+                        mse = float(m["train_mse_loss"])
+                        tot = float(m["train_loss"])
+                        self.train_metrics.update("train_mse_loss", mse)
+                        self.train_metrics.update("train_loss", tot)
+                    lr = float(self.schedule(iter_idx))
+                    self.writer.set_step(iter_idx)
+                    self.writer.add_scalar("train_mse_loss", mse)
+                    self.writer.add_scalar("train_loss", tot)
+                    self.writer.add_scalar("learning_rate", lr)
+                    ips = (iter_idx - start_iteration + 1) / max(time.time() - t_start, 1e-9)
+                    self.logger.info(
+                        f"iter {iter_idx}/{self.iterations} "
+                        f"train_mse_loss: {mse:.4e} train_loss: {tot:.4e} "
+                        f"lr: {lr:.4e} iters/sec: {ips:.2f}"
+                    )
+                    pending.clear()
+
+                best = False
+                if (
+                    self.valid_loader is not None
+                    and iter_idx % self.valid_step == 0
+                    and iter_idx != 0
+                ):
+                    val_log = self._valid(valid_stamp)
+                    self.writer.set_step(valid_stamp, "valid")
+                    for k, v in val_log.items():
+                        self.writer.add_scalar(f"stamp_{k}", v)
+                        self.logger.info(f"    {k:25s}: {v:.4e}")
+                    stop, best = self._eval_monitor(val_log)
+                    valid_stamp += 1
+                    if stop:
+                        break
+
+                if (iter_idx % self.save_period == 0 and iter_idx != 0) or best:
+                    self.save(iter_idx, best=best)
+
+                iter_idx += 1
+                if iter_idx >= self.iterations:
+                    self.logger.info("training completes!")
+                    stop = True
+                    break
+
+        # final state checkpoint (the reference can end a run with only a
+        # 'best' checkpoint on disk; always leaving iteration_N makes resume
+        # and deployment deterministic)
+        self.save(iter_idx - 1 if iter_idx else 0, best=False)
+        self.writer.flush()
+        return self.train_metrics.result()

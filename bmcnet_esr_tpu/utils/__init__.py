@@ -1,0 +1,19 @@
+"""Observability utilities: metrics, timers, logging, structured results."""
+
+from bmcnet_esr_tpu.utils.metrics import MetricTracker
+from bmcnet_esr_tpu.utils.timers import Timer, DeviceTimer, timing_stats, print_timing_info
+from bmcnet_esr_tpu.utils.logging import setup_logging, get_logger
+from bmcnet_esr_tpu.utils.yaml_logger import YamlResultLogger
+from bmcnet_esr_tpu.utils.tensorboard import TensorboardWriter
+
+__all__ = [
+    "MetricTracker",
+    "Timer",
+    "DeviceTimer",
+    "timing_stats",
+    "print_timing_info",
+    "setup_logging",
+    "get_logger",
+    "YamlResultLogger",
+    "TensorboardWriter",
+]

@@ -1,0 +1,246 @@
+"""Training engine tests: optimizer parity vs torch, schedule floor,
+BPTT train step learning, checkpoint round-trip, trainer loop smoke."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from bmcnet_esr_tpu.data import DatasetConfig, SequenceLoader
+from bmcnet_esr_tpu.data.h5dataset import SequenceConfig
+from bmcnet_esr_tpu.data.packager import write_synthetic_fixture
+from bmcnet_esr_tpu.losses import mse_loss, psnr, ssim
+from bmcnet_esr_tpu.models import BMCNetPlain
+from bmcnet_esr_tpu.training import (
+    Trainer,
+    build_optimizer,
+    exponential_decay_with_floor,
+    make_eval_step,
+    make_train_step,
+)
+from bmcnet_esr_tpu.training.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from bmcnet_esr_tpu.training.config import RunConfig, set_by_path
+from bmcnet_esr_tpu.training.train_step import init_train_state, sequence_loss
+
+
+class TestOptimParity:
+    def test_adam_amsgrad_weight_decay_matches_torch(self):
+        rng = np.random.default_rng(0)
+        w0 = rng.standard_normal((5, 3)).astype(np.float32)
+        tgt = rng.standard_normal((5, 3)).astype(np.float32)
+
+        # torch oracle
+        wt = torch.tensor(w0, requires_grad=True)
+        opt = torch.optim.Adam([wt], lr=1e-2, weight_decay=1e-2, amsgrad=True)
+        for _ in range(10):
+            opt.zero_grad()
+            ((wt - torch.tensor(tgt)) ** 2).mean().backward()
+            opt.step()
+
+        # ours
+        from bmcnet_esr_tpu.training.optim import adam_torch
+
+        tx = adam_torch(1e-2, weight_decay=1e-2, amsgrad=True)
+        params = jnp.asarray(w0)
+        opt_state = tx.init(params)
+        loss = lambda p: jnp.mean((p - jnp.asarray(tgt)) ** 2)
+        for _ in range(10):
+            g = jax.grad(loss)(params)
+            upd, opt_state = tx.update(g, opt_state, params)
+            params = optax.apply_updates(params, upd)
+
+        np.testing.assert_allclose(np.asarray(params), wt.detach().numpy(), atol=1e-6)
+
+    def test_schedule_floor(self):
+        sched = exponential_decay_with_floor(1e-4, gamma=0.95, step_every=4000, floor=1e-5)
+        assert float(sched(0)) == pytest.approx(1e-4)
+        assert float(sched(4000)) == pytest.approx(1e-4 * 0.95)
+        # decays exactly once past the floor, then saturates (train.py:291-294)
+        late = float(sched(10_000_000))
+        assert late == pytest.approx(1e-4 * 0.95**45)
+        assert late < 1e-5 <= late / 0.95
+
+    def test_build_from_reference_yaml_blocks(self):
+        tx, sched = build_optimizer(
+            {"name": "Adam", "args": {"lr": 1e-4, "weight_decay": 1e-5, "amsgrad": True}},
+            {"name": "ExponentialLR", "args": {"gamma": 0.95}},
+            {"lr_change_rate": 4000},
+        )
+        assert float(sched(8000)) == pytest.approx(1e-4 * 0.95**2)
+
+    def test_unknown_optimizer_raises(self):
+        with pytest.raises(KeyError, match="registry"):
+            build_optimizer({"name": "Eval"}, {}, {})
+
+
+class TestLosses:
+    def test_psnr_formula(self):
+        a = jnp.zeros((4, 4))
+        b = jnp.ones((4, 4)) * 0.1
+        got = float(psnr(a, b, 1.0))
+        assert got == pytest.approx(10 * math.log10(1.0 / 0.01), rel=1e-5)
+
+    def test_ssim_identity_and_range(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((16, 16)), jnp.float32)
+        assert float(ssim(x, x, 1.0)) == pytest.approx(1.0, abs=1e-5)
+        y = jnp.asarray(rng.random((16, 16)), jnp.float32)
+        v = float(ssim(x, y, 1.0))
+        assert -1.0 <= v < 1.0
+
+
+@pytest.fixture(scope="module")
+def loaders(tmp_path_factory):
+    d = tmp_path_factory.mktemp("train")
+    tr = write_synthetic_fixture(
+        str(d / "tr.h5"), (32, 32), ("ori", "down2"),
+        {"ori": 30000, "down2": 7500}, seed=0,
+    )
+    va = write_synthetic_fixture(
+        str(d / "va.h5"), (32, 32), ("ori", "down2"),
+        {"ori": 30000, "down2": 7500}, seed=1,
+    )
+    cfg = DatasetConfig(
+        scale=2, ori_scale="down2", window=128, sliding_window=64,
+        sequence=SequenceConfig(sequence_length=3, seqn=2, step_size=3),
+    )
+    mk = lambda p, sh: SequenceLoader([p], cfg, batch_size=2, shuffle=sh, drop_last=True, num_workers=1, seed=0)
+    return mk(tr, True), mk(va, False)
+
+
+def tiny_model():
+    return BMCNetPlain(scale=2, n_c=8, n_b=2)
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, loaders):
+        train_loader, _ = loaders
+        model = tiny_model()
+        from bmcnet_esr_tpu.training.optim import adam_torch
+
+        tx = adam_torch(1e-3)
+        h, w = train_loader.inp_resolution
+        dummy = jnp.zeros((2, 2, h, w, 2))
+        params = model.init(jax.random.key(0), dummy, *model.init_state(2, h, w))
+        state = init_train_state(params, tx)
+        step = make_train_step(model, tx, train_loader.inp_resolution, train_loader.gt_resolution)
+
+        losses = []
+        for epoch in range(6):
+            for batch in train_loader:
+                state, m = step(state, batch)
+                losses.append(float(m["train_loss"]))
+        assert losses[-1] < losses[0] * 0.9, losses[::7]
+        assert int(state.step) == len(losses)
+
+    def test_remat_matches_no_remat(self, loaders):
+        train_loader, _ = loaders
+        model = tiny_model()
+        h, w = train_loader.inp_resolution
+        dummy = jnp.zeros((2, 2, h, w, 2))
+        params = model.init(jax.random.key(0), dummy, *model.init_state(2, h, w))
+        batch = next(iter(train_loader))
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        a, _ = sequence_loss(model, params, batch, (h, w), train_loader.gt_resolution, use_remat=True)
+        b, _ = sequence_loss(model, params, batch, (h, w), train_loader.gt_resolution, use_remat=False)
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+
+    def test_tied_weights_accumulate_grads(self, loaders):
+        """The shared BIE block must receive gradients from every depth
+        position (tying semantics, SURVEY.md §7 hard part #2)."""
+        train_loader, _ = loaders
+        h, w = train_loader.inp_resolution
+        m1 = BMCNetPlain(scale=2, n_c=8, n_b=1)
+        m5 = BMCNetPlain(scale=2, n_c=8, n_b=5)
+        dummy = jnp.zeros((2, 2, h, w, 2))
+        params = m1.init(jax.random.key(0), dummy, *m1.init_state(2, h, w))
+        batch = next(iter(train_loader))
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+        def loss_for(model):
+            def f(p):
+                return sequence_loss(model, p, batch, (h, w), train_loader.gt_resolution)[0]
+            return f
+
+        g1 = jax.grad(loss_for(m1))(params)
+        g5 = jax.grad(loss_for(m5))(params)  # same param tree (shared block)
+        n1 = float(optax.global_norm(g1["params"]["neuro"]["para_reschunk"]))
+        n5 = float(optax.global_norm(g5["params"]["neuro"]["para_reschunk"]))
+        assert n5 != pytest.approx(n1, rel=1e-3)  # depth reuse changes grads
+
+
+class TestCheckpoint:
+    def test_roundtrip_and_latest(self, loaders, tmp_path):
+        train_loader, _ = loaders
+        model = tiny_model()
+        from bmcnet_esr_tpu.training.optim import adam_torch
+
+        tx = adam_torch(1e-3)
+        h, w = train_loader.inp_resolution
+        dummy = jnp.zeros((2, 2, h, w, 2))
+        params = model.init(jax.random.key(0), dummy, *model.init_state(2, h, w))
+        state = init_train_state(params, tx)
+        step = make_train_step(model, tx, train_loader.inp_resolution, train_loader.gt_resolution, donate=False)
+        batch = next(iter(train_loader))
+        state, _ = step(state, batch)
+
+        save_checkpoint(str(tmp_path), state, iteration=7, meta={"experiment": "t"})
+        save_checkpoint(str(tmp_path), state, iteration=9)
+        assert latest_checkpoint(str(tmp_path)).endswith("iteration_9")
+
+        restored, meta = restore_checkpoint(
+            os.path.join(str(tmp_path), "iteration_7"), state
+        )
+        assert meta["iteration"] == 7 and meta["experiment"] == "t"
+        for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # restored state is usable
+        state2, m = step(restored, batch)
+        assert np.isfinite(float(m["train_loss"]))
+
+
+class TestTrainerLoop:
+    def test_end_to_end_smoke(self, loaders, tmp_path):
+        train_loader, valid_loader = loaders
+        cfg = {
+            "experiment": "smoke",
+            "model": {"name": "tiny", "args": {"n_c": 8, "n_b": 2, "variant": "plain"}},
+            "optimizer": {"name": "Adam", "args": {"lr": 1e-3, "weight_decay": 1e-5, "amsgrad": True}},
+            "lr_scheduler": {"name": "ExponentialLR", "args": {"gamma": 0.95}},
+            "trainer": {
+                "output_path": str(tmp_path),
+                "monitor": "min valid_loss",
+                "early_stop": 100,
+                "tensorboard": False,
+                "iteration_based_train": {
+                    "enabled": True, "iterations": 8, "save_period": 4,
+                    "train_log_step": 2, "valid_log_step": 10, "valid_step": 4,
+                    "lr_change_rate": 4,
+                },
+            },
+            "train_dataloader": {"dataset": {"scale": 2}},
+        }
+        run = RunConfig(cfg, runid="t0")
+        tr = Trainer(run, train_loader=train_loader, valid_loader=valid_loader, seed=0)
+        result = tr.train()
+        assert "train_loss" in result and np.isfinite(result["train_loss"])
+        # periodic checkpoint written and resumable
+        latest = latest_checkpoint(run.save_dir)
+        assert latest is not None
+        start = tr.resume(latest)
+        assert start > 0
+
+    def test_set_by_path(self):
+        d = {}
+        set_by_path(d, "a;b;c", 5)
+        assert d == {"a": {"b": {"c": 5}}}
