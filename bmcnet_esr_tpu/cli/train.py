@@ -55,6 +55,10 @@ def main(argv=None) -> None:
     random.seed(args.seed)
     np.random.seed(args.seed)
 
+    from bmcnet_esr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from bmcnet_esr_tpu.training.config import RunConfig
     from bmcnet_esr_tpu.training.trainer import Trainer
     from bmcnet_esr_tpu.utils.logging import get_logger

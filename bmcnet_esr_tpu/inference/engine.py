@@ -1,0 +1,263 @@
+"""Recurrent inference over event files: chunked device scan + metrics.
+
+Re-design of ``/root/reference/infer_BMCNet.py``.  The reference rolls the
+model window-by-window in Python (batch 1, one forward + host sync per
+window, ``infer_BMCNet.py:46-68``); here each file is processed as a
+**chunked ``lax.scan``**: windows are rasterized on device in blocks, the
+recurrent state threads through the scan carry, and per-window predictions /
+metrics come back in one transfer per chunk.  Behavioural parity:
+
+* hidden state initializes ONCE per file and persists across all windows
+  (``infer_BMCNet.py:45-48``);
+* stride-1 rollout over consecutive (w, w+1) count-window pairs — the
+  reference's ``step_size=1`` + ``inputs_seq[0]`` pattern
+  (``scripts/infer_ours.sh:11``, SURVEY.md §8.7);
+* metrics per window: ``esr_mse`` (bicubic shape-fixup when needed),
+  ``bicubic_mse`` upsampling baseline, ``time`` (ms, device-synced),
+  ``params`` (M, counting tied aliases once), and ``macs`` — actually
+  populated here from XLA's compiled cost analysis, which the reference
+  tracks but never fills (``infer_BMCNet.py:33``);
+* four PNG streams per window (lr / hr_esr / hr_bicubic / hr_gt,
+  ``infer_BMCNet.py:90-97``) and per-file + aggregate YAML results.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from bmcnet_esr_tpu.data import DatasetConfig, EventH5Dataset
+from bmcnet_esr_tpu.models import BMCNet, BMCNetPlain, load_torch_checkpoint
+from bmcnet_esr_tpu.ops.batch import batch_events_to_counts
+from bmcnet_esr_tpu.ops.resize import resize_bicubic
+from bmcnet_esr_tpu.utils import MetricTracker, YamlResultLogger
+from bmcnet_esr_tpu.vis import EventVisualizer
+
+Array = jax.Array
+
+
+def load_model_for_inference(
+    checkpoint_path: str,
+    scale: int,
+    n_c: int = 128,
+    n_b: int = 5,
+    variant: str = "full",
+):
+    """Build the model and load weights from a ``.pth``/``.npz`` reference
+    checkpoint or an Orbax train-state directory."""
+    cls = BMCNetPlain if variant == "plain" else BMCNet
+    model = cls(scale=scale, n_c=n_c, n_b=n_b)
+    if checkpoint_path.endswith(".pth"):
+        variables = load_torch_checkpoint(checkpoint_path)
+    elif checkpoint_path.endswith(".npz"):
+        from bmcnet_esr_tpu.models import convert_torch_state_dict
+
+        z = np.load(checkpoint_path)
+        sd = {k[3:] if k.startswith("sd/") else k: z[k] for k in z.files if not k in ("x", "preds", "hs", "meta")}
+        variables = convert_torch_state_dict(sd)
+    else:  # orbax train-state dir
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(os.path.abspath(checkpoint_path))
+        tree = restored.get("params", restored) if isinstance(restored, dict) else restored.params
+        variables = jax.tree.map(jnp.asarray, tree)
+        if "params" not in variables:
+            variables = {"params": variables}
+    return model, variables
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        model,
+        variables,
+        dataset_config: DatasetConfig,
+        *,
+        chunk_size: int = 32,
+        visualize: bool = True,
+        vis_color_scheme: str = "blue_red",
+    ):
+        self.model = model
+        self.variables = variables
+        self.config = dataset_config
+        self.chunk_size = chunk_size
+        self.visualize = visualize
+        self.vis = EventVisualizer()
+        self.vis_color_scheme = vis_color_scheme
+        self._step_cache: Dict[Tuple, Any] = {}
+        self.params_m = (
+            sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables)) / 1e6
+        )
+
+    # -- compiled chunk step ------------------------------------------------
+
+    def _chunk_step(self, steps: int, inp_res, gt_res):
+        key = (steps, inp_res, gt_res)
+        if key in self._step_cache:
+            return self._step_cache[key]
+
+        model = self.model
+
+        @jax.jit
+        def run(variables, carry, inp_events, gt_events):
+            # inp_events [steps+1, 4, N] (one-window overlap), gt [steps, 4, Ng]
+            frames = batch_events_to_counts(inp_events, inp_res)
+            gts = batch_events_to_counts(gt_events, gt_res)
+            pairs = jnp.stack([frames[:-1], frames[1:]], axis=1)  # [S,2,H,W,2]
+
+            def body(c, xs):
+                pair, gt = xs
+                outs = model.apply(variables, pair[None], *c)
+                pred = outs[-1]
+                if pred.shape[1:3] != gt.shape[:2]:
+                    pred_fit = resize_bicubic(pred, gt_res)
+                else:
+                    pred_fit = pred
+                bic = resize_bicubic(pair[1][None], gt_res)
+                esr_mse = jnp.mean(jnp.square(pred_fit - gt[None]))
+                bic_mse = jnp.mean(jnp.square(bic - gt[None]))
+                return tuple(outs), (pred_fit[0], bic[0], esr_mse, bic_mse)
+
+            carry, (preds, bics, esr, bicm) = jax.lax.scan(body, carry, (pairs, gts))
+            return carry, preds, bics, esr, bicm, frames[1:], gts
+
+        self._step_cache[key] = run
+        return run
+
+    def macs_per_window(self, steps: int, inp_res, gt_res, carry, inp_ev, gt_ev) -> float:
+        """MACs per window from XLA's compiled cost analysis."""
+        run = self._chunk_step(steps, inp_res, gt_res)
+        try:
+            lowered = run.lower(self.variables, carry, inp_ev, gt_ev)
+            cost = lowered.compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            return float(cost.get("flops", 0.0)) / 2.0 / steps
+        except Exception:
+            return 0.0
+
+    # -- per-file rollout ---------------------------------------------------
+
+    def infer_file(
+        self,
+        data_path: str,
+        output_dir: Optional[str] = None,
+        logger: Optional[YamlResultLogger] = None,
+    ) -> Dict[str, float]:
+        ds = EventH5Dataset(data_path, self.config)
+        inp_res = tuple(ds.layout.inp_resolution)
+        gt_res = tuple(ds.layout.gt_resolution)
+        n_windows = len(ds) - 1  # stride-1 (w, w+1) pairs
+        if n_windows < 1:
+            raise ValueError(f"{data_path}: not enough windows for a rollout")
+
+        img_dirs = {}
+        if self.visualize and output_dir is not None:
+            for name in ("lr_event_img", "hr_esr_event_img", "hr_bicubic_event_img", "hr_gt_event_img"):
+                img_dirs[name] = os.path.join(output_dir, name)
+                os.makedirs(img_dirs[name], exist_ok=True)
+
+        track = MetricTracker(["esr_mse", "bicubic_mse", "time", "params", "macs"])
+        track.update("params", self.params_m)
+
+        carry = tuple(self.model.init_state(1, *inp_res))
+        macs_done = False
+        frame_idx = 0
+
+        pos = 0
+        while pos < n_windows:
+            steps = min(self.chunk_size, n_windows - pos)
+            # windows pos .. pos+steps (inclusive) for inputs; gt for pos+1..
+            inp_ev = np.stack(
+                [ds.get_window(w)["inp_events"] for w in range(pos, pos + steps + 1)]
+            )
+            gt_items = [ds.get_window(w) for w in range(pos + 1, pos + steps + 1)]
+            gt_ev = np.stack([it["gt_events"] for it in gt_items])
+
+            run = self._chunk_step(steps, inp_res, gt_res)
+            if not macs_done:
+                track.update(
+                    "macs",
+                    self.macs_per_window(steps, inp_res, gt_res, carry, inp_ev, gt_ev) / 1e6,
+                )
+                macs_done = True
+
+            t0 = time.perf_counter()
+            carry, preds, bics, esr, bicm, lr_frames, gt_frames = jax.block_until_ready(
+                run(self.variables, carry, jnp.asarray(inp_ev), jnp.asarray(gt_ev))
+            )
+            dt_ms = (time.perf_counter() - t0) * 1000.0 / steps
+
+            preds = np.asarray(preds)
+            bics = np.asarray(bics)
+            esr = np.asarray(esr)
+            bicm = np.asarray(bicm)
+            for s in range(steps):
+                track.update("esr_mse", float(esr[s]))
+                track.update("bicubic_mse", float(bicm[s]))
+                track.update("time", dt_ms)
+            if img_dirs:
+                lr_np = np.asarray(lr_frames)
+                gt_np = np.asarray(gt_frames)
+                for s in range(steps):
+                    i = frame_idx + s
+                    self._save_streams(img_dirs, i, lr_np[s], preds[s], bics[s], gt_np[s])
+            frame_idx += steps
+            pos += steps
+
+        ds.close()
+        result = track.result()
+        if logger is not None:
+            logger.log_dict(result, "evaluation results")
+        return result
+
+    def _save_streams(self, dirs, i, lr, pred, bic, gt):
+        cs = self.vis_color_scheme
+        self.vis.plot_event_cnt(lr, True, os.path.join(dirs["lr_event_img"], f"{i:09d}.png"), cs)
+        self.vis.plot_event_cnt(
+            np.round(pred), True, os.path.join(dirs["hr_esr_event_img"], f"{i:09d}.png"), cs
+        )
+        self.vis.plot_event_cnt(bic, True, os.path.join(dirs["hr_bicubic_event_img"], f"{i:09d}.png"), cs)
+        self.vis.plot_event_cnt(gt, True, os.path.join(dirs["hr_gt_event_img"], f"{i:09d}.png"), cs)
+
+    # -- datalist driver ----------------------------------------------------
+
+    def infer_datalist(
+        self, data_paths: List[str], output_path: str, model_desc: str = ""
+    ) -> Dict[str, Dict]:
+        """Per-file dirs + YAMLs and the aggregated ``inference_all.yml``
+        (reference ``infer_BMCNet.py:256-295``)."""
+        os.makedirs(output_path, exist_ok=True)
+        all_logger = YamlResultLogger(os.path.join(output_path, "inference_all.yml"))
+        all_logger.log_info(f"inference {model_desc} on {data_paths}")
+
+        results = []
+        for data_path in data_paths:
+            name = os.path.basename(data_path)
+            root = os.path.join(output_path, name)
+            event_img_path = os.path.join(root, "event_img")
+            os.makedirs(root, exist_ok=True)
+            logger = YamlResultLogger(os.path.join(root, "inference.yml"))
+            logger.log_info(f"inference {model_desc} on {data_path}")
+            result = self.infer_file(data_path, event_img_path, logger)
+            logger.close()
+            results.append((name, result))
+
+        breakdown: Dict[str, Dict] = {}
+        means: Dict[str, float] = {}
+        for name, res in results:
+            for k, v in res.items():
+                breakdown.setdefault(k, {})[name] = v
+        for k, sub in breakdown.items():
+            means[k] = float(np.mean(list(sub.values())))
+        all_logger.log_dict(breakdown, "breakdown results for each data")
+        all_logger.log_dict(means, "mean results for the whole data")
+        all_logger.close()
+        return {"breakdown": breakdown, "mean": means}

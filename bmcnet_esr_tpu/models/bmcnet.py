@@ -142,6 +142,8 @@ class BMCNet(nn.Module):
         )
 
         pred = pixel_shuffle(x_o, self.scale) + upsample_bilinear(f2, self.scale)
+        # keep carry dtype stable under scan (resize matrices are fp32)
+        pred = pred.astype(self.dtype)
         return x_h, x_h_p, x_h_n, pred
 
     def init_state(self, batch: int, h: int, w: int) -> Tuple[Array, Array, Array, Array]:
@@ -222,6 +224,7 @@ class BMCNetPlain(nn.Module):
         x_h, x_o = self.neuro(x1, x2, x_h.astype(self.dtype), o_lr)
 
         pred = pixel_shuffle(x_o, self.scale) + upsample_bilinear(f2, self.scale)
+        pred = pred.astype(self.dtype)
         return x_h, pred
 
     def init_state(self, batch: int, h: int, w: int) -> Tuple[Array, Array]:

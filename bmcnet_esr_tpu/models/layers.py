@@ -38,6 +38,17 @@ Array = jax.Array
 conv_init = nn.initializers.variance_scaling(0.02, "fan_in", "normal")
 
 
+def _prec(dtype) -> jax.lax.Precision:
+    """fp32 compute keeps HIGHEST precision (checkpoint parity: TPU default
+    matmul precision is bf16); bf16 compute uses the MXU natively — that is
+    the production/serving fast path (~8x fp32 MXU throughput on v5e)."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype in (jnp.float32, None)
+        else jax.lax.Precision.DEFAULT
+    )
+
+
 def _conv(nf: int, kernel: int, dtype, name: str | None = None) -> nn.Conv:
     return nn.Conv(
         features=nf,
@@ -47,7 +58,7 @@ def _conv(nf: int, kernel: int, dtype, name: str | None = None) -> nn.Conv:
         bias_init=nn.initializers.zeros_init(),
         dtype=dtype,
         param_dtype=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_prec(dtype),
         name=name,
     )
 
@@ -110,8 +121,7 @@ class BIE(nn.Module):
 
     def __call__(self, x_1: Array, x_2: Array, x_s: Array) -> Tuple[Array, Array, Array]:
         b, h, w, c = x_1.shape
-        scale = jnp.asarray(c, self.dtype) ** -0.5
-        hi = jax.lax.Precision.HIGHEST
+        hi = _prec(self.dtype)
 
         x_1_ = self.conv1(x_1)
         x_2_ = self.conv1(x_2)  # tied conv2
@@ -126,10 +136,13 @@ class BIE(nn.Module):
 
         # torch: att = center[b,c,hw] @ v[b,hw,c]; here both operands live as
         # [b, hw, c] so the contraction is over hw -> one MXU-tile [c, c].
-        att1 = jnp.einsum("bni,bnj->bij", c1, v_1, precision=hi) * scale
-        att2 = jnp.einsum("bni,bnj->bij", c2, v_2, precision=hi) * scale
-        att1 = jax.nn.softmax(att1, axis=-1)
-        att2 = jax.nn.softmax(att2, axis=-1)
+        # Logits accumulate in fp32 (softmax stability on the bf16 path).
+        f32 = jnp.float32
+        att1 = jnp.einsum("bni,bnj->bij", c1, v_1, precision=hi, preferred_element_type=f32)
+        att2 = jnp.einsum("bni,bnj->bij", c2, v_2, precision=hi, preferred_element_type=f32)
+        scale32 = jnp.asarray(c, f32) ** -0.5
+        att1 = jax.nn.softmax(att1 * scale32, axis=-1).astype(self.dtype)
+        att2 = jax.nn.softmax(att2 * scale32, axis=-1).astype(self.dtype)
 
         # torch: out = att[b,c,c] @ v^T[b,c,hw] -> [b,c,hw]; NHWC: [b,hw,c].
         out_1 = jnp.einsum("bij,bnj->bni", att1, v_1, precision=hi).reshape(b, h, w, c)

@@ -1,0 +1,51 @@
+"""Device mesh construction + sharding helpers.
+
+The TPU-native replacement for the reference's (vestigial) NCCL/DDP plumbing
+(``train.py:62-83``, ``myutils/utils.py:42-81``, SURVEY.md §2.2): instead of
+process groups, barriers and ``all_reduce`` calls, we lay a
+``jax.sharding.Mesh`` over the chips, shard the batch along a ``data`` axis,
+replicate parameters, and let XLA insert the gradient ``psum`` (riding ICI)
+from the in-graph loss mean.  Multi-host: ``jax.distributed.initialize()``
+per host + per-host data sharding by index-space partitioning
+(``data/pipeline.py`` ``shard_index/shard_count``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: Optional[int] = None, *, devices: Optional[Sequence] = None, axis: str = "data"
+) -> Mesh:
+    """1-D data-parallel mesh over ``n_data`` devices (default: all)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices)
+    if n_data > len(devices):
+        raise ValueError(f"requested {n_data} devices, have {len(devices)}")
+    return Mesh(np.array(devices[:n_data]), (axis,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Leading-dim (batch) sharding."""
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
+    """Place a host batch dict on the mesh, sharded along the batch dim."""
+    spec = data_sharding(mesh, axis)
+    return {k: jax.device_put(v, spec) for k, v in batch.items()}
+
+
+def replicate_tree(tree, mesh: Mesh):
+    return jax.device_put(tree, replicated(mesh))

@@ -1,0 +1,59 @@
+"""Sharded train step: data-parallel SPMD over the mesh.
+
+Parallelism census of the reference (SURVEY.md §2.2): data parallel is the
+one real axis (partially-wired DDP, effectively single-GPU); TP/PP/EP are
+absent and architecturally unwarranted for a 2.7M-param recurrent CNN whose
+activations (not weights) dominate memory.  Accordingly the sharded step
+shards the **batch** dimension of every input along ``data``, replicates
+parameters and optimizer state, and relies on GSPMD to turn the in-graph
+loss/grad means into ICI ``psum``s — no hand-written collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+from jax.sharding import Mesh
+
+from bmcnet_esr_tpu.parallel.mesh import data_sharding, replicated
+from bmcnet_esr_tpu.training.train_step import TrainState, sequence_loss
+
+import optax
+
+
+def make_parallel_train_step(
+    model,
+    tx,
+    inp_resolution: Tuple[int, int],
+    gt_resolution: Tuple[int, int],
+    mesh: Mesh,
+    seqn: int = 2,
+    use_remat: bool = True,
+):
+    """Jitted SPMD iteration: state replicated, batch sharded on ``data``."""
+    repl = replicated(mesh)
+    data = data_sharding(mesh)
+
+    def step(state: TrainState, batch: Dict):
+        def loss_fn(params):
+            return sequence_loss(
+                model, params, batch, inp_resolution, gt_resolution, seqn, use_remat
+            )
+
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "train_loss": total,
+            "train_mse_loss": aux["mse_loss"],
+            "grad_norm": optax.global_norm(grads),
+        }
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return jax.jit(
+        step,
+        in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

@@ -1,0 +1,144 @@
+"""Inference engine + visualization tests."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+import jax
+import jax.numpy as jnp
+
+from bmcnet_esr_tpu.data import DatasetConfig
+from bmcnet_esr_tpu.data.h5dataset import SequenceConfig
+from bmcnet_esr_tpu.data.packager import write_synthetic_fixture
+from bmcnet_esr_tpu.inference import InferenceEngine, load_model_for_inference
+from bmcnet_esr_tpu.models import BMCNetPlain
+from bmcnet_esr_tpu.vis import render_event_count
+from bmcnet_esr_tpu.vis.events import EventVisualizer
+
+
+@pytest.fixture(scope="module")
+def fixture_h5(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("infer") / "f.h5")
+    write_synthetic_fixture(
+        path, (32, 32), ("ori", "down2"), {"ori": 40000, "down2": 10000}, seed=5
+    )
+    return path
+
+
+def make_engine(chunk_size=8, visualize=False):
+    model = BMCNetPlain(scale=2, n_c=8, n_b=2)
+    h = w = 16
+    dummy = jnp.zeros((1, 2, h, w, 2))
+    variables = model.init(jax.random.key(1), dummy, *model.init_state(1, h, w))
+    cfg = DatasetConfig(
+        scale=2, ori_scale="down2", window=128, sliding_window=64,
+        sequence=SequenceConfig(4, 2, 1),
+    )
+    return InferenceEngine(model, variables, cfg, chunk_size=chunk_size, visualize=visualize)
+
+
+class TestEngine:
+    def test_metrics_finite_and_macs_populated(self, fixture_h5, tmp_path):
+        eng = make_engine()
+        res = eng.infer_file(fixture_h5, output_dir=None)
+        for key in ("esr_mse", "bicubic_mse", "time", "params", "macs"):
+            assert key in res and np.isfinite(res[key]), (key, res)
+        assert res["macs"] > 0  # populated from XLA cost analysis
+        assert res["params"] == pytest.approx(
+            sum(int(np.prod(p.shape)) for p in jax.tree.leaves(eng.variables)) / 1e6
+        )
+
+    def test_chunking_invariant(self, fixture_h5):
+        """The recurrent carry must thread identically across chunk sizes."""
+        r_small = make_engine(chunk_size=3).infer_file(fixture_h5)
+        r_large = make_engine(chunk_size=64).infer_file(fixture_h5)
+        assert r_small["esr_mse"] == pytest.approx(r_large["esr_mse"], rel=1e-5)
+        assert r_small["bicubic_mse"] == pytest.approx(r_large["bicubic_mse"], rel=1e-5)
+
+    def test_datalist_outputs(self, fixture_h5, tmp_path):
+        eng = make_engine(visualize=True)
+        out = eng.infer_datalist([fixture_h5], str(tmp_path / "out"), "test-model")
+        assert "esr_mse" in out["mean"]
+        name = os.path.basename(fixture_h5)
+        root = tmp_path / "out" / name
+        with open(root / "inference.yml") as f:
+            per_file = yaml.safe_load(f)
+        assert "evaluation results" in per_file
+        with open(tmp_path / "out" / "inference_all.yml") as f:
+            agg = yaml.safe_load(f)
+        assert "mean results for the whole data" in agg
+        # 4 PNG streams present
+        for stream in ("lr_event_img", "hr_esr_event_img", "hr_bicubic_event_img", "hr_gt_event_img"):
+            files = os.listdir(root / "event_img" / stream)
+            assert files and files[0].endswith(".png")
+
+    def test_load_model_from_npz_fixture(self):
+        path = os.path.join(os.path.dirname(__file__), "goldens", "plain_nfs_x4_ckpt.npz")
+        model, variables = load_model_for_inference(path, 4, variant="plain")
+        n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables))
+        assert n == 1_003_296
+
+
+def reference_plot_event_cnt_oracle(event_cnt, color_scheme="blue_red"):
+    """Literal (loop-free but branch-by-branch) transcription of the
+    reference algorithm (matplotlib_plot_events.py:125-248) as a test
+    oracle, producing RGB."""
+    pos = event_cnt[:, :, 0].astype(np.float64).copy()
+    neg = event_cnt[:, :, 1].astype(np.float64).copy()
+    pos_max, pos_min = np.percentile(pos, 99), np.percentile(pos, 1)
+    neg_max, neg_min = np.percentile(neg, 99), np.percentile(neg, 1)
+    m = max(pos_max, neg_max)
+    if pos_min != m:
+        pos = (pos - pos_min) / (m - pos_min)
+    if neg_min != m:
+        neg = (neg - neg_min) / (m - neg_min)
+    pos, neg = np.clip(pos, 0, 1), np.clip(neg, 0, 1)
+    img = np.ones(pos.shape + (3,))
+    mask_pos, mask_neg = pos > 0, neg > 0
+    only_pos = mask_pos & ~mask_neg
+    only_neg = mask_neg & ~mask_pos
+    both_pos = mask_pos & mask_neg & (pos >= neg)
+    both_neg = mask_pos & mask_neg & (pos < neg)
+    # BGR assignments as in the reference blue_red branch
+    for m_, v in ((only_pos, pos), (both_pos, pos)):
+        img[:, :, 0][m_] = 1
+        img[:, :, 1][m_] = 1 - v[m_]
+        img[:, :, 2][m_] = 1 - v[m_]
+    for m_, v in ((only_neg, neg), (both_neg, neg)):
+        img[:, :, 2][m_] = 1
+        img[:, :, 0][m_] = 1 - v[m_]
+        img[:, :, 1][m_] = 1 - v[m_]
+    img = (img * 255).astype(np.uint8)
+    return img[:, :, ::-1]  # BGR -> RGB
+
+
+class TestVis:
+    def test_blue_red_matches_reference_oracle(self):
+        rng = np.random.default_rng(0)
+        cnt = rng.integers(0, 5, (24, 32, 2)).astype(np.float32)
+        want = reference_plot_event_cnt_oracle(cnt)
+        got = render_event_count(cnt, "blue_red")
+        np.testing.assert_array_equal(got, want)
+
+    def test_gray_scheme_range(self):
+        cnt = np.zeros((8, 8, 2), np.float32)
+        cnt[2, 2, 0] = 4  # positive spike -> bright
+        cnt[5, 5, 1] = 4  # negative spike -> dark
+        img = render_event_count(cnt, "gray")
+        assert img[2, 2, 0] > 127 >= img[5, 5, 0]
+
+    def test_save_writes_png(self, tmp_path):
+        vis = EventVisualizer()
+        cnt = np.random.default_rng(0).integers(0, 3, (16, 16, 2)).astype(np.float32)
+        out = str(tmp_path / "x.png")
+        vis.plot_event_cnt(cnt, is_save=True, path=out)
+        assert os.path.exists(out)
+
+    def test_ply_export(self, tmp_path):
+        ev = np.array([[1, 2, 0.1, 1], [3, 4, 0.9, -1], [0, 0, 0.5, 0]], np.float32)
+        path = str(tmp_path / "c.ply")
+        EventVisualizer.export_ply(ev, path)
+        lines = open(path).read().splitlines()
+        assert lines[0] == "ply" and "element vertex 2" in "\n".join(lines[:5])
