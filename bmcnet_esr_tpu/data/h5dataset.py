@@ -447,6 +447,118 @@ class EventH5Dataset:
             img.astype(np.float32) / 255.0
         ).transpose(2, 0, 1)
 
+    # -- auxiliary encodings (reference h5dataset.py:425-516) ---------------
+    # The main pipeline rasterizes on device; these host-side helpers cover
+    # the reference's alternative item encodings for tooling/experiments.
+
+    @staticmethod
+    def normalize_events(events: np.ndarray, resolution) -> np.ndarray:
+        """(x, y) -> [0, 1] normalized coords (reference
+        ``create_normalized_events``, h5dataset.py:425-435)."""
+        out = np.asarray(events, np.float32).copy()
+        out[0] = out[0] / resolution[1]
+        out[1] = out[1] / resolution[0]
+        return out
+
+    def create_cnt_encoding(self, events: np.ndarray, resolution) -> np.ndarray:
+        """``[2, H, W]`` count image (h5dataset.py:518-526)."""
+        from bmcnet_esr_tpu.native import rasterize_counts
+
+        return rasterize_counts(events[0], events[1], events[3], resolution)
+
+    def create_voxel_encoding(self, events: np.ndarray, resolution) -> np.ndarray:
+        """``[time_bins, H, W]`` voxel grid (h5dataset.py:497-506)."""
+        import jax.numpy as jnp
+
+        from bmcnet_esr_tpu.ops.encodings import events_to_voxel
+
+        return np.asarray(
+            events_to_voxel(
+                jnp.asarray(events[0]), jnp.asarray(events[1]),
+                jnp.asarray(events[2]), jnp.asarray(events[3]),
+                self.config.time_bins, tuple(resolution),
+            )
+        )
+
+    def create_stack_encoding(self, events: np.ndarray, resolution) -> np.ndarray:
+        """``[time_bins, H, W]`` signed stack (h5dataset.py:508-516)."""
+        import jax.numpy as jnp
+
+        from bmcnet_esr_tpu.ops.encodings import events_to_stack_no_polarity
+
+        return np.asarray(
+            events_to_stack_no_polarity(
+                jnp.asarray(events[0]), jnp.asarray(events[1]),
+                jnp.asarray(events[2]), jnp.asarray(events[3]),
+                self.config.time_bins, tuple(resolution),
+            )
+        )
+
+    def create_scaled_encoding(self, normalized_events: np.ndarray, resolution, mode: str):
+        """Re-rasterize normalized events at another resolution
+        (h5dataset.py:437-456)."""
+        ev = np.asarray(normalized_events, np.float32).copy()
+        ev[0] = ev[0] * resolution[1]
+        ev[1] = ev[1] * resolution[0]
+        if mode == "cnt":
+            return self.create_cnt_encoding(ev, resolution)
+        if mode == "stack":
+            return self.create_stack_encoding(ev, resolution)
+        if mode == "events":
+            ev[0] = np.floor(ev[0])
+            ev[1] = np.floor(ev[1])
+            return ev
+        raise ValueError(f"mode {mode!r} is not supported")
+
+    def create_unsupervised_data(self, normalized_events: np.ndarray):
+        """Downscaled count pairs for unsupervised recipes
+        (h5dataset.py:458-478): events quantized to the down resolution and
+        counts integer-divided by scale**2."""
+        down_res = self.layout.inp_down_resolution
+        ev = np.asarray(normalized_events, np.float32).copy()
+        down = ev.copy()
+        down[0] = np.floor(ev[0] * down_res[1])
+        down[1] = np.floor(ev[1] * down_res[0])
+        down_norm = self.normalize_events(down, down_res)
+        s2 = self.config.scale**2
+        inp_down_cnt = np.trunc(
+            self.create_scaled_encoding(down_norm, down_res, "cnt") / s2
+        )
+        inp_down_scaled_cnt = np.trunc(
+            self.create_scaled_encoding(down_norm, self.layout.inp_resolution, "cnt") / s2
+        )
+        return inp_down_cnt, inp_down_scaled_cnt
+
+    def create_custom_data(self, inp_cnt, inp_scaled_cnt, inp_down_cnt, inp_down_scaled_cnt, gt_cnt):
+        """Bicubic-resize every stream to ``custom_resolution`` and round
+        (h5dataset.py:481-495)."""
+        import jax.numpy as jnp
+
+        from bmcnet_esr_tpu.ops.resize import resize_bicubic
+
+        if self.config.custom_resolution is None:
+            raise ValueError("custom_resolution is not configured")
+        cr = tuple(self.config.custom_resolution)
+        s = self.config.scale
+
+        def rz(img_chw, out_hw):
+            out = resize_bicubic(jnp.asarray(img_chw), tuple(out_hw), channel_last=False)
+            return np.asarray(jnp.round(out))
+
+        return (
+            rz(inp_cnt, cr),
+            rz(inp_scaled_cnt, (cr[0] * s, cr[1] * s)),
+            rz(inp_down_cnt, (round(cr[0] / s), round(cr[1] / s))),
+            rz(inp_down_scaled_cnt, cr),
+            rz(gt_cnt, (cr[0] * s, cr[1] * s)),
+        )
+
+    def create_polarity_mask(self, ps: np.ndarray) -> np.ndarray:
+        """``[N, 2]`` polarity mask (base_dataset/encodings parity)."""
+        pos = np.maximum(ps, 0)
+        neg = -np.minimum(ps, 0)
+        return np.stack([pos, neg], axis=1)
+
     def update_hot_mask(self, count_image: np.ndarray, max_px=100, min_obvs=5, max_rate=0.8):
         """Running hot-pixel mask over observed activity
         (reference h5dataset.py:528-548 + encodings.py:349-364)."""

@@ -155,6 +155,39 @@ class EventVisualizer:
             fig.savefig(path, dpi=120, bbox_inches="tight")
         plt.close(fig)
 
+    def plot_event_cloud_movie(
+        self,
+        events: np.ndarray,
+        path_prefix: str,
+        n_frames: int = 36,
+        max_points: int = 20000,
+    ) -> list:
+        """Rotating-view 3-D cloud frame sequence
+        (reference movie rendering, ``matplotlib_plot_events.py:837-957``).
+        Writes ``{path_prefix}_f{i:03d}.png``; assemble with ffmpeg if
+        desired.  Returns written paths."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        ev = events[events[:, 3] != 0]
+        if len(ev) > max_points:
+            ev = ev[np.linspace(0, len(ev) - 1, max_points).astype(int)]
+        colors = np.where(ev[:, 3] > 0, "b", "r")
+        paths = []
+        fig = plt.figure(figsize=(8, 6))
+        ax = fig.add_subplot(projection="3d")
+        ax.scatter(ev[:, 0], ev[:, 2], ev[:, 1], s=1, c=colors, depthshade=False)
+        ax.invert_zaxis()
+        for i in range(n_frames):
+            ax.view_init(elev=20.0, azim=360.0 * i / n_frames)
+            p = f"{path_prefix}_f{i:03d}.png"
+            fig.savefig(p, dpi=100, bbox_inches="tight")
+            paths.append(p)
+        plt.close(fig)
+        return paths
+
     @staticmethod
     def export_ply(events: np.ndarray, path: str) -> None:
         """Write an (x, y, t)-scaled colored point cloud as ASCII PLY
