@@ -58,6 +58,18 @@ def _resize_matrix(in_size: int, out_size: int, mode: str) -> np.ndarray:
     src = (dst + 0.5) * scale - 0.5
     mat = np.zeros((out_size, in_size), dtype=np.float64)
 
+    if mode == "bilinear_ac":  # align_corners=True (Super SloMo UNet up-path)
+        if out_size == 1:
+            src = np.zeros(1)
+        else:
+            src = dst * (in_size - 1) / (out_size - 1)
+        i0 = np.minimum(np.floor(src).astype(np.int64), in_size - 1)
+        i1 = np.minimum(i0 + 1, in_size - 1)
+        w1 = np.clip(src - i0, 0.0, 1.0)
+        rows = np.arange(out_size)
+        np.add.at(mat, (rows, i0), 1.0 - w1)
+        np.add.at(mat, (rows, i1), w1)
+        return mat.astype(np.float32)
     if mode == "bilinear":
         src = np.maximum(src, 0.0)
         i0 = np.minimum(np.floor(src).astype(np.int64), in_size - 1)
