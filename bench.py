@@ -31,8 +31,8 @@ B = 8          # batched independent streams per chip
 H, W = 45, 80  # NFS down8 input resolution
 SCALE = 4
 N_EVENTS = 2048
-CHUNK = 8      # windows per scan chunk
-N_CHUNKS_TIMED = 5
+CHUNK = 64     # windows per scan chunk (amortizes ~33 ms per-dispatch overhead)
+N_CHUNKS_TIMED = 3
 
 
 def random_windows(count, batch, h, w, n, rng):

@@ -20,12 +20,22 @@ from bmcnet_esr_tpu.ops.encodings import events_to_channels, events_to_voxel
 Array = jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("sensor_size",))
-def batch_events_to_counts(events: Array, sensor_size: Tuple[int, int]) -> Array:
+@functools.partial(jax.jit, static_argnames=("sensor_size", "backend"))
+def batch_events_to_counts(
+    events: Array, sensor_size: Tuple[int, int], backend: str = "xla"
+) -> Array:
     """``[..., 4, N]`` padded events -> ``[..., H, W, 2]`` NHWC count images.
 
     Zero-polarity padding contributes nothing, so no length masking is needed.
+    ``backend='xla'`` (default) uses the fused scatter-add — measured >200
+    Mev/s on v5e, <1% of a training step; ``backend='pallas'`` routes through
+    the Pallas kernel (``ops/pallas/rasterize.py``) for shapes/targets where
+    scatter lowering is poor.
     """
+    if backend == "pallas":
+        from bmcnet_esr_tpu.ops.pallas.rasterize import pallas_events_to_counts
+
+        return pallas_events_to_counts(events, sensor_size)
     lead = events.shape[:-2]
     flat = events.reshape((-1,) + events.shape[-2:])
     imgs = jax.vmap(

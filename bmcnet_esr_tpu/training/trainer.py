@@ -131,9 +131,51 @@ class Trainer:
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
         self.logger.info(f"model params: {n_params}")
 
-        self.train_step = make_train_step(
-            self.model, self.tx, self.inp_resolution, self.gt_resolution, self.seqn
-        )
+        # SPMD data parallelism over all local devices (the TPU-native
+        # replacement for the reference's vestigial DDP, SURVEY.md §2.2):
+        # batch sharded along 'data', state replicated, gradient psum by GSPMD.
+        self.mesh = None
+        use_dp = cfg["trainer"].get("data_parallel", True)
+        if use_dp and jax.device_count() > 1:
+            from bmcnet_esr_tpu.parallel import (
+                make_mesh,
+                make_parallel_train_step,
+                replicate_tree,
+                shard_batch,
+            )
+
+            batch_size = self.train_loader.batch_size
+            n_dev = jax.device_count()
+            if batch_size % n_dev != 0:
+                # shrink the mesh to the largest divisor of the batch
+                n_dev = max(d for d in range(1, n_dev + 1) if batch_size % d == 0)
+            if n_dev == 1:
+                self.logger.warning(
+                    "batch size does not shard across the available devices; "
+                    "running single-device"
+                )
+                use_dp = False
+        if use_dp and jax.device_count() > 1:
+            from bmcnet_esr_tpu.parallel import (  # noqa: F811
+                make_mesh,
+                make_parallel_train_step,
+                replicate_tree,
+                shard_batch,
+            )
+
+            self.mesh = make_mesh(n_dev)
+            self.state = replicate_tree(self.state, self.mesh)
+            self._shard_batch = lambda b: shard_batch(b, self.mesh)
+            self.train_step = make_parallel_train_step(
+                self.model, self.tx, self.inp_resolution, self.gt_resolution,
+                self.mesh, self.seqn,
+            )
+            self.logger.info(f"data-parallel over {n_dev} devices: {self.mesh.shape}")
+        else:
+            self._shard_batch = lambda b: b
+            self.train_step = make_train_step(
+                self.model, self.tx, self.inp_resolution, self.gt_resolution, self.seqn
+            )
         self.eval_step = make_eval_step(
             self.model, self.inp_resolution, self.gt_resolution, self.seqn
         )
@@ -218,7 +260,7 @@ class Trainer:
 
         while not stop:
             for batch in self.train_loader:
-                self.state, metrics = self.train_step(self.state, batch)
+                self.state, metrics = self.train_step(self.state, self._shard_batch(batch))
                 pending.append((iter_idx, metrics))
 
                 if iter_idx % self.train_log_step == 0:
