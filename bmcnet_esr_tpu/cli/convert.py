@@ -1,0 +1,64 @@
+"""Checkpoint conversion CLI: reference ``.pth`` -> framework param tree.
+
+    python -m bmcnet_esr_tpu.cli.convert \
+        --pth pretrain/BMCNet_plain_nfs_x4.pth --variant plain --scale 4 \
+        --out converted/plain_nfs_x4 [--npz]
+
+Verifies tied aliases bit-match during dedupe and reports the unique
+parameter count; the output loads via ``--model_path`` in the infer CLI or
+as initial weights for fine-tuning.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="convert reference .pth checkpoints")
+    p.add_argument("--pth", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--variant", default="full", choices=["full", "plain"])
+    p.add_argument("--scale", type=int, default=4)
+    p.add_argument("--n_c", type=int, default=128)
+    p.add_argument("--n_b", type=int, default=5)
+    p.add_argument("--npz", action="store_true", help="write a flat .npz instead of orbax")
+    args = p.parse_args(argv)
+
+    import numpy as np
+    import jax
+    jax.config.update("jax_platform_name", "cpu")  # conversion is host work
+    import jax.numpy as jnp
+
+    from bmcnet_esr_tpu.models import BMCNet, BMCNetPlain, load_torch_checkpoint
+    from bmcnet_esr_tpu.models.convert import validate_against
+
+    variables = load_torch_checkpoint(args.pth)
+    n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(variables))
+    print(f"converted {args.pth}: {n} unique params")
+
+    cls = BMCNetPlain if args.variant == "plain" else BMCNet
+    model = cls(scale=args.scale, n_c=args.n_c, n_b=args.n_b)
+    dummy = jnp.zeros((1, 2, 8, 8, 2))
+    ref = model.init(jax.random.key(0), dummy, *model.init_state(1, 8, 8))
+    validate_against(variables, ref)
+    print("structure validated against", cls.__name__)
+
+    if args.npz:
+        flat = {
+            "/".join(str(k.key) for k in path): np.asarray(v)
+            for path, v in jax.tree_util.tree_leaves_with_path(variables)
+        }
+        np.savez_compressed(args.out if args.out.endswith(".npz") else args.out + ".npz", **flat)
+        print("wrote", args.out)
+    else:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(args.out)
+        ocp.StandardCheckpointer().save(path, jax.device_get(variables))
+        print("wrote orbax checkpoint:", path)
+
+
+if __name__ == "__main__":
+    main()

@@ -61,6 +61,8 @@ def main(argv=None):
     p.add_argument("--real_world_test", action="store_true")
     p.add_argument("--chunk_size", type=int, default=32)
     p.add_argument("--no_images", action="store_true", help="skip PNG streams")
+    p.add_argument("--psnr", action="store_true", help="also track PSNR")
+    p.add_argument("--ssim", action="store_true", help="also track SSIM")
     args = p.parse_args(argv)
 
     if args.seqn != 2:
@@ -87,12 +89,14 @@ def main(argv=None):
     model, variables = load_model_for_inference(
         args.model_path, args.scale, args.n_c, args.n_b, args.variant
     )
+    extra = tuple(m for m, on in (("psnr", args.psnr), ("ssim", args.ssim)) if on)
     engine = InferenceEngine(
         model,
         variables,
         build_dataset_config(args),
         chunk_size=args.chunk_size,
         visualize=not args.no_images,
+        extra_metrics=extra,
     )
     out = engine.infer_datalist(paths, args.output_path, model_desc=args.model_path)
     print("mean results:", out["mean"])

@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from bmcnet_esr_tpu.data import DatasetConfig, EventH5Dataset
+from bmcnet_esr_tpu.losses.restore import psnr_metric, ssim_metric
 from bmcnet_esr_tpu.models import BMCNet, BMCNetPlain, load_torch_checkpoint
 from bmcnet_esr_tpu.ops.batch import batch_events_to_counts
 from bmcnet_esr_tpu.ops.resize import resize_bicubic
@@ -83,6 +84,7 @@ class InferenceEngine:
         chunk_size: int = 32,
         visualize: bool = True,
         vis_color_scheme: str = "blue_red",
+        extra_metrics: Tuple[str, ...] = (),
     ):
         self.model = model
         self.variables = variables
@@ -91,6 +93,7 @@ class InferenceEngine:
         self.visualize = visualize
         self.vis = EventVisualizer()
         self.vis_color_scheme = vis_color_scheme
+        self.extra_metrics = tuple(extra_metrics)  # subset of {psnr, ssim}
         self._step_cache: Dict[Tuple, Any] = {}
         self.params_m = (
             sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables)) / 1e6
@@ -123,10 +126,18 @@ class InferenceEngine:
                 bic = resize_bicubic(pair[1][None], gt_res)
                 esr_mse = jnp.mean(jnp.square(pred_fit - gt[None]))
                 bic_mse = jnp.mean(jnp.square(bic - gt[None]))
-                return tuple(outs), (pred_fit[0], bic[0], esr_mse, bic_mse)
+                extras = []
+                if "psnr" in self.extra_metrics:
+                    extras.append(psnr_metric(
+                        jnp.moveaxis(pred_fit[0], -1, 0), jnp.moveaxis(gt, -1, 0)))
+                if "ssim" in self.extra_metrics:
+                    extras.append(ssim_metric(
+                        jnp.moveaxis(pred_fit[0], -1, 0), jnp.moveaxis(gt, -1, 0)))
+                return tuple(outs), (pred_fit[0], bic[0], esr_mse, bic_mse,
+                                     jnp.stack(extras) if extras else jnp.zeros((0,)))
 
-            carry, (preds, bics, esr, bicm) = jax.lax.scan(body, carry, (pairs, gts))
-            return carry, preds, bics, esr, bicm, frames[1:], gts
+            carry, (preds, bics, esr, bicm, extras) = jax.lax.scan(body, carry, (pairs, gts))
+            return carry, preds, bics, esr, bicm, extras, frames[1:], gts
 
         self._step_cache[key] = run
         return run
@@ -164,7 +175,10 @@ class InferenceEngine:
                 img_dirs[name] = os.path.join(output_dir, name)
                 os.makedirs(img_dirs[name], exist_ok=True)
 
-        track = MetricTracker(["esr_mse", "bicubic_mse", "time", "params", "macs"])
+        track = MetricTracker(
+            ["esr_mse", "bicubic_mse", "time", "params", "macs"]
+            + [f"esr_{m}" for m in self.extra_metrics]
+        )
         track.update("params", self.params_m)
 
         carry = tuple(self.model.init_state(1, *inp_res))
@@ -190,19 +204,24 @@ class InferenceEngine:
                 macs_done = True
 
             t0 = time.perf_counter()
-            carry, preds, bics, esr, bicm, lr_frames, gt_frames = jax.block_until_ready(
-                run(self.variables, carry, jnp.asarray(inp_ev), jnp.asarray(gt_ev))
+            carry, preds, bics, esr, bicm, extras, lr_frames, gt_frames = run(
+                self.variables, carry, jnp.asarray(inp_ev), jnp.asarray(gt_ev)
             )
+            # reliable device sync (block_until_ready can return early on the
+            # tunneled chip); then measure
+            esr = np.asarray(esr)
             dt_ms = (time.perf_counter() - t0) * 1000.0 / steps
 
             preds = np.asarray(preds)
             bics = np.asarray(bics)
-            esr = np.asarray(esr)
             bicm = np.asarray(bicm)
+            extras = np.asarray(extras)
             for s in range(steps):
                 track.update("esr_mse", float(esr[s]))
                 track.update("bicubic_mse", float(bicm[s]))
                 track.update("time", dt_ms)
+                for mi, mname in enumerate(self.extra_metrics):
+                    track.update(f"esr_{mname}", float(extras[s, mi]))
             if img_dirs:
                 lr_np = np.asarray(lr_frames)
                 gt_np = np.asarray(gt_frames)

@@ -142,3 +142,22 @@ class TestVis:
         EventVisualizer.export_ply(ev, path)
         lines = open(path).read().splitlines()
         assert lines[0] == "ply" and "element vertex 2" in "\n".join(lines[:5])
+
+
+class TestExtraMetrics:
+    def test_psnr_ssim_tracked(self, fixture_h5):
+        model = BMCNetPlain(scale=2, n_c=8, n_b=2)
+        h = w = 16
+        dummy = jnp.zeros((1, 2, h, w, 2))
+        variables = model.init(jax.random.key(1), dummy, *model.init_state(1, h, w))
+        cfg = DatasetConfig(
+            scale=2, ori_scale="down2", window=128, sliding_window=64,
+            sequence=SequenceConfig(4, 2, 1),
+        )
+        eng = InferenceEngine(
+            model, variables, cfg, chunk_size=8, visualize=False,
+            extra_metrics=("psnr", "ssim"),
+        )
+        res = eng.infer_file(fixture_h5)
+        assert np.isfinite(res["esr_psnr"])
+        assert -1.0 <= res["esr_ssim"] <= 1.0
