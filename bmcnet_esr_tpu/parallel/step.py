@@ -30,6 +30,7 @@ def make_parallel_train_step(
     mesh: Mesh,
     seqn: int = 2,
     use_remat: bool = True,
+    extra_losses=(),
 ):
     """Jitted SPMD iteration: state replicated, batch sharded on ``data``."""
     repl = replicated(mesh)
@@ -38,7 +39,8 @@ def make_parallel_train_step(
     def step(state: TrainState, batch: Dict):
         def loss_fn(params):
             return sequence_loss(
-                model, params, batch, inp_resolution, gt_resolution, seqn, use_remat
+                model, params, batch, inp_resolution, gt_resolution, seqn, use_remat,
+                extra_losses,
             )
 
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

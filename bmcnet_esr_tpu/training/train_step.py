@@ -49,8 +49,16 @@ def _rollout_losses(
     seqn: int,
     gt_resolution: Tuple[int, int],
     use_remat: bool,
-) -> Array:
-    """Per-step MSE over the recurrent unroll -> [S]."""
+    extra_losses: Tuple = (),
+) -> Tuple[Array, Array]:
+    """Per-step (MSE, total) over the recurrent unroll -> ([S], [S]).
+
+    ``extra_losses``: tuples ``(name, weight, fn)`` with ``fn(pred_fit, gt)``
+    on NHWC images -> scalar; the per-step total is
+    ``mse + sum(w * fn(...))`` (the reference trains MSE-only,
+    ``train.py:647-649``; composition covers recipes like RGB recon + LPIPS,
+    BASELINE config #4).
+    """
     b, l, h, w, _ = inp_frames.shape
     pairs = sliding_pairs(inp_frames, seqn)  # [B, S, seqn, H, W, 2]
     xs_seq = jnp.moveaxis(pairs, 1, 0)  # [S, B, seqn, H, W, 2]
@@ -69,13 +77,16 @@ def _rollout_losses(
         else:
             pred_fit = pred
         mse = jnp.mean(jnp.square(pred_fit - gt))
-        return tuple(outs), mse
+        total = mse
+        for _, weight, fn in extra_losses:
+            total = total + weight * fn(pred_fit, gt)
+        return tuple(outs), (mse, total)
 
     if use_remat:
         body = jax.checkpoint(body)
 
-    _, losses = jax.lax.scan(body, carry0, (xs_seq, gts_seq))
-    return losses
+    _, (mses, totals) = jax.lax.scan(body, carry0, (xs_seq, gts_seq))
+    return mses, totals
 
 
 def sequence_loss(
@@ -86,15 +97,17 @@ def sequence_loss(
     gt_resolution: Tuple[int, int],
     seqn: int = 2,
     use_remat: bool = True,
+    extra_losses: Tuple = (),
 ) -> Tuple[Array, Dict[str, Array]]:
     """Total BPTT loss for one batch of clips; aux = reference log metrics."""
     inp_frames = batch_events_to_counts(batch["inp_events"], tuple(inp_resolution))
     gt_frames = batch_events_to_counts(batch["gt_events"], tuple(gt_resolution))
-    losses = _rollout_losses(
-        model, params, inp_frames, gt_frames, seqn, tuple(gt_resolution), use_remat
+    mses, totals = _rollout_losses(
+        model, params, inp_frames, gt_frames, seqn, tuple(gt_resolution), use_remat,
+        extra_losses,
     )
-    total = jnp.sum(losses)
-    return total, {"mse_loss": losses[-1], "loss": total}
+    total = jnp.sum(totals)
+    return total, {"mse_loss": mses[-1], "loss": total}
 
 
 def make_train_step(
@@ -105,6 +118,7 @@ def make_train_step(
     seqn: int = 2,
     use_remat: bool = True,
     donate: bool = True,
+    extra_losses: Tuple = (),
 ) -> Callable[[TrainState, Dict[str, Array]], Tuple[TrainState, Dict[str, Array]]]:
     """One fully-jitted optimizer iteration.
 
@@ -116,7 +130,8 @@ def make_train_step(
     def step(state: TrainState, batch: Dict[str, Array]):
         def loss_fn(params):
             return sequence_loss(
-                model, params, batch, inp_resolution, gt_resolution, seqn, use_remat
+                model, params, batch, inp_resolution, gt_resolution, seqn, use_remat,
+                extra_losses,
             )
 
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -138,13 +153,15 @@ def make_eval_step(
     inp_resolution: Tuple[int, int],
     gt_resolution: Tuple[int, int],
     seqn: int = 2,
+    extra_losses: Tuple = (),
 ) -> Callable[[Any, Dict[str, Array]], Dict[str, Array]]:
     """Validation rollout (no grad): reference ``_valid`` metrics
     (``train.py:466-532``)."""
 
     def step(params, batch: Dict[str, Array]):
         total, aux = sequence_loss(
-            model, params, batch, inp_resolution, gt_resolution, seqn, use_remat=False
+            model, params, batch, inp_resolution, gt_resolution, seqn,
+            use_remat=False, extra_losses=extra_losses,
         )
         return {"valid_loss": total, "valid_mse_loss": aux["mse_loss"]}
 

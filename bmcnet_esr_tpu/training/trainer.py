@@ -51,8 +51,9 @@ def build_model(config: Dict[str, Any], scale: int):
     n_c = int(args.get("n_c", 128))
     n_b = int(args.get("n_b", 5))
     variant = args.get("variant", "full")
+    dtype = jnp.bfloat16 if args.get("dtype") == "bfloat16" else jnp.float32
     cls = BMCNetPlain if variant == "plain" else BMCNet
-    return cls(scale=scale, n_c=n_c, n_b=n_b)
+    return cls(scale=scale, n_c=n_c, n_b=n_b, dtype=dtype)
 
 
 def build_loader(dl_cfg: Dict[str, Any], *, shard_index=0, shard_count=1, seed=0) -> SequenceLoader:
@@ -122,6 +123,15 @@ class Trainer:
             cfg.get("optimizer", {}), cfg.get("lr_scheduler", {}), tcfg
         )
 
+        from bmcnet_esr_tpu.training.losses import build_extra_losses
+
+        self.extra_losses = build_extra_losses(cfg.get("loss"))
+        if self.extra_losses:
+            self.logger.info(
+                "extra loss terms: "
+                + ", ".join(f"{n} (w={w})" for n, w, _ in self.extra_losses)
+            )
+
         # init params on a batch-shaped dummy
         h, w = self.inp_resolution
         dummy = jnp.zeros((1, self.seqn, h, w, 2), jnp.float32)
@@ -168,16 +178,18 @@ class Trainer:
             self._shard_batch = lambda b: shard_batch(b, self.mesh)
             self.train_step = make_parallel_train_step(
                 self.model, self.tx, self.inp_resolution, self.gt_resolution,
-                self.mesh, self.seqn,
+                self.mesh, self.seqn, extra_losses=self.extra_losses,
             )
             self.logger.info(f"data-parallel over {n_dev} devices: {self.mesh.shape}")
         else:
             self._shard_batch = lambda b: b
             self.train_step = make_train_step(
-                self.model, self.tx, self.inp_resolution, self.gt_resolution, self.seqn
+                self.model, self.tx, self.inp_resolution, self.gt_resolution,
+                self.seqn, extra_losses=self.extra_losses,
             )
         self.eval_step = make_eval_step(
-            self.model, self.inp_resolution, self.gt_resolution, self.seqn
+            self.model, self.inp_resolution, self.gt_resolution, self.seqn,
+            extra_losses=self.extra_losses,
         )
 
         self.writer = TensorboardWriter(

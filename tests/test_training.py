@@ -244,3 +244,29 @@ class TestTrainerLoop:
         d = {}
         set_by_path(d, "a;b;c", 5)
         assert d == {"a": {"b": {"c": 5}}}
+
+
+class TestCompositeLoss:
+    def test_extra_terms_add(self, loaders):
+        from bmcnet_esr_tpu.training.losses import build_extra_losses
+        from bmcnet_esr_tpu.training.train_step import sequence_loss
+
+        train_loader, _ = loaders
+        model = tiny_model()
+        h, w = train_loader.inp_resolution
+        dummy = jnp.zeros((2, 2, h, w, 2))
+        params = model.init(jax.random.key(0), dummy, *model.init_state(2, h, w))
+        batch = {k: jnp.asarray(v) for k, v in next(iter(train_loader)).items()}
+        base, _ = sequence_loss(model, params, batch, (h, w), train_loader.gt_resolution)
+        extra = build_extra_losses({"l1": 0.5, "charbonnier": 0.25})
+        assert [e[0] for e in extra] == ["l1", "charbonnier"]
+        tot, _ = sequence_loss(
+            model, params, batch, (h, w), train_loader.gt_resolution, extra_losses=extra
+        )
+        assert float(tot) > float(base)
+
+    def test_unknown_term_raises(self):
+        from bmcnet_esr_tpu.training.losses import build_extra_losses
+
+        with pytest.raises(KeyError, match="unknown loss term"):
+            build_extra_losses({"nope": 1.0})
