@@ -143,14 +143,19 @@ class InferenceEngine:
         return run
 
     def macs_per_window(self, steps: int, inp_res, gt_res, carry, inp_ev, gt_ev) -> float:
-        """MACs per window from XLA's compiled cost analysis."""
+        """MACs per window from XLA's compiled cost analysis.
+
+        XLA counts a ``lax.scan`` body ONCE regardless of trip count
+        (verified empirically), so the chunk's flops already equal one
+        window's flops — no division by ``steps``.
+        """
         run = self._chunk_step(steps, inp_res, gt_res)
         try:
             lowered = run.lower(self.variables, carry, inp_ev, gt_ev)
             cost = lowered.compile().cost_analysis()
             if isinstance(cost, list):
                 cost = cost[0]
-            return float(cost.get("flops", 0.0)) / 2.0 / steps
+            return float(cost.get("flops", 0.0)) / 2.0
         except Exception:
             return 0.0
 
