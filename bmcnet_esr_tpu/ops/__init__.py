@@ -12,6 +12,8 @@ from bmcnet_esr_tpu.ops.encodings import (
     normalize_event_times,
     stack_to_count,
     event_redistribute_stack,
+    event_conversion,
+    event_restore,
 )
 from bmcnet_esr_tpu.ops.resize import (
     resize_bicubic,
@@ -32,6 +34,8 @@ __all__ = [
     "normalize_event_times",
     "stack_to_count",
     "event_redistribute_stack",
+    "event_conversion",
+    "event_restore",
     "resize_bicubic",
     "resize_bilinear",
     "upsample_bilinear",

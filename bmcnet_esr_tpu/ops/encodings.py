@@ -329,6 +329,47 @@ def stack_to_count(stack: Array) -> Array:
     return jnp.stack([pos, neg], axis=1)
 
 
+def event_conversion(
+    event_list: Array,
+    time_bins: int,
+    resolution: Tuple[int, int],
+    time_bins_voxel: int | None = None,
+) -> dict:
+    """Batched event lists -> {count, voxel, stack} encodings.
+
+    Parity target: ``encodings.py:537-578`` — each ``[N, 4]`` (x, y, t, p)
+    list is sorted by timestamp, then rasterized three ways.  Jittable
+    (stable sort via ``jnp.argsort``); padded events (p == 0) contribute
+    nothing.
+    """
+    if time_bins_voxel is None:
+        time_bins_voxel = time_bins
+
+    def one(entry):
+        order = jnp.argsort(entry[:, 2], stable=True)
+        e = entry[order]
+        xs, ys, ts, ps = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+        return (
+            events_to_channels(xs, ys, ps, resolution),
+            events_to_voxel(xs, ys, ts, ps, time_bins_voxel, resolution),
+            events_to_stack_no_polarity(xs, ys, ts, ps, time_bins, resolution),
+        )
+
+    cnt, voxel, stack = jax.vmap(one)(event_list)
+    return {"e_cnt": cnt, "e_voxel": voxel, "e_stack": stack}
+
+
+def event_restore(events: Array, resolution: Tuple[int, int]) -> Array:
+    """Denormalize ``[B, N, 4]`` events: coords scaled back to pixels and
+    polarity snapped to {-1, 0, +1} (``encodings.py:581-602``; zero-padding
+    stays zero rather than the reference's sign snap of nonzero values)."""
+    x = events[..., 0] * resolution[1]
+    y = events[..., 1] * resolution[0]
+    t = events[..., 2]
+    p = jnp.sign(events[..., 3])
+    return jnp.stack([x, y, t, p], axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # stack -> event cloud redistribution (host-side; ragged output)
 # ---------------------------------------------------------------------------

@@ -215,3 +215,28 @@ class TestRedistribute:
                 c = min(int(np.ceil(t * num_bins)) - 1, num_bins - 1)
                 rebuilt[b, c, int(y), int(x)] += p
         np.testing.assert_array_equal(rebuilt, stack)
+
+
+class TestConversionHelpers:
+    def test_event_conversion_outputs(self):
+        from bmcnet_esr_tpu.ops import event_conversion
+
+        h, w = 9, 11
+        xs, ys, ts, ps = random_events(200, h, w, seed=11, oob_frac=0)
+        # shuffle: conversion must sort by t internally
+        perm = np.random.default_rng(0).permutation(200)
+        ev = np.stack([xs, ys, ts, ps], 1)[perm][None]  # [1, N, 4]
+        out = event_conversion(jnp.asarray(ev), time_bins=3, resolution=(h, w))
+        assert out["e_cnt"].shape == (1, 2, h, w)
+        assert out["e_voxel"].shape == (1, 3, h, w)
+        assert out["e_stack"].shape == (1, 3, h, w)
+        want = torch_events_to_channels(xs, ys, ps, (h, w))
+        np.testing.assert_array_equal(np.asarray(out["e_cnt"][0]), want)
+
+    def test_event_restore(self):
+        from bmcnet_esr_tpu.ops import event_restore
+
+        ev = np.array([[[0.5, 0.25, 0.1, 0.7], [0.0, 0.0, 0.0, 0.0]]], np.float32)
+        got = np.asarray(event_restore(jnp.asarray(ev), (8, 16)))
+        np.testing.assert_allclose(got[0, 0], [8.0, 2.0, 0.1, 1.0], rtol=1e-6)
+        np.testing.assert_array_equal(got[0, 1], [0, 0, 0, 0])
