@@ -49,7 +49,15 @@ def main(argv=None) -> None:
     p.add_argument("-bs", "--batch_size", type=int, default=None)
     p.add_argument("-o", "--override", nargs=2, action="append",
                    metavar=("PATH", "VALUE"), help="config override: 'a;b;c' value")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host SPMD: jax.distributed.initialize() per host "
+                        "(coordinator via JAX_COORDINATOR_ADDRESS et al.)")
     args = p.parse_args(argv)
+
+    if args.distributed:
+        import jax
+
+        jax.distributed.initialize()
 
     # seed host-side RNGs (device RNG keys derive from the seed explicitly)
     random.seed(args.seed)

@@ -57,11 +57,26 @@ def load_model_for_inference(
     if checkpoint_path.endswith(".pth"):
         variables = load_torch_checkpoint(checkpoint_path)
     elif checkpoint_path.endswith(".npz"):
-        from bmcnet_esr_tpu.models import convert_torch_state_dict
-
         z = np.load(checkpoint_path)
-        sd = {k[3:] if k.startswith("sd/") else k: z[k] for k in z.files if not k in ("x", "preds", "hs", "meta")}
-        variables = convert_torch_state_dict(sd)
+        if any(k.startswith("params/") for k in z.files):
+            # already-converted flat tree (cli/convert --npz): rebuild pytree
+            variables = {}
+            for key in z.files:
+                node = variables
+                parts = key.split("/")
+                for part in parts[:-1]:
+                    node = node.setdefault(part, {})
+                node[parts[-1]] = jnp.asarray(z[key])
+        else:
+            # torch state-dict layout (golden fixtures carry an sd/ prefix)
+            from bmcnet_esr_tpu.models import convert_torch_state_dict
+
+            sd = {
+                k[3:] if k.startswith("sd/") else k: z[k]
+                for k in z.files
+                if k not in ("x", "preds", "hs", "meta")
+            }
+            variables = convert_torch_state_dict(sd)
     else:  # orbax train-state dir
         import orbax.checkpoint as ocp
 

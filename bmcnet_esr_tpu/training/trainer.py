@@ -56,7 +56,15 @@ def build_model(config: Dict[str, Any], scale: int):
     return cls(scale=scale, n_c=n_c, n_b=n_b, dtype=dtype)
 
 
-def build_loader(dl_cfg: Dict[str, Any], *, shard_index=0, shard_count=1, seed=0) -> SequenceLoader:
+def build_loader(
+    dl_cfg: Dict[str, Any], *, shard_index=None, shard_count=None, seed=0
+) -> SequenceLoader:
+    """Multi-host: each process loads its slice of the clip index space
+    (the SPMD replacement for DistributedSampler, h5dataloader.py:191-201)."""
+    if shard_index is None:
+        shard_index = jax.process_index()
+    if shard_count is None:
+        shard_count = jax.process_count()
     paths = load_datalist(dl_cfg["path_to_datalist_txt"])
     return SequenceLoader(
         paths,
@@ -145,15 +153,8 @@ class Trainer:
         # replacement for the reference's vestigial DDP, SURVEY.md §2.2):
         # batch sharded along 'data', state replicated, gradient psum by GSPMD.
         self.mesh = None
-        use_dp = cfg["trainer"].get("data_parallel", True)
-        if use_dp and jax.device_count() > 1:
-            from bmcnet_esr_tpu.parallel import (
-                make_mesh,
-                make_parallel_train_step,
-                replicate_tree,
-                shard_batch,
-            )
-
+        use_dp = cfg["trainer"].get("data_parallel", True) and jax.device_count() > 1
+        if use_dp:
             batch_size = self.train_loader.batch_size
             n_dev = jax.device_count()
             if batch_size % n_dev != 0:
@@ -165,8 +166,8 @@ class Trainer:
                     "running single-device"
                 )
                 use_dp = False
-        if use_dp and jax.device_count() > 1:
-            from bmcnet_esr_tpu.parallel import (  # noqa: F811
+        if use_dp:
+            from bmcnet_esr_tpu.parallel import (
                 make_mesh,
                 make_parallel_train_step,
                 replicate_tree,

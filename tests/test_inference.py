@@ -161,3 +161,17 @@ class TestExtraMetrics:
         res = eng.infer_file(fixture_h5)
         assert np.isfinite(res["esr_psnr"])
         assert -1.0 <= res["esr_ssim"] <= 1.0
+
+
+def test_load_converted_flat_npz(tmp_path):
+    """cli/convert --npz output loads back through load_model_for_inference."""
+    from bmcnet_esr_tpu.cli.convert import main as convert_main
+
+    out = str(tmp_path / "conv.npz")
+    convert_main([
+        "--pth", "/root/reference/pretrain/BMCNet_plain_nfs_x4.pth",
+        "--variant", "plain", "--scale", "4", "--out", out, "--npz",
+    ])
+    model, variables = load_model_for_inference(out, 4, variant="plain")
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables))
+    assert n == 1_003_296
