@@ -106,3 +106,19 @@ class TestReleasedCheckpoint:
         rmse = float(np.sqrt(np.mean((preds - want) ** 2)))
         assert rmse < 1e-3, f"RMSE {rmse} exceeds parity budget"
         np.testing.assert_allclose(preds, want, atol=5e-4, rtol=1e-4)
+
+
+class TestBf16Drift:
+    def test_bf16_rollout_close_to_fp32(self):
+        """Serving-precision sanity: bf16 outputs track fp32 within a coarse
+        bound on the released checkpoint (strict parity is the fp32 path)."""
+        sd, g = load_golden("plain_nfs_x4_ckpt.npz")
+        variables = convert_torch_state_dict(sd)
+        x_seq = jnp.asarray(to_nhwc_seq(g["x"]))
+        f32 = BMCNetPlain(scale=4, n_c=128, n_b=5)
+        bf16 = BMCNetPlain(scale=4, n_c=128, n_b=5, dtype=jnp.bfloat16)
+        p32, _ = jax_rollout_plain(f32, variables, x_seq)
+        p16, _ = jax_rollout_plain(bf16, variables, x_seq)
+        scale = max(float(np.abs(p32).max()), 1.0)
+        rel_rmse = float(np.sqrt(np.mean((p16.astype(np.float32) - p32) ** 2))) / scale
+        assert rel_rmse < 0.05, rel_rmse
