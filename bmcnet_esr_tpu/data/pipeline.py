@@ -139,6 +139,17 @@ class SequenceLoader:
         queues = [queue.Queue(maxsize=self.prefetch) for _ in range(n_workers)]
         stop = threading.Event()
 
+        def put_or_stop(q, item) -> bool:
+            """Blocking put that aborts when the consumer abandoned the
+            iterator (otherwise producers would pin h5 handles forever)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker(wid: int):
             # private h5 handles per worker thread: shallow-copy datasets but
             # drop the shared (non-thread-safe) h5py file objects.
@@ -155,9 +166,10 @@ class SequenceLoader:
                     if stop.is_set():
                         break
                     rng = np.random.default_rng((self.seed, epoch, b))
-                    queues[wid].put(self._load_batch(local, batch, rng))
+                    if not put_or_stop(queues[wid], self._load_batch(local, batch, rng)):
+                        break
             finally:
-                queues[wid].put(None)
+                put_or_stop(queues[wid], None)
                 for ds in local:
                     ds.dataset.close()
 

@@ -259,3 +259,25 @@ class TestDeviceRasterization:
         assert pairs.shape == (2, 4, 2, 3, 3, 1)
         np.testing.assert_array_equal(np.asarray(pairs[:, 1, 0]), np.asarray(frames[:, 1]))
         np.testing.assert_array_equal(np.asarray(pairs[:, 1, 1]), np.asarray(frames[:, 2]))
+
+
+def test_abandoned_iterator_releases_workers(fixture_h5):
+    """Dropping a loader iterator mid-epoch must not leave producer threads
+    blocked on full prefetch queues."""
+    import gc
+    import threading
+    import time as _time
+
+    cfg = small_config()
+    ld = SequenceLoader([fixture_h5], cfg, batch_size=1, shuffle=False,
+                        num_workers=2, prefetch=1)
+    before = threading.active_count()
+    it = iter(ld)
+    next(it)
+    it.close()  # generator close triggers the finally/stop path
+    del it
+    gc.collect()
+    deadline = _time.time() + 5.0
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before
