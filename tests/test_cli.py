@@ -1,0 +1,63 @@
+"""CLI plumbing tests (arg parsing, override wiring) — no device work."""
+
+import pytest
+
+
+class TestTrainCLI:
+    def test_parse_overrides(self):
+        import argparse
+
+        from bmcnet_esr_tpu.cli.train import parse_overrides
+
+        ns = argparse.Namespace(
+            learning_rate=5e-5,
+            batch_size=4,
+            override=[["trainer;iteration_based_train;iterations", "100"],
+                      ["model;args;variant", "plain"]],
+        )
+        ov = dict(parse_overrides(ns))
+        assert ov["optimizer;args;lr"] == 5e-5
+        assert ov["train_dataloader;batch_size"] == 4
+        assert ov["trainer;iteration_based_train;iterations"] == 100  # literal_eval
+        assert ov["model;args;variant"] == "plain"  # stays a string
+
+
+class TestInferCLI:
+    def test_rejects_bad_seqn(self, tmp_path):
+        from bmcnet_esr_tpu.cli.infer import main
+
+        with pytest.raises(SystemExit, match="seqn=2"):
+            main(["--output_path", str(tmp_path), "--seqn", "3", "--model_path", "x"])
+
+    def test_requires_checkpoint(self, tmp_path):
+        from bmcnet_esr_tpu.cli.infer import main
+
+        with pytest.raises(SystemExit, match="model_path"):
+            main(["--output_path", str(tmp_path), "--model_path", "/nonexistent.pth"])
+
+    def test_dataset_config_flags(self):
+        import argparse
+
+        from bmcnet_esr_tpu.cli.infer import build_dataset_config
+
+        ns = argparse.Namespace(
+            scale=4, ori_scale="down16", window=2048, sliding_window=1024,
+            mode="events", time_bins=1, need_gt_events=True, need_gt_frame=False,
+            real_world_test=False, seql=9, seqn=2, step_size=1,
+        )
+        cfg = build_dataset_config(ns)
+        assert cfg.scale == 4 and cfg.ori_scale == "down16"
+        assert cfg.sequence.step_size == 1
+
+
+class TestGenerateCLI:
+    def test_inspect_roundtrip(self, tmp_path, capsys):
+        from bmcnet_esr_tpu.cli.generate import main
+        from tests.test_synthesis import write_sim_txt
+
+        txt = str(tmp_path / "a.txt")
+        write_sim_txt(txt, 30, 8, 8, 0)
+        out = str(tmp_path / "a.h5")
+        main(["txt", "--txt", txt, "--out", out, "--resolution", "8", "8"])
+        main(["inspect", "--h5", out])
+        assert '"num_events": 30' in capsys.readouterr().out
