@@ -5,6 +5,8 @@ from bmcnet_esr_tpu.utils.timers import Timer, DeviceTimer, timing_stats, print_
 from bmcnet_esr_tpu.utils.logging import setup_logging, get_logger
 from bmcnet_esr_tpu.utils.yaml_logger import YamlResultLogger
 from bmcnet_esr_tpu.utils.tensorboard import TensorboardWriter
+from bmcnet_esr_tpu.utils.profiling import annotate, device_time, trace
+from bmcnet_esr_tpu.utils.cache import enable_compilation_cache
 
 __all__ = [
     "MetricTracker",
@@ -16,4 +18,8 @@ __all__ = [
     "get_logger",
     "YamlResultLogger",
     "TensorboardWriter",
+    "annotate",
+    "device_time",
+    "trace",
+    "enable_compilation_cache",
 ]
