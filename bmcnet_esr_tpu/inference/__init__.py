@@ -1,5 +1,6 @@
-"""Inference/evaluation engine."""
+"""Inference/evaluation engine + streaming serving API."""
 
 from bmcnet_esr_tpu.inference.engine import InferenceEngine, load_model_for_inference
+from bmcnet_esr_tpu.inference.streaming import StreamingSR
 
-__all__ = ["InferenceEngine", "load_model_for_inference"]
+__all__ = ["InferenceEngine", "load_model_for_inference", "StreamingSR"]

@@ -175,3 +175,48 @@ def test_load_converted_flat_npz(tmp_path):
     model, variables = load_model_for_inference(out, 4, variant="plain")
     n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables))
     assert n == 1_003_296
+
+
+class TestStreaming:
+    def test_streaming_matches_batch_engine(self, fixture_h5):
+        """Online pushes must reproduce the batch engine's rollout exactly."""
+        from bmcnet_esr_tpu.data import EventH5Dataset
+        from bmcnet_esr_tpu.inference.streaming import StreamingSR
+
+        eng = make_engine(chunk_size=64)
+        batch_res = eng.infer_file(fixture_h5)
+
+        ds = EventH5Dataset(fixture_h5, eng.config)
+        stream = StreamingSR(
+            eng.model, eng.variables, ds.layout.inp_resolution, window_size=128
+        )
+        mses = []
+        gts = []
+        for w in range(len(ds)):
+            item = ds.get_window(w)
+            pred = stream.push(item["inp_events"][:, : item["inp_len"]])
+            if pred is not None:
+                gt = np.asarray(
+                    jnp.moveaxis(
+                        __import__("bmcnet_esr_tpu.ops.batch", fromlist=["batch_events_to_counts"])
+                        .batch_events_to_counts(jnp.asarray(item["gt_events"])[None],
+                                                tuple(ds.layout.gt_resolution))[0],
+                        -1, -1,
+                    )
+                )
+                mses.append(float(np.mean((pred - gt) ** 2)))
+        assert len(mses) == len(ds) - 1
+        assert np.mean(mses) == pytest.approx(batch_res["esr_mse"], rel=1e-4)
+
+    def test_reset_and_oversize_guard(self, fixture_h5):
+        from bmcnet_esr_tpu.inference.streaming import StreamingSR
+
+        eng = make_engine()
+        stream = StreamingSR(eng.model, eng.variables, (16, 16), window_size=32)
+        ev = np.zeros((4, 8), np.float32)
+        assert stream.push(ev) is None
+        assert stream.push(ev) is not None
+        stream.reset()
+        assert stream.push(ev) is None  # state cleared
+        with pytest.raises(ValueError, match="exceeds window_size"):
+            stream.push(np.zeros((4, 64), np.float32))
