@@ -205,15 +205,34 @@ class InferenceEngine:
         macs_done = False
         frame_idx = 0
 
-        pos = 0
-        while pos < n_windows:
-            steps = min(self.chunk_size, n_windows - pos)
+        def load_chunk(pos: int, steps: int):
             # windows pos .. pos+steps (inclusive) for inputs; gt for pos+1..
             inp_ev = np.stack(
                 [ds.get_window(w)["inp_events"] for w in range(pos, pos + steps + 1)]
             )
-            gt_items = [ds.get_window(w) for w in range(pos + 1, pos + steps + 1)]
-            gt_ev = np.stack([it["gt_events"] for it in gt_items])
+            gt_ev = np.stack(
+                [ds.get_window(w)["gt_events"] for w in range(pos + 1, pos + steps + 1)]
+            )
+            return inp_ev, gt_ev
+
+        # double-buffered host loading: the next chunk's h5 reads overlap the
+        # current chunk's device scan
+        from concurrent.futures import ThreadPoolExecutor
+
+        chunk_bounds = []
+        pos = 0
+        while pos < n_windows:
+            steps = min(self.chunk_size, n_windows - pos)
+            chunk_bounds.append((pos, steps))
+            pos += steps
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        pending = pool.submit(load_chunk, *chunk_bounds[0])
+
+        for ci, (pos, steps) in enumerate(chunk_bounds):
+            inp_ev, gt_ev = pending.result()
+            if ci + 1 < len(chunk_bounds):
+                pending = pool.submit(load_chunk, *chunk_bounds[ci + 1])
 
             run = self._chunk_step(steps, inp_res, gt_res)
             if not macs_done:
@@ -249,8 +268,8 @@ class InferenceEngine:
                     i = frame_idx + s
                     self._save_streams(img_dirs, i, lr_np[s], preds[s], bics[s], gt_np[s])
             frame_idx += steps
-            pos += steps
 
+        pool.shutdown(wait=False)
         ds.close()
         result = track.result()
         if logger is not None:
