@@ -19,9 +19,35 @@ import os
 from glob import glob
 
 
+def load_video(path: str):
+    """mp4/avi -> (frames, timestamps) via the container fps (reference
+    ``upsampling/utils/dataset.VideoSequence``)."""
+    import cv2
+    import numpy as np
+
+    cap = cv2.VideoCapture(path)
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    imgs = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        imgs.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0)
+    cap.release()
+    if len(imgs) < 2:
+        return None
+    return imgs, [i / fps for i in range(len(imgs))]
+
+
 def load_sequence(seq_dir: str):
     import cv2
     import numpy as np
+
+    videos = sorted(
+        glob(os.path.join(seq_dir, "*.mp4")) + glob(os.path.join(seq_dir, "*.avi"))
+    )
+    if videos:
+        return load_video(videos[0])
 
     img_dir = os.path.join(seq_dir, "imgs")
     if not os.path.isdir(img_dir):
