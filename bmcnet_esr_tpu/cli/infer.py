@@ -66,7 +66,10 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.seqn != 2:
-        raise SystemExit("the BMCNet family consumes seqn=2 windows per step")
+        # reference models read only the first two windows of a seqn-window
+        # (BMCNet.py:106-107), so any seqn behaves like 2
+        print(f"note: seqn={args.seqn} behaves identically to seqn=2 "
+              "(the model consumes two windows per step)")
     if args.infer_mode != 1:
         raise SystemExit(f"infer mode {args.infer_mode} not supported (reference parity)")
     if not args.model_path or not os.path.isfile(args.model_path) and not os.path.isdir(args.model_path):

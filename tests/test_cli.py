@@ -23,11 +23,14 @@ class TestTrainCLI:
 
 
 class TestInferCLI:
-    def test_rejects_bad_seqn(self, tmp_path):
+    def test_seqn_other_than_two_is_tolerated(self, tmp_path, capsys):
         from bmcnet_esr_tpu.cli.infer import main
 
-        with pytest.raises(SystemExit, match="seqn=2"):
-            main(["--output_path", str(tmp_path), "--seqn", "3", "--model_path", "x"])
+        # seqn != 2 prints a note (reference ignores extra windows) and then
+        # fails on the missing checkpoint, not on seqn
+        with pytest.raises(SystemExit, match="model_path"):
+            main(["--output_path", str(tmp_path), "--seqn", "3", "--model_path", "/nope.pth"])
+        assert "behaves identically" in capsys.readouterr().out
 
     def test_requires_checkpoint(self, tmp_path):
         from bmcnet_esr_tpu.cli.infer import main

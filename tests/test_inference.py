@@ -220,3 +220,26 @@ class TestStreaming:
         assert stream.push(ev) is None  # state cleared
         with pytest.raises(ValueError, match="exceeds window_size"):
             stream.push(np.zeros((4, 64), np.float32))
+
+
+def test_real_world_eventzoom_path(tmp_path):
+    """EventZoom real-capture mode: down8_real input, no GT events
+    (reference h5dataset.py:45-60 + infer --real_world_test)."""
+    from bmcnet_esr_tpu.data.packager import write_synthetic_fixture
+
+    path = str(tmp_path / "ez.h5")
+    write_synthetic_fixture(
+        path, (992, 1776), ("down8_real",), {"down8_real": 12000}, seed=6
+    )
+    model = BMCNetPlain(scale=4, n_c=8, n_b=2)
+    h, w = 124, 222
+    dummy = jnp.zeros((1, 2, h, w, 2))
+    variables = model.init(jax.random.key(1), dummy, *model.init_state(1, h, w))
+    cfg = DatasetConfig(
+        scale=4, ori_scale="down8", window=256, sliding_window=128,
+        need_gt_events=False, real_world_test=True,
+        sequence=SequenceConfig(4, 2, 1),
+    )
+    eng = InferenceEngine(model, variables, cfg, chunk_size=8, visualize=False)
+    res = eng.infer_file(path)
+    assert np.isfinite(res["esr_mse"])  # vs zero GT (no GT exists for real data)
