@@ -215,6 +215,15 @@ class Trainer:
 
     def resume(self, path: str, reset: bool = False) -> int:
         state, meta = ckpt_lib.restore_checkpoint(path, self.state)
+        # reference Resumer guards on the config/experiment name
+        # (myutils/utils.py:150-160); warn rather than refuse so fine-tuning
+        # across experiments stays possible
+        ckpt_exp = meta.get("experiment")
+        if ckpt_exp and ckpt_exp != self.run.experiment:
+            self.logger.warning(
+                f"checkpoint experiment {ckpt_exp!r} != current "
+                f"{self.run.experiment!r} — resuming anyway"
+            )
         self.state = state
         start = 0
         if not reset:
