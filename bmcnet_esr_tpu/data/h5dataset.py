@@ -234,13 +234,29 @@ class EventH5Dataset:
         self.duration = self.tk - self.t0
         self.window = config.window
         self.sliding_window = config.sliding_window
-        self.gt_window = config.scale**2 * config.window
-        self.noise_events = (
-            int(config.window * config.noise.noise_level) if config.noise.enabled else 0
-        )
-        self.padded_window = self.window + self.noise_events
 
         self._compute_windows()
+
+        # fixed padded sizes so pipeline shapes stay static:
+        # - events mode: window counts are exact (config.window)
+        # - time/frame modes: intervals are data-dependent -> pad to the
+        #   largest interval; GT windows are count-based off the FIRST
+        #   window's length (reference get_gt_event_indices_num computes
+        #   num_events from k_indices[0], h5dataset.py:367)
+        if config.mode == "events":
+            base_window = config.window
+        else:
+            base_window = int(np.max(self.event_indices[:, 1] - self.event_indices[:, 0]))
+        if config.need_gt_events:
+            self.gt_window = int(
+                np.max(self.gt_event_indices[:, 1] - self.gt_event_indices[:, 0])
+            )
+        else:
+            self.gt_window = config.scale**2 * base_window
+        self.noise_events = (
+            int(base_window * config.noise.noise_level) if config.noise.enabled else 0
+        )
+        self.padded_window = base_window + self.noise_events
 
         # hot-pixel filter running state (reference h5dataset.py:528-548)
         self.hot_events = np.zeros(self.layout.inp_resolution, np.float32)
@@ -280,12 +296,17 @@ class EventH5Dataset:
             )
 
         if cfg.need_gt_events:
+            # GT count = scale**2 x the FIRST window's event count — the
+            # reference derives it from k_indices[0] for every mode
+            # (h5dataset.py:362-390)
+            first_len = int(self.event_indices[0, 1] - self.event_indices[0, 0])
+            gt_count = cfg.scale**2 * first_len
             t_starts = self._inp_ts[self.event_indices[:, 0]]
             g0 = np.searchsorted(self._gt_ts, t_starts, "left")
-            g1 = g0 + self.gt_window
+            g1 = g0 + gt_count
             over = g1 > self.num_gt_events - 1
             g1 = np.where(over, self.num_gt_events - 1, g1)
-            g0 = np.where(over, np.maximum(g1 - self.gt_window, 0), g0)
+            g0 = np.where(over, np.maximum(g1 - gt_count, 0), g0)
             self.gt_event_indices = np.stack([g0, g1], 1)
         else:
             self.gt_event_indices = None
