@@ -206,13 +206,11 @@ class InferenceEngine:
         frame_idx = 0
 
         def load_chunk(pos: int, steps: int):
-            # windows pos .. pos+steps (inclusive) for inputs; gt for pos+1..
-            inp_ev = np.stack(
-                [ds.get_window(w)["inp_events"] for w in range(pos, pos + steps + 1)]
-            )
-            gt_ev = np.stack(
-                [ds.get_window(w)["gt_events"] for w in range(pos + 1, pos + steps + 1)]
-            )
+            # windows pos .. pos+steps (inclusive) for inputs; gt for pos+1..;
+            # one get_window per window (each item carries both streams)
+            items = [ds.get_window(w) for w in range(pos, pos + steps + 1)]
+            inp_ev = np.stack([it["inp_events"] for it in items])
+            gt_ev = np.stack([it["gt_events"] for it in items[1:]])
             return inp_ev, gt_ev
 
         # double-buffered host loading: the next chunk's h5 reads overlap the
