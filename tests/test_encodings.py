@@ -240,3 +240,29 @@ class TestConversionHelpers:
         got = np.asarray(event_restore(jnp.asarray(ev), (8, 16)))
         np.testing.assert_allclose(got[0, 0], [8.0, 2.0, 0.1, 1.0], rtol=1e-6)
         np.testing.assert_array_equal(got[0, 1], [0, 0, 0, 0])
+
+
+class TestMasks:
+    def test_events_to_mask_no_flip(self):
+        h, w = 9, 11
+        xs = np.array([1, 1, 5, 20], np.float32)  # last OOB
+        ys = np.array([2, 2, 7, 3], np.float32)
+        ps = np.array([1, -1, 1, 1], np.float32)
+        got = np.asarray(events_to_mask(jnp.array(xs), jnp.array(ys), jnp.array(ps), (h, w)))
+        assert got[2, 1] == 1.0  # no y flip (encodings.py:308-332)
+        assert got[7, 5] == 1.0
+        assert got.sum() == 2.0  # OOB dropped
+
+    def test_hot_event_mask(self):
+        from bmcnet_esr_tpu.ops import get_hot_event_mask
+
+        rate = np.zeros((6, 6), np.float32)
+        rate[1, 1] = 0.95  # hot
+        rate[3, 3] = 0.85  # hot
+        rate[4, 4] = 0.5   # below threshold
+        m = np.asarray(get_hot_event_mask(jnp.array(rate), idx=10, max_px=4, min_obvs=5, max_rate=0.8))
+        assert m[1, 1] == 0 and m[3, 3] == 0
+        assert m[4, 4] == 1 and m.sum() == 34
+        # below min observations: no masking yet (encodings.py:356)
+        m2 = np.asarray(get_hot_event_mask(jnp.array(rate), idx=3, max_px=4, min_obvs=5, max_rate=0.8))
+        assert m2.sum() == 36
