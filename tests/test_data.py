@@ -281,3 +281,19 @@ def test_abandoned_iterator_releases_workers(fixture_h5):
     while threading.active_count() > before and _time.time() < deadline:
         _time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_noise_events_appended(fixture_h5):
+    from bmcnet_esr_tpu.data.h5dataset import NoiseConfig
+
+    cfg = small_config(noise=NoiseConfig(enabled=True, noise_level=0.25))
+    ds = EventH5Dataset(fixture_h5, cfg)
+    assert ds.noise_events == 64  # 25% of the 256-event window
+    assert ds.padded_window == 256 + 64
+    item = ds.get_window(0, seed=3)
+    assert item["inp_len"] == 256 + 64
+    noise = item["inp_events"][:, 256:320]
+    h, w = ds.layout.inp_resolution
+    assert (noise[0] < w).all() and (noise[1] < h).all()
+    assert set(np.unique(noise[3])) <= {-1.0, 1.0}
+    assert (noise[2] == 1.0).all()  # reference: noise t = 1 (h5dataset.py:630)
