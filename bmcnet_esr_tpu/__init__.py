@@ -25,3 +25,31 @@ Package layout:
 """
 
 __version__ = "0.1.0"
+
+# Lazy top-level API: common entry points without importing every subsystem
+# (keeps `import bmcnet_esr_tpu` light for tooling-only use).
+_LAZY = {
+    "BMCNet": "bmcnet_esr_tpu.models",
+    "BMCNetPlain": "bmcnet_esr_tpu.models",
+    "load_torch_checkpoint": "bmcnet_esr_tpu.models",
+    "InferenceEngine": "bmcnet_esr_tpu.inference",
+    "StreamingSR": "bmcnet_esr_tpu.inference",
+    "load_model_for_inference": "bmcnet_esr_tpu.inference",
+    "Trainer": "bmcnet_esr_tpu.training",
+    "RunConfig": "bmcnet_esr_tpu.training.config",
+    "DatasetConfig": "bmcnet_esr_tpu.data",
+    "SequenceLoader": "bmcnet_esr_tpu.data",
+    "EventH5Dataset": "bmcnet_esr_tpu.data",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))
