@@ -64,3 +64,25 @@ class TestGenerateCLI:
         main(["txt", "--txt", txt, "--out", out, "--resolution", "8", "8"])
         main(["inspect", "--h5", out])
         assert '"num_events": 30' in capsys.readouterr().out
+
+
+class TestRecipeConfigs:
+    @pytest.mark.parametrize("name", ["train_nfs", "train_RGB", "train_EventZoom"])
+    def test_recipe_parses_into_framework_types(self, name, tmp_path):
+        import yaml
+
+        from bmcnet_esr_tpu.data import DatasetConfig
+        from bmcnet_esr_tpu.training.config import RunConfig
+        from bmcnet_esr_tpu.training.optim import build_optimizer
+
+        cfg = yaml.safe_load(open(f"configs/{name}.yml"))
+        run = RunConfig(cfg, runid="t", overrides=(("trainer;output_path", str(tmp_path)),))
+        for dl in ("train_dataloader", "valid_dataloader"):
+            dc = DatasetConfig.from_dict(run[dl]["dataset"])
+            assert dc.mode == "events" and dc.window > dc.sliding_window
+        tx, sched = build_optimizer(
+            run["optimizer"], run["lr_scheduler"], run["trainer"]["iteration_based_train"]
+        )
+        assert float(sched(0)) == pytest.approx(1e-4)
+        tcfg = run["trainer"]["iteration_based_train"]
+        assert tcfg["enabled"] and tcfg["iterations"] == 100000
