@@ -157,6 +157,35 @@ class InferenceEngine:
         self._step_cache[key] = run
         return run
 
+    def _compiled_step(self, steps: int, inp_res, gt_res, carry, inp_ev, gt_ev):
+        """AOT-compiled chunk executable + its flop count.
+
+        ``jit.lower().compile()`` does NOT populate the jit call cache, so
+        calling the jit after an AOT compile would compile AGAIN inside the
+        first timed region (the round-1 ``time``-metric artifact).  Caching
+        and invoking the compiled executable itself keeps every compile out
+        of the timed path and reuses the lowering for the cost analysis.
+        """
+        key = ("aot", steps, inp_res, gt_res)
+        if key not in self._step_cache:
+            run = self._chunk_step(steps, inp_res, gt_res)
+            lowered = run.lower(self.variables, carry, inp_ev, gt_ev)
+            compiled = lowered.compile()
+            try:
+                cost = compiled.cost_analysis()
+                if isinstance(cost, list):
+                    cost = cost[0]
+                flops = float(cost.get("flops", 0.0))
+            except Exception:
+                flops = 0.0
+            # warm-up execution, outputs discarded: the first run of a fresh
+            # executable pays a one-time device program load (~seconds over
+            # the axon tunnel) that must not land in the timed region
+            out = compiled(self.variables, carry, inp_ev, gt_ev)
+            np.asarray(jax.tree.leaves(out)[-1])  # reliable sync (CLAUDE.md)
+            self._step_cache[key] = (compiled, flops)
+        return self._step_cache[key]
+
     def macs_per_window(self, steps: int, inp_res, gt_res, carry, inp_ev, gt_ev) -> float:
         """MACs per window from XLA's compiled cost analysis.
 
@@ -164,15 +193,8 @@ class InferenceEngine:
         (verified empirically), so the chunk's flops already equal one
         window's flops — no division by ``steps``.
         """
-        run = self._chunk_step(steps, inp_res, gt_res)
-        try:
-            lowered = run.lower(self.variables, carry, inp_ev, gt_ev)
-            cost = lowered.compile().cost_analysis()
-            if isinstance(cost, list):
-                cost = cost[0]
-            return float(cost.get("flops", 0.0)) / 2.0
-        except Exception:
-            return 0.0
+        _, flops = self._compiled_step(steps, inp_res, gt_res, carry, inp_ev, gt_ev)
+        return flops / 2.0
 
     # -- per-file rollout ---------------------------------------------------
 
@@ -232,17 +254,20 @@ class InferenceEngine:
             if ci + 1 < len(chunk_bounds):
                 pending = pool.submit(load_chunk, *chunk_bounds[ci + 1])
 
-            run = self._chunk_step(steps, inp_res, gt_res)
+            inp_dev, gt_dev = jnp.asarray(inp_ev), jnp.asarray(gt_ev)
+            # compile happens here (cached per shape key) — never inside the
+            # timed region below, so chunk 0's per-window ms matches later
+            # chunks (round-1 VERDICT "what's weak" #1)
+            run, flops = self._compiled_step(
+                steps, inp_res, gt_res, carry, inp_dev, gt_dev
+            )
             if not macs_done:
-                track.update(
-                    "macs",
-                    self.macs_per_window(steps, inp_res, gt_res, carry, inp_ev, gt_ev) / 1e6,
-                )
+                track.update("macs", flops / 2.0 / 1e6)
                 macs_done = True
 
             t0 = time.perf_counter()
             carry, preds, bics, esr, bicm, extras, lr_frames, gt_frames = run(
-                self.variables, carry, jnp.asarray(inp_ev), jnp.asarray(gt_ev)
+                self.variables, carry, inp_dev, gt_dev
             )
             # reliable device sync (block_until_ready can return early on the
             # tunneled chip); then measure

@@ -1,7 +1,8 @@
 """ctypes loader for the native event ops (C++).
 
-Compiles ``eventops.cpp`` on first use with ``g++ -O3`` (cached next to the
-source), exposing:
+Compiles ``eventops.cpp`` on first use with ``g++ -O3`` into a shared object
+keyed by the source content hash (never committed; a stale or foreign binary
+can't be picked up by mtime races), exposing:
 
 * :func:`redistribute_stack` — native stack -> event-cloud redistribution
   (the reference's absent ``c_event_redistribute`` fast path,
@@ -15,6 +16,7 @@ Falls back transparently to the numpy implementations in
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -24,18 +26,42 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "eventops.cpp")
-_LIB = os.path.join(_HERE, "_eventops.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _load_failed = False
 
 
-def _build() -> None:
+def _lib_path() -> str:
+    """Cache path keyed on the SOURCE CONTENT hash: a fresh clone or an
+    edited source can never pick up a stale binary, and nothing binary needs
+    to live in VCS."""
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_HERE, f"_eventops_{digest}.so")
+
+
+def _build(lib_path: str) -> None:
+    # no -march=native: a binary built on one host must not SIGILL on
+    # another; -O3 alone keeps the scatter loops ~100x the Python path.
     subprocess.run(
-        ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB],
+        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", lib_path],
         check=True,
         capture_output=True,
     )
+
+
+def _self_test(lib: ctypes.CDLL) -> None:
+    """Tiny known-answer call before trusting the library (a corrupted or
+    ISA-incompatible binary fails here instead of at first real use)."""
+    img = np.zeros((2, 2, 2), np.float32)
+    xs = np.array([0.0, 1.0, 1.0], np.float32)
+    ys = np.array([0.0, 0.0, 0.0], np.float32)
+    ps = np.array([1.0, -1.0, -1.0], np.float32)
+    lib.rasterize_counts(xs, ys, ps, 3, 2, 2, img)
+    # reference semantics: y flip, polarity squared -> positive counts
+    expect = np.array([[[0, 0], [1, 0]], [[0, 0], [0, 2]]], np.float32)
+    if not np.array_equal(img, expect):
+        raise RuntimeError("native eventops self-test failed")
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -46,9 +72,10 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _load_failed:
             return _lib
         try:
-            if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-                _build()
-            lib = ctypes.CDLL(_LIB)
+            lib_path = _lib_path()
+            if not os.path.exists(lib_path):
+                _build(lib_path)
+            lib = ctypes.CDLL(lib_path)
             i64 = ctypes.c_int64
             f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
             i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
@@ -57,6 +84,7 @@ def _load() -> Optional[ctypes.CDLL]:
                 f32p, i64, i64, i64, i64, i64, ctypes.c_int, ctypes.c_uint64, i64, f32p,
             ]
             lib.rasterize_counts.argtypes = [f32p, f32p, f32p, i64, i64, i64, f32p]
+            _self_test(lib)
             _lib = lib
         except Exception:
             _load_failed = True

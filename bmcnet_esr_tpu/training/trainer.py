@@ -286,11 +286,18 @@ class Trainer:
                 pending.append((iter_idx, metrics))
 
                 if iter_idx % self.train_log_step == 0:
+                    window_mse, window_tot = [], []
                     for it, m in pending:
                         mse = float(m["train_mse_loss"])
                         tot = float(m["train_loss"])
+                        window_mse.append(mse)
+                        window_tot.append(tot)
                         self.train_metrics.update("train_mse_loss", mse)
                         self.train_metrics.update("train_loss", tot)
+                    # scalar points are the WINDOW MEAN, not the last sample —
+                    # the faithful signal when logging every train_log_step
+                    mse = float(np.mean(window_mse))
+                    tot = float(np.mean(window_tot))
                     lr = float(self.schedule(iter_idx))
                     self.writer.set_step(iter_idx)
                     self.writer.add_scalar("train_mse_loss", mse)

@@ -54,6 +54,34 @@ class TestRedistribute:
         assert t_native < t_py  # typically 50-200x
 
 
+class TestLoader:
+    def test_binary_is_content_hash_keyed_and_not_committed(self):
+        """The .so is rebuilt from source (cache keyed on a content hash),
+        self-tested after load, and never lives in VCS (round-1 ADVICE #2)."""
+        import os
+        import re
+
+        path = native._lib_path()
+        assert re.search(r"_eventops_[0-9a-f]{16}\.so$", path)
+        assert os.path.exists(path)  # built by native_available() above
+        # the build command must not bake in host-specific ISA extensions
+        import subprocess
+        from unittest import mock
+
+        with mock.patch.object(subprocess, "run") as run:
+            native._build("/tmp/ignored.so")
+        flags = run.call_args[0][0]
+        assert "-march=native" not in flags
+
+    def test_self_test_rejects_broken_library(self):
+        class Broken:
+            def rasterize_counts(self, *args):
+                pass  # leaves img zeroed -> wrong answer
+
+        with pytest.raises(RuntimeError, match="self-test"):
+            native._self_test(Broken())
+
+
 class TestRasterize:
     def test_matches_jax_encoder(self):
         rng = np.random.default_rng(3)

