@@ -56,6 +56,7 @@ class SequenceLoader:
         *,
         shuffle: bool = False,
         drop_last: bool = False,
+        pad_last: bool = False,
         num_workers: int = 2,
         prefetch: int = 4,
         seed: int = 0,
@@ -66,6 +67,10 @@ class SequenceLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        # pad_last: wrap-pad the final short batch to full size and mark the
+        # padding in a `clip_mask` key, so shape-specialized jitted steps
+        # compile ONCE per run (the eval step excludes padded clips by mask)
+        self.pad_last = pad_last and not drop_last
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.seed = seed
@@ -98,7 +103,15 @@ class SequenceLoader:
         idx = list(self._index)
         if self.shuffle:
             np.random.default_rng(self.seed + epoch).shuffle(idx)
-        # contiguous-strided shard: same semantics as DistributedSampler
+        if self.shard_count > 1:
+            # wrap-around padding to a multiple of shard_count (exactly
+            # DistributedSampler): every shard gets the SAME length, so all
+            # hosts yield the same number of batches per epoch and never
+            # desync on collectives
+            total = -(-len(idx) // self.shard_count) * self.shard_count
+            reps = -(-total // len(idx))
+            idx = (idx * reps)[:total]
+        # strided shard: same semantics as DistributedSampler
         shard = idx[self.shard_index :: self.shard_count]
         return shard
 
@@ -109,7 +122,14 @@ class SequenceLoader:
         ]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
-        return [b for b in batches if b]
+        batches = [b for b in batches if b]
+        if self.pad_last and batches and len(batches[-1]) < self.batch_size:
+            last = list(batches[-1])
+            real = len(last)
+            reps = -(-self.batch_size // len(shard)) + 1
+            last = (last + list(shard) * reps)[: self.batch_size]
+            batches[-1] = [(d, i, k < real) for k, (d, i) in enumerate(last)]
+        return batches
 
     def _collate(self, items_per_clip: List[List[Dict]]) -> Dict[str, np.ndarray]:
         """clips (B) of windows (L) of dicts -> dict of [B, L, ...] arrays."""
@@ -122,11 +142,18 @@ class SequenceLoader:
         return out
 
     def _load_batch(self, datasets, batch, rng) -> Dict[str, np.ndarray]:
-        clips = []
-        for d, i in batch:
+        clips, mask = [], []
+        for entry in batch:
+            d, i, real = entry if len(entry) == 3 else (*entry, True)
             clip_seed = int(rng.integers(0, 2**31))
             clips.append(datasets[d].get_clip(i, seed=clip_seed))
-        return self._collate(clips)
+            mask.append(1.0 if real else 0.0)
+        out = self._collate(clips)
+        if self.pad_last:
+            # present in EVERY batch so the pytree structure (and therefore
+            # the jit signature) is identical across the epoch
+            out["clip_mask"] = np.asarray(mask, np.float32)
+        return out
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         epoch = self.epoch

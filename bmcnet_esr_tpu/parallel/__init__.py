@@ -7,7 +7,7 @@ from bmcnet_esr_tpu.parallel.mesh import (
     shard_batch,
     replicate_tree,
 )
-from bmcnet_esr_tpu.parallel.step import make_parallel_train_step
+from bmcnet_esr_tpu.parallel.step import make_parallel_eval_step, make_parallel_train_step
 
 __all__ = [
     "make_mesh",
@@ -15,5 +15,6 @@ __all__ = [
     "data_sharding",
     "shard_batch",
     "replicate_tree",
+    "make_parallel_eval_step",
     "make_parallel_train_step",
 ]

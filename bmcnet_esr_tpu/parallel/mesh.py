@@ -42,9 +42,22 @@ def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
 
 
 def shard_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
-    """Place a host batch dict on the mesh, sharded along the batch dim."""
+    """Place a host batch dict on the mesh, sharded along the batch dim.
+
+    Single-process: a plain sharded ``device_put`` of the (global) batch.
+    Multi-process: each host passes its LOCAL batch and the global array is
+    assembled with :func:`jax.make_array_from_process_local_data` — the
+    global batch is ``local_batch x process_count``, every host's data is
+    used, and no host ever materializes the full global batch (the SPMD
+    replacement for DistributedSampler + scatter).
+    """
     spec = data_sharding(mesh, axis)
-    return {k: jax.device_put(v, spec) for k, v in batch.items()}
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, spec) for k, v in batch.items()}
+    return {
+        k: jax.make_array_from_process_local_data(spec, np.asarray(v))
+        for k, v in batch.items()
+    }
 
 
 def replicate_tree(tree, mesh: Mesh):

@@ -17,7 +17,7 @@ import jax
 from jax.sharding import Mesh
 
 from bmcnet_esr_tpu.parallel.mesh import data_sharding, replicated
-from bmcnet_esr_tpu.training.train_step import TrainState, sequence_loss
+from bmcnet_esr_tpu.training.train_step import TrainState, make_eval_step, sequence_loss
 
 import optax
 
@@ -58,4 +58,23 @@ def make_parallel_train_step(
         in_shardings=(repl, data),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
+    )
+
+
+def make_parallel_eval_step(
+    model,
+    inp_resolution: Tuple[int, int],
+    gt_resolution: Tuple[int, int],
+    mesh: Mesh,
+    seqn: int = 2,
+    extra_losses=(),
+):
+    """Sharded validation rollout: params replicated, batch (incl. the
+    optional ``clip_mask``) sharded on ``data``; the masked weighted means
+    become ICI ``psum``s under GSPMD."""
+    inner = make_eval_step(model, inp_resolution, gt_resolution, seqn, extra_losses)
+    return jax.jit(
+        inner.__wrapped__,
+        in_shardings=(replicated(mesh), data_sharding(mesh)),
+        out_shardings=replicated(mesh),
     )

@@ -51,7 +51,8 @@ def _rollout_losses(
     use_remat: bool,
     extra_losses: Tuple = (),
 ) -> Tuple[Array, Array]:
-    """Per-step (MSE, total) over the recurrent unroll -> ([S], [S]).
+    """Per-step PER-CLIP (MSE, total) over the recurrent unroll -> two
+    ``[S, B]`` arrays (clip-resolved so a masked eval can exclude padding).
 
     ``extra_losses``: tuples ``(name, weight, fn)`` with ``fn(pred_fit, gt)``
     on NHWC images -> scalar; the per-step total is
@@ -76,10 +77,10 @@ def _rollout_losses(
             pred_fit = resize_bicubic(pred, gt_resolution)
         else:
             pred_fit = pred
-        mse = jnp.mean(jnp.square(pred_fit - gt))
+        mse = jnp.mean(jnp.square(pred_fit - gt), axis=(1, 2, 3))  # [B]
         total = mse
         for _, weight, fn in extra_losses:
-            total = total + weight * fn(pred_fit, gt)
+            total = total + weight * fn(pred_fit, gt)  # scalar, broadcast
         return tuple(outs), (mse, total)
 
     if use_remat:
@@ -105,9 +106,9 @@ def sequence_loss(
     mses, totals = _rollout_losses(
         model, params, inp_frames, gt_frames, seqn, tuple(gt_resolution), use_remat,
         extra_losses,
-    )
-    total = jnp.sum(totals)
-    return total, {"mse_loss": mses[-1], "loss": total}
+    )  # [S, B] each
+    total = jnp.sum(jnp.mean(totals, axis=1))
+    return total, {"mse_loss": jnp.mean(mses[-1]), "loss": total}
 
 
 def make_train_step(
@@ -156,13 +157,32 @@ def make_eval_step(
     extra_losses: Tuple = (),
 ) -> Callable[[Any, Dict[str, Array]], Dict[str, Array]]:
     """Validation rollout (no grad): reference ``_valid`` metrics
-    (``train.py:466-532``)."""
+    (``train.py:466-532``).
+
+    Shape-stable with ragged valid sets: when the batch carries a
+    ``clip_mask`` (from ``SequenceLoader(pad_last=True)``, which wrap-pads the
+    final short batch to full size), padded clips are excluded from the
+    metrics by a weighted mean — one compilation for the whole valid loop
+    instead of a second multi-minute compile for the odd final batch.
+    """
 
     def step(params, batch: Dict[str, Array]):
-        total, aux = sequence_loss(
-            model, params, batch, inp_resolution, gt_resolution, seqn,
+        inp_frames = batch_events_to_counts(batch["inp_events"], tuple(inp_resolution))
+        gt_frames = batch_events_to_counts(batch["gt_events"], tuple(gt_resolution))
+        mses, totals = _rollout_losses(
+            model, params, inp_frames, gt_frames, seqn, tuple(gt_resolution),
             use_remat=False, extra_losses=extra_losses,
-        )
-        return {"valid_loss": total, "valid_mse_loss": aux["mse_loss"]}
+        )  # [S, B]
+        w = batch.get("clip_mask", jnp.ones(inp_frames.shape[0]))
+        wsum = jnp.maximum(jnp.sum(w), 1.0)
+
+        def wmean(x):  # weighted mean over the clip axis
+            return jnp.sum(x * w, axis=-1) / wsum
+
+        return {
+            "valid_loss": jnp.sum(wmean(totals)),
+            "valid_mse_loss": wmean(mses[-1]),
+            "valid_clips": jnp.sum(w),
+        }
 
     return jax.jit(step)

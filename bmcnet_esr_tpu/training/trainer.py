@@ -57,7 +57,8 @@ def build_model(config: Dict[str, Any], scale: int):
 
 
 def build_loader(
-    dl_cfg: Dict[str, Any], *, shard_index=None, shard_count=None, seed=0
+    dl_cfg: Dict[str, Any], *, shard_index=None, shard_count=None, seed=0,
+    pad_last: bool = False,
 ) -> SequenceLoader:
     """Multi-host: each process loads its slice of the clip index space
     (the SPMD replacement for DistributedSampler, h5dataloader.py:191-201)."""
@@ -72,6 +73,7 @@ def build_loader(
         batch_size=dl_cfg.get("batch_size", 2),
         shuffle=dl_cfg.get("shuffle", False),
         drop_last=dl_cfg.get("drop_last", False),
+        pad_last=dl_cfg.get("pad_last", pad_last),
         num_workers=dl_cfg.get("num_workers", 2),
         seed=seed,
         shard_index=shard_index,
@@ -118,7 +120,12 @@ class Trainer:
         self.train_loader = train_loader or build_loader(cfg["train_dataloader"], seed=seed)
         self.valid_loader = valid_loader
         if valid_loader is None and "valid_dataloader" in cfg:
-            self.valid_loader = build_loader(cfg["valid_dataloader"], seed=seed)
+            # pad_last keeps the eval step's shapes constant: the ragged
+            # final valid batch would otherwise trigger a second full compile
+            # (50-400 s on the tunneled TPU) every run
+            self.valid_loader = build_loader(
+                cfg["valid_dataloader"], seed=seed, pad_last=True
+            )
 
         scale = cfg["train_dataloader"]["dataset"]["scale"]
         self.scale = scale
@@ -155,17 +162,30 @@ class Trainer:
         self.mesh = None
         use_dp = cfg["trainer"].get("data_parallel", True) and jax.device_count() > 1
         if use_dp:
-            batch_size = self.train_loader.batch_size
-            n_dev = jax.device_count()
-            if batch_size % n_dev != 0:
-                # shrink the mesh to the largest divisor of the batch
-                n_dev = max(d for d in range(1, n_dev + 1) if batch_size % d == 0)
-            if n_dev == 1:
-                self.logger.warning(
-                    "batch size does not shard across the available devices; "
-                    "running single-device"
-                )
-                use_dp = False
+            batch_size = self.train_loader.batch_size  # LOCAL batch per host
+            if jax.process_count() > 1:
+                # multi-host: every process must join the global mesh; the
+                # local batch shards over this host's devices and
+                # shard_batch assembles the global array
+                # (jax.make_array_from_process_local_data)
+                if batch_size % jax.local_device_count() != 0:
+                    raise ValueError(
+                        f"local batch {batch_size} must be divisible by the "
+                        f"{jax.local_device_count()} local devices for "
+                        "multi-host data parallelism"
+                    )
+                n_dev = jax.device_count()
+            else:
+                n_dev = jax.device_count()
+                if batch_size % n_dev != 0:
+                    # shrink the mesh to the largest divisor of the batch
+                    n_dev = max(d for d in range(1, n_dev + 1) if batch_size % d == 0)
+                if n_dev == 1:
+                    self.logger.warning(
+                        "batch size does not shard across the available devices; "
+                        "running single-device"
+                    )
+                    use_dp = False
         if use_dp:
             from bmcnet_esr_tpu.parallel import (
                 make_mesh,
@@ -188,10 +208,24 @@ class Trainer:
                 self.model, self.tx, self.inp_resolution, self.gt_resolution,
                 self.seqn, extra_losses=self.extra_losses,
             )
-        self.eval_step = make_eval_step(
-            self.model, self.inp_resolution, self.gt_resolution, self.seqn,
-            extra_losses=self.extra_losses,
-        )
+        self._shard_eval_batch = lambda b: b
+        if (
+            self.mesh is not None
+            and self.valid_loader is not None
+            and self.valid_loader.batch_size % self.mesh.size == 0
+        ):
+            from bmcnet_esr_tpu.parallel import make_parallel_eval_step
+
+            self.eval_step = make_parallel_eval_step(
+                self.model, self.inp_resolution, self.gt_resolution, self.mesh,
+                self.seqn, extra_losses=self.extra_losses,
+            )
+            self._shard_eval_batch = self._shard_batch
+        else:
+            self.eval_step = make_eval_step(
+                self.model, self.inp_resolution, self.gt_resolution, self.seqn,
+                extra_losses=self.extra_losses,
+            )
 
         self.writer = TensorboardWriter(
             run.log_dir, cfg["trainer"].get("tensorboard", True), self.logger
@@ -240,7 +274,7 @@ class Trainer:
     def _valid(self, stamp: int) -> Dict[str, float]:
         self.valid_metrics.reset()
         for batch_idx, batch in enumerate(self.valid_loader):
-            m = self.eval_step(self.state.params, batch)
+            m = self.eval_step(self.state.params, self._shard_eval_batch(batch))
             self.valid_metrics.update("valid_mse_loss", float(m["valid_mse_loss"]))
             self.valid_metrics.update("valid_loss", float(m["valid_loss"]))
             if batch_idx % self.valid_log_step == 0:

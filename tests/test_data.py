@@ -226,15 +226,54 @@ class TestLoader:
             np.testing.assert_array_equal(a["inp_events"], b["inp_events"])
 
     def test_sharding_partitions_index_space(self, fixture_h5):
+        """Multi-host loader sharding (DistributedSampler semantics):
+        equal per-shard lengths (wrap-around padding), union covers every
+        clip, overlap bounded by the padding, deterministic across epochs."""
         cfg = small_config()
         full = SequenceLoader([fixture_h5], cfg, 1, shuffle=False, num_workers=1)
-        s0 = SequenceLoader([fixture_h5], cfg, 1, shuffle=False, num_workers=1, shard_index=0, shard_count=2)
-        s1 = SequenceLoader([fixture_h5], cfg, 1, shuffle=False, num_workers=1, shard_index=1, shard_count=2)
-        n_full = sum(1 for _ in full)
-        n0 = sum(1 for _ in s0)
-        n1 = sum(1 for _ in s1)
-        assert n0 + n1 == n_full
-        assert abs(n0 - n1) <= 1
+        n_full = len(full._index)
+
+        for shard_count in (2, 3, 4):
+            loaders = [
+                SequenceLoader(
+                    [fixture_h5], cfg, 1, shuffle=True, num_workers=1, seed=7,
+                    shard_index=i, shard_count=shard_count,
+                )
+                for i in range(shard_count)
+            ]
+            shards = [ld._shard_indices(epoch=0) for ld in loaders]
+            # every host yields the SAME number of batches (no collective
+            # desync), padded up by < shard_count
+            lengths = {len(s) for s in shards}
+            assert len(lengths) == 1
+            total = len(shards[0]) * shard_count
+            assert n_full <= total < n_full + shard_count
+            # union-coverage: every clip index appears on some host
+            union = {tuple(ix) for s in shards for ix in s}
+            assert union == {tuple(ix) for ix in full._index}
+            # deterministic: same epoch -> same shard on every re-iteration
+            assert shards[0] == loaders[0]._shard_indices(epoch=0)
+            # different epoch reshuffles but keeps the invariants
+            e1 = [ld._shard_indices(epoch=1) for ld in loaders]
+            assert e1[0] != shards[0]
+            assert {tuple(ix) for s in e1 for ix in s} == union
+
+    def test_shard_batch_process_local_assembly(self, fixture_h5):
+        """The multi-host batch path assembles the global array from
+        process-local data; with one process it must equal the plain sharded
+        device_put (same values, same sharding)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from bmcnet_esr_tpu.parallel import make_mesh
+
+        mesh = make_mesh(4)
+        spec = NamedSharding(mesh, P("data"))
+        arr = np.arange(4 * 3 * 2, dtype=np.float32).reshape(4, 3, 2)
+        via_local = jax.make_array_from_process_local_data(spec, arr)
+        via_put = jax.device_put(arr, spec)
+        np.testing.assert_array_equal(np.asarray(via_local), np.asarray(via_put))
+        assert via_local.sharding == via_put.sharding
 
 
 class TestDeviceRasterization:

@@ -12,12 +12,17 @@ from bmcnet_esr_tpu.data.packager import write_synthetic_fixture
 from bmcnet_esr_tpu.models import BMCNet, BMCNetPlain
 from bmcnet_esr_tpu.parallel import (
     make_mesh,
+    make_parallel_eval_step,
     make_parallel_train_step,
     replicate_tree,
     shard_batch,
 )
 from bmcnet_esr_tpu.training.optim import adam_torch
-from bmcnet_esr_tpu.training.train_step import init_train_state, make_train_step
+from bmcnet_esr_tpu.training.train_step import (
+    init_train_state,
+    make_eval_step,
+    make_train_step,
+)
 
 
 @pytest.fixture(scope="module")
@@ -87,6 +92,28 @@ class TestParallelStep:
                 losses.append(float(m["train_loss"]))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+    def test_parallel_eval_matches_single_device(self, setup):
+        """The sharded eval step (incl. the clip_mask path) must equal the
+        single-device masked eval bit-for-tolerance."""
+        loader, model, tx, params = setup
+        batch = next(iter(loader))
+        batch = dict(batch)
+        batch["clip_mask"] = np.array([1, 1, 1, 1, 1, 0, 0, 0], np.float32)
+
+        step1 = make_eval_step(model, loader.inp_resolution, loader.gt_resolution)
+        m1 = step1(params, batch)
+
+        mesh = make_mesh(8)
+        step8 = make_parallel_eval_step(
+            model, loader.inp_resolution, loader.gt_resolution, mesh
+        )
+        m8 = step8(replicate_tree(params, mesh), shard_batch(batch, mesh))
+        assert float(m8["valid_loss"]) == pytest.approx(float(m1["valid_loss"]), rel=1e-5)
+        assert float(m8["valid_mse_loss"]) == pytest.approx(
+            float(m1["valid_mse_loss"]), rel=1e-5
+        )
+        assert float(m8["valid_clips"]) == 5.0
 
     def test_trainer_uses_mesh_when_available(self, setup, tmp_path):
         from bmcnet_esr_tpu.training.config import RunConfig
