@@ -1,0 +1,140 @@
+"""BPTT gradient + training-trajectory parity against torch goldens.
+
+Fixtures from tools/make_grad_goldens.py (reference models, torch CPU):
+the full-model BPTT gradient must match torch autograd through the
+state-rotation quirk, the shared-block depth reuse and the HR-feedback
+unshuffle (/root/reference/train.py:205-237), and a 200-iteration
+Adam(amsgrad) run of BMCNet_plain must track the torch loss curve.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bmcnet_esr_tpu.models import BMCNet, BMCNetPlain, convert_torch_state_dict
+from bmcnet_esr_tpu.training.optim import adam_torch
+from bmcnet_esr_tpu.training.train_step import _rollout_losses
+
+GOLDENS = os.path.join(os.path.dirname(__file__), "goldens", "grad_goldens.npz")
+
+
+@pytest.fixture(scope="module")
+def goldens():
+    return np.load(GOLDENS)
+
+
+def unpack(z, variant, prefix):
+    plen = len(f"{variant}/{prefix}/")
+    return {
+        k[plen:]: z[k] for k in z.files if k.startswith(f"{variant}/{prefix}/")
+    }
+
+
+def to_nhwc_frames(frames_torch):
+    """[L, B, 2, H, W] torch layout -> [B, L, H, W, 2]."""
+    return jnp.asarray(np.transpose(frames_torch, (1, 0, 3, 4, 2)))
+
+
+def make_model(variant, meta):
+    scale, n_c, n_b = int(meta[0]), int(meta[1]), int(meta[2])
+    cls = BMCNetPlain if variant == "plain" else BMCNet
+    return cls(scale=scale, n_c=n_c, n_b=n_b), scale
+
+
+def loss_fn_for(model, inp_frames, gt_frames, gt_res):
+    def loss_fn(params):
+        mses, totals = _rollout_losses(
+            model, params, inp_frames, gt_frames, seqn=2,
+            gt_resolution=gt_res, use_remat=False,
+        )
+        return jnp.sum(jnp.mean(totals, axis=1))
+
+    return loss_fn
+
+
+class TestGradientParity:
+    @pytest.mark.parametrize("variant", ["plain", "full"])
+    def test_bptt_gradient_matches_torch(self, goldens, variant):
+        meta = goldens["meta"]
+        model, scale = make_model(variant, meta)
+        params = convert_torch_state_dict(unpack(goldens, variant, "sd"))
+        inp = to_nhwc_frames(goldens["frames"])
+        gt = to_nhwc_frames(goldens["gt_frames"])
+        gt_res = (gt.shape[2], gt.shape[3])
+
+        loss_fn = loss_fn_for(model, inp, gt, gt_res)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+
+        assert float(loss) == pytest.approx(float(goldens[f"{variant}/loss"]), rel=1e-6)
+
+        # torch grads share storage across tied aliases, so the same
+        # converter (incl. OIHW->HWIO and alias dedupe) maps them onto our
+        # param tree; tied-grad ACCUMULATION parity is implied by equality
+        want = convert_torch_state_dict(unpack(goldens, variant, "grad"))
+        got_leaves = jax.tree_util.tree_leaves_with_path(grads)
+        want_leaves = dict(
+            (jax.tree_util.keystr(p), v)
+            for p, v in jax.tree_util.tree_leaves_with_path(want)
+        )
+        assert len(got_leaves) == len(want_leaves)
+        for path, g in got_leaves:
+            key = jax.tree_util.keystr(path)
+            w = want_leaves[key]
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-6,
+                err_msg=f"gradient mismatch at {key}",
+            )
+
+    def test_gradients_are_substantial(self, goldens):
+        """Guard against a vacuously-passing comparison of zeros."""
+        grads = unpack(goldens, "full", "grad")
+        total = sum(float(np.abs(g).sum()) for g in grads.values())
+        assert total > 1.0
+
+
+class TestTrajectoryParity:
+    def test_200_iteration_loss_curve_tracks_torch(self, goldens):
+        """Same init (via converter), same data, same optimizer semantics:
+        the JAX loss curve must track torch's through 200 coupled
+        BPTT+Adam(amsgrad)+weight-decay iterations."""
+        meta = goldens["meta"]
+        model, scale = make_model("plain", meta)
+        params = convert_torch_state_dict(unpack(goldens, "plain", "sd"))
+        inp = to_nhwc_frames(goldens["frames"])
+        gt = to_nhwc_frames(goldens["gt_frames"])
+        gt_res = (gt.shape[2], gt.shape[3])
+
+        tx = adam_torch(1e-3, weight_decay=1e-5, amsgrad=True)
+        opt_state = tx.init(params)
+        loss_fn = loss_fn_for(model, inp, gt, gt_res)
+
+        @jax.jit
+        def step(params, opt_state):
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            import optax
+
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        losses = []
+        for _ in range(200):
+            params, opt_state, loss = step(params, opt_state)
+            losses.append(float(loss))
+        losses = np.asarray(losses)
+        want = goldens["traj_losses"]
+
+        # pointwise tracking: stepwise parity is essentially exact early
+        # (measured 3.7e-7 @10, 2.5e-6 @25, 4.3e-5 @50); past ~50 coupled
+        # fp32 iterations the trajectories diverge chaotically as any two
+        # float implementations do, but must converge to the same basin
+        # (measured max 4.4e-2 over 200, final rel 9.2e-3)
+        np.testing.assert_allclose(losses[:25], want[:25], rtol=1e-5)
+        np.testing.assert_allclose(losses[:50], want[:50], rtol=2e-4)
+        np.testing.assert_allclose(losses, want, rtol=8e-2)
+        # same optimization outcome
+        assert losses[-1] == pytest.approx(want[-1], rel=3e-2)
+        assert losses[-1] < losses[0] * 0.6
