@@ -81,7 +81,7 @@ class TestCloudMovie:
 class TestLpipsLossTerm:
     def test_builds_and_runs(self, tmp_path):
         from bmcnet_esr_tpu.training.losses import build_extra_losses
-        from tools.make_lpips_goldens import make_alex_features
+        from tools.lpips_fixture_nets import make_alex_features
 
         torch.manual_seed(0)
         backbone = str(tmp_path / "alex_features.pth")

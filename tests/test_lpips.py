@@ -1,7 +1,14 @@
-"""LPIPS parity vs reference PNetLin goldens (random backbones + shipped
-v0.1 linear heads)."""
+"""LPIPS parity vs reference PNetLin goldens over the full option surface:
+{alex, vgg, squeeze} x {v0.0, v0.1} x {scalar, spatial} net-lin (shipped head
+weights), plain-`net` mode, and the resnet feature extractors.
+
+Backbones are seeded-random nets rebuilt here from tools/lpips_fixture_nets
+(the same constructors the golden generator stubbed into torchvision), so the
+goldens ship only inputs + outputs.
+"""
 
 import os
+import sys
 
 import numpy as np
 import pytest
@@ -11,12 +18,23 @@ import jax.numpy as jnp
 from bmcnet_esr_tpu.losses.lpips import (
     LPIPS,
     convert_backbone_state_dict,
+    convert_resnet_state_dict,
     load_lin_weights,
     perceptual_loss,
+    resnet_features,
 )
 
 GOLDENS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
-LIN_DIR = "/root/reference/loss/PerceptualSimilarity/models/weights/v0.1"
+WEIGHTS = "/root/reference/loss/PerceptualSimilarity/models/weights"
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+import lpips_fixture_nets as nets  # noqa: E402
+
+_BUILDERS = {
+    "alex": nets.make_alex_features,
+    "vgg": nets.make_vgg16_features,
+    "squeeze": nets.make_squeeze_features,
+}
 
 
 @pytest.fixture(scope="module")
@@ -24,28 +42,97 @@ def g():
     return np.load(os.path.join(GOLDENS, "lpips_goldens.npz"))
 
 
-def build(g, net):
-    sd = {k.split("/sd/")[1]: g[k] for k in g.files if k.startswith(f"{net}/sd/")}
+@pytest.fixture(scope="module")
+def backbones():
+    return {
+        net: convert_backbone_state_dict(
+            {k: v.numpy() for k, v in builder().state_dict().items()}, net
+        )
+        for net, builder in _BUILDERS.items()
+    }
+
+
+def build(backbones, net, version="0.1", spatial=False, lpips=True):
     lin_name = "vgg" if net in ("vgg", "vgg16") else net
-    lins = load_lin_weights(os.path.join(LIN_DIR, f"{lin_name}.pth"), net)
-    return LPIPS(convert_backbone_state_dict(sd, net), lins, net)
+    lins = (
+        load_lin_weights(os.path.join(WEIGHTS, f"v{version}", f"{lin_name}.pth"), net)
+        if lpips
+        else None
+    )
+    return LPIPS(backbones[net], lins, net, version=version, spatial=spatial, lpips=lpips)
 
 
-@pytest.mark.parametrize("net", ["alex", "vgg"])
-def test_matches_reference(g, net):
-    lp = build(g, net)
-    out = np.asarray(lp(jnp.asarray(g["in0"]), jnp.asarray(g["in1"])))
-    np.testing.assert_allclose(out, g[f"{net}/out"], atol=2e-5, rtol=1e-4)
+def inputs(g, spatial):
+    if spatial:
+        return jnp.asarray(g["in0_sq"]), jnp.asarray(g["in1_sq"])
+    return jnp.asarray(g["in0"]), jnp.asarray(g["in1"])
 
 
-def test_zero_distance_for_identical(g):
-    lp = build(g, "alex")
-    out = np.asarray(lp(jnp.asarray(g["in0"]), jnp.asarray(g["in0"])))
-    np.testing.assert_allclose(out, 0.0, atol=1e-6)
+class TestNetLin:
+    @pytest.mark.parametrize("net", ["alex", "vgg", "squeeze"])
+    @pytest.mark.parametrize("version", ["0.0", "0.1"])
+    @pytest.mark.parametrize("spatial", [False, True], ids=["scalar", "spatial"])
+    def test_matches_reference(self, g, backbones, net, version, spatial):
+        lp = build(backbones, net, version, spatial)
+        in0, in1 = inputs(g, spatial)
+        out = np.asarray(lp(in0, in1))
+        want = g[f"{net}/v{version}/{'spatial' if spatial else 'scalar'}"]
+        assert out.shape == want.shape
+        np.testing.assert_allclose(out, want, atol=2e-5, rtol=1e-4)
+
+    def test_zero_distance_for_identical(self, g, backbones):
+        lp = build(backbones, "alex")
+        out = np.asarray(lp(jnp.asarray(g["in0"]), jnp.asarray(g["in0"])))
+        np.testing.assert_allclose(out, 0.0, atol=1e-6)
+
+    def test_ret_per_layer(self, g, backbones):
+        lp = build(backbones, "squeeze")
+        val, res = lp(jnp.asarray(g["in0"]), jnp.asarray(g["in1"]), ret_per_layer=True)
+        assert len(res) == 7  # squeeze taps
+        np.testing.assert_allclose(
+            np.asarray(sum(res[1:], res[0])), np.asarray(val), rtol=1e-6
+        )
 
 
-def test_perceptual_loss_channel_broadcast(g):
-    lp = build(g, "alex")
+class TestPlainNet:
+    @pytest.mark.parametrize("net", ["alex", "squeeze"])
+    @pytest.mark.parametrize("spatial", [False, True], ids=["scalar", "spatial"])
+    def test_matches_reference(self, g, backbones, net, spatial):
+        lp = build(backbones, net, spatial=spatial, lpips=False)
+        in0, in1 = inputs(g, spatial)
+        out = np.asarray(lp(in0, in1))
+        want = g[f"{net}/plain/{'spatial' if spatial else 'scalar'}"]
+        assert out.shape == want.shape
+        np.testing.assert_allclose(out, want, atol=5e-5, rtol=1e-4)
+
+
+class TestResnet:
+    @pytest.mark.parametrize("num", [18, 50])
+    def test_taps_match_reference(self, g, num):
+        net = nets.make_resnet(num)
+        params = convert_resnet_state_dict(
+            {k: v.numpy() for k, v in net.state_dict().items()}
+        )
+        taps = resnet_features(params, jnp.asarray(g["in0"]), num)
+        assert len(taps) == 5
+        for i, tap in enumerate(taps):
+            want = g[f"resnet{num}/tap{i}"]
+            assert tap.shape == want.shape
+            np.testing.assert_allclose(np.asarray(tap), want, atol=1e-4, rtol=1e-4)
+
+    def test_deep_variants_construct(self, g):
+        """34/101/152 share the block code; one forward sanity each."""
+        for num in (34, 101, 152):
+            net = nets.make_resnet(num)
+            params = convert_resnet_state_dict(
+                {k: v.numpy() for k, v in net.state_dict().items()}
+            )
+            taps = resnet_features(params, jnp.asarray(g["in0"][:1]), num)
+            assert len(taps) == 5 and all(np.isfinite(np.asarray(t)).all() for t in taps)
+
+
+def test_perceptual_loss_channel_broadcast(g, backbones):
+    lp = build(backbones, "alex")
     rng = np.random.default_rng(0)
     one = jnp.asarray(rng.random((1, 1, 33, 37)).astype(np.float32))
     two = jnp.asarray(rng.random((1, 1, 33, 37)).astype(np.float32))
