@@ -1,6 +1,10 @@
-"""Super SloMo upsampler parity vs reference-model goldens."""
+"""Super SloMo upsampler parity vs reference-model goldens.
+
+UNet weights are synthesized from the shape manifest + seeded numpy recipe
+shared with tools/make_slomo_goldens.py (the goldens ship no state dicts)."""
 
 import os
+import sys
 
 import numpy as np
 import pytest
@@ -16,6 +20,9 @@ from bmcnet_esr_tpu.data.upsampling import (
 )
 
 GOLDENS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from slomo_fixture_weights import shapes_from_npz, synth_state_dict  # noqa: E402
 
 
 @pytest.fixture(scope="module")
@@ -24,7 +31,9 @@ def g():
 
 
 def params(g, prefix):
-    return {k[len(prefix) + 1 :]: jnp.asarray(g[k]) for k in g.files if k.startswith(prefix + "/")}
+    seed = {"fc": 33, "at": 34}[prefix]
+    sd = synth_state_dict(shapes_from_npz(g, prefix), seed=seed)
+    return {k: jnp.asarray(v) for k, v in sd.items()}
 
 
 class TestSlomoParity:

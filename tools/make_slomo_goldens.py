@@ -1,5 +1,9 @@
 """Record Super SloMo UNet / backWarp goldens from the reference model code
-with random weights (the public checkpoint is not downloadable offline)."""
+with synthetic weights (the public checkpoint is not downloadable offline).
+
+Weights come from tools/slomo_fixture_weights.py — a seeded numpy recipe the
+tests replay, so the goldens ship only inputs/outputs/shape-manifest (KBs)
+instead of the 140 MB of state dicts round 1 committed."""
 
 import importlib.util
 import os
@@ -8,6 +12,9 @@ import types
 
 import numpy as np
 import torch
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from slomo_fixture_weights import manifest_to_npz_entries, synth_state_dict  # noqa: E402
 
 REF_MODEL = "/root/reference/generate_dataset/upsampling/utils/model.py"
 OUT = os.path.join(
@@ -26,12 +33,17 @@ spec.loader.exec_module(m)
 
 
 def main():
-    torch.manual_seed(33)
     h, w = 32, 64  # must be divisible by 2**5 (five down blocks)
 
     fc = m.UNet(6, 4).eval()
     at = m.UNet(20, 5).eval()
     bw = m.backWarp(w, h, "cpu")
+
+    # synthetic deterministic weights (see module docstring)
+    fc_shapes = {k: tuple(v.shape) for k, v in fc.state_dict().items()}
+    at_shapes = {k: tuple(v.shape) for k, v in at.state_dict().items()}
+    fc.load_state_dict({k: torch.tensor(v) for k, v in synth_state_dict(fc_shapes, seed=33).items()})
+    at.load_state_dict({k: torch.tensor(v) for k, v in synth_state_dict(at_shapes, seed=34).items()})
 
     rng = np.random.default_rng(0)
     i0 = rng.random((1, 3, h, w)).astype(np.float32)
@@ -68,11 +80,13 @@ def main():
         "i0": i0, "i1": i1, "flow": flow,
         "fc_out": fc_out, "warped": warped, "ft": ft.numpy(),
     }
-    payload.update({f"fc/{k}": v.numpy() for k, v in fc.state_dict().items()})
-    payload.update({f"at/{k}": v.numpy() for k, v in at.state_dict().items()})
+    payload.update(manifest_to_npz_entries("fc", fc_shapes))
+    payload.update(manifest_to_npz_entries("at", at_shapes))
     os.makedirs(OUT, exist_ok=True)
-    np.savez_compressed(os.path.join(OUT, "slomo_goldens.npz"), **payload)
-    print("wrote slomo_goldens.npz; ft mean:", float(ft.mean()))
+    path = os.path.join(OUT, "slomo_goldens.npz")
+    np.savez_compressed(path, **payload)
+    print(f"wrote slomo_goldens.npz ({os.path.getsize(path)/1e6:.2f} MB); "
+          f"ft mean: {float(ft.mean())}")
 
 
 if __name__ == "__main__":
