@@ -9,9 +9,19 @@ voxel frame.
 Baseline for ``vs_baseline``: the same architecture/rollout in PyTorch
 (reference implementation semantics) on this host's CPU — the only
 torch baseline measurable in this environment (no CUDA here).  The metric
-string carries that caveat.
+string carries that caveat.  ``aux`` adds the other two axes:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+* ``b1_ms_per_window`` — the reference's own eval metric (ms per forward at
+  batch 1, stateful stride-1 rollout; ``infer_BMCNet.py:54-68``), measured
+  as a chunked scan so the ~33 ms per-dispatch tunnel overhead amortizes
+  (the honest serving number on this attachment).
+* ``train_iters_per_sec`` — full NFS training recipe shapes (full BMCNet x4,
+  batch 2, 9-window clips, 2048-event windows, BPTT + Adam(amsgrad), one
+  XLA program per iteration).
+* ``gpu_ceiling_note`` — context anchoring vs_baseline's torch-CPU basis to
+  a GPU estimate from exact per-window FLOPs (docs/DESIGN.md §8).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "aux"}.
 """
 
 import json
@@ -44,11 +54,9 @@ def random_windows(count, batch, h, w, n, rng):
     return ev
 
 
-def bench_tpu(dtype_name: str = "bfloat16"):
-    """Throughput of the serving path (bf16 compute, fp32 params)."""
+def _rollout_fps(batch: int, dtype_name: str = "bfloat16") -> float:
+    """Voxel-frames/sec of the chunked stateful rollout at a given batch."""
     import jax
-    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from bmcnet_esr_tpu.models import BMCNet
@@ -56,8 +64,8 @@ def bench_tpu(dtype_name: str = "bfloat16"):
 
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     model = BMCNet(scale=SCALE, n_c=128, n_b=5, dtype=dtype)
-    x0 = jnp.zeros((B, 2, H, W, 2))
-    carry0 = tuple(model.init_state(B, H, W))
+    x0 = jnp.zeros((batch, 2, H, W, 2))
+    carry0 = tuple(model.init_state(batch, H, W))
     variables = model.init(jax.random.key(0), x0, *carry0)
 
     @jax.jit
@@ -74,7 +82,7 @@ def bench_tpu(dtype_name: str = "bfloat16"):
         return carry, preds
 
     rng = np.random.default_rng(0)
-    events = jnp.asarray(random_windows(CHUNK + 1, B, H, W, N_EVENTS, rng))
+    events = jnp.asarray(random_windows(CHUNK + 1, batch, H, W, N_EVENTS, rng))
 
     # NOTE: on the axon platform block_until_ready can return before the
     # first real execution completes; a tiny device_get is the reliable sync.
@@ -90,7 +98,66 @@ def bench_tpu(dtype_name: str = "bfloat16"):
         times.append(time.perf_counter() - t0)
     times = times[1:]  # drop warm-up
     dt = float(np.median(times))
-    return CHUNK * B / dt
+    return CHUNK * batch / dt
+
+
+def bench_tpu(dtype_name: str = "bfloat16"):
+    """Throughput of the serving path (bf16 compute, fp32 params)."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return _rollout_fps(B, dtype_name)
+
+
+def bench_b1_latency(dtype_name: str = "bfloat16") -> float:
+    """ms per window at batch 1 — the reference's eval metric
+    (infer_BMCNet.py:54-68), amortized over a scan chunk."""
+    fps = _rollout_fps(1, dtype_name)
+    return 1000.0 / fps
+
+
+def bench_train_iters_per_sec(n_iters_timed: int = 8) -> float:
+    """Optimizer iterations/sec at the full NFS recipe shapes (batch 2,
+    9-window clips, 2048-event windows, full BMCNet x4, BPTT + Adam)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bmcnet_esr_tpu.models import BMCNet
+    from bmcnet_esr_tpu.training.optim import adam_torch
+    from bmcnet_esr_tpu.training.train_step import init_train_state, make_train_step
+
+    batch_size, seq_len = 2, 9
+    model = BMCNet(scale=SCALE, n_c=128, n_b=5)
+    tx = adam_torch(1e-4, weight_decay=1e-5, amsgrad=True)
+    dummy = jnp.zeros((batch_size, 2, H, W, 2))
+    params = model.init(jax.random.key(0), dummy, *model.init_state(batch_size, H, W))
+    state = init_train_state(params, tx)
+    step = make_train_step(
+        model, tx, (H, W), (SCALE * H, SCALE * W), seqn=2, use_remat=True
+    )
+
+    rng = np.random.default_rng(1)
+
+    def clip_batch(events_n, hh, ww):
+        ev = np.zeros((batch_size, seq_len, 4, events_n), np.float32)
+        ev[:, :, 0] = rng.integers(0, ww, (batch_size, seq_len, events_n))
+        ev[:, :, 1] = rng.integers(0, hh, (batch_size, seq_len, events_n))
+        ev[:, :, 2] = np.sort(rng.random((batch_size, seq_len, events_n)), -1)
+        ev[:, :, 3] = rng.integers(0, 2, (batch_size, seq_len, events_n)) * 2 - 1
+        return ev
+
+    batch = {
+        "inp_events": jnp.asarray(clip_batch(N_EVENTS, H, W)),
+        "gt_events": jnp.asarray(clip_batch(N_EVENTS * SCALE**2, SCALE * H, SCALE * W)),
+    }
+    state, metrics = step(state, batch)  # compile + first exec
+    _ = jax.device_get(metrics["train_loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(n_iters_timed):
+        state, metrics = step(state, batch)
+    _ = jax.device_get(metrics["train_loss"])
+    return n_iters_timed / (time.perf_counter() - t0)
 
 
 def bench_torch_cpu(budget_s: float = 60.0):
@@ -124,6 +191,8 @@ def bench_torch_cpu(budget_s: float = 60.0):
 
 def main():
     fps_tpu = bench_tpu()
+    b1_ms = bench_b1_latency()
+    train_ips = bench_train_iters_per_sec()
     try:
         fps_torch = bench_torch_cpu()
     except Exception:
@@ -141,6 +210,16 @@ def main():
                 "value": round(fps_tpu, 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(vs, 2) if vs else None,
+                "aux": {
+                    "b1_ms_per_window": round(b1_ms, 3),
+                    "train_iters_per_sec": round(train_ips, 2),
+                    "torch_cpu_fps": round(fps_torch, 2) if fps_torch else None,
+                    "gpu_ceiling_note": (
+                        "no CUDA here; vs an ESTIMATED PyTorch-GPU ceiling "
+                        "from exact per-window FLOPs (XLA cost analysis, "
+                        "docs/DESIGN.md #8) this is ~4-7x"
+                    ),
+                },
             }
         )
     )

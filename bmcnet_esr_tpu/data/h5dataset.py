@@ -40,6 +40,42 @@ import numpy as np
 _DOWN_FACTOR = {"ori": 1, "down2": 2, "down4": 4, "down8": 8, "down16": 16}
 _FACTOR_PREFIX = {1: "ori", 2: "down2", 4: "down4", 8: "down8", 16: "down16"}
 
+# streaming-read block for timestamp scans (float64 -> 32 MB per block);
+# window/GT-alignment indexing never materializes a full ts array in RAM
+_TS_BLOCK = 4 * 1024 * 1024
+
+
+def _stream_searchsorted(dset, queries: np.ndarray, side: str = "left") -> np.ndarray:
+    """``np.searchsorted(dset[:], queries, side)`` without loading ``dset``.
+
+    ``queries`` must be ascending (window starts / frame stamps are).  Scans
+    the sorted dataset in ``_TS_BLOCK`` chunks; since both sides are sorted,
+    finalized queries form a prefix per block — one O(n) pass, O(block) RAM.
+    """
+    queries = np.asarray(queries)
+    out = np.empty(len(queries), np.int64)
+    qi = 0
+    n = dset.shape[0]
+    for base in range(0, n, _TS_BLOCK):
+        if qi == len(queries):
+            break
+        block = dset[base : base + _TS_BLOCK]
+        r = np.searchsorted(block, queries[qi:], side)
+        inside = r < len(block)  # insertion point strictly inside this block
+        n_done = int(np.argmin(inside)) if not inside.all() else len(r)
+        out[qi : qi + n_done] = base + r[:n_done]
+        qi += n_done
+    out[qi:] = n
+    return out
+
+
+def _gather_sorted(dset, indices: np.ndarray) -> np.ndarray:
+    """``dset[:][indices]`` for ascending (possibly repeated) indices without
+    loading the dataset (h5py fancy selection requires strictly-increasing,
+    duplicate-free index lists)."""
+    uniq, inverse = np.unique(np.asarray(indices, np.int64), return_inverse=True)
+    return dset[uniq.tolist()][inverse] if len(uniq) else np.empty(0, dset.dtype)
+
 
 @dataclasses.dataclass
 class AugmentConfig:
@@ -212,15 +248,10 @@ class EventH5Dataset:
             self.num_events = ts.shape[0]
             self.t0 = float(ts[0]) if self.num_events else 0.0
             self.tk = float(ts[-1]) if self.num_events else 0.0
-            # input timestamps are small (window indexing is per-item random
-            # access); cache them for window/GT alignment computation.
-            self._inp_ts = ts[:]
             if config.need_gt_events:
                 self.num_gt_events = f[f"{self.layout.gt_prefix}_events/ts"].shape[0]
-                self._gt_ts = f[f"{self.layout.gt_prefix}_events/ts"][:]
             else:
                 self.num_gt_events = 0
-                self._gt_ts = None
             if config.need_gt_frame or config.mode == "frame":
                 names = sorted(f["ori_images"].keys()) if "ori_images" in f else []
                 self.frame_ts = np.array(
@@ -231,11 +262,14 @@ class EventH5Dataset:
                 self.frame_ts = None
                 self.num_frames = 0
 
-        self.duration = self.tk - self.t0
-        self.window = config.window
-        self.sliding_window = config.sliding_window
+            self.duration = self.tk - self.t0
+            self.window = config.window
+            self.sliding_window = config.sliding_window
 
-        self._compute_windows()
+            # timestamp arrays are NEVER cached whole (an RGB-recipe file has
+            # O(100M) gt stamps = GBs across worker copies); windowing and GT
+            # alignment stream the sorted datasets instead
+            self._compute_windows(f)
 
         # fixed padded sizes so pipeline shapes stay static:
         # - events mode: window counts are exact (config.window)
@@ -264,8 +298,9 @@ class EventH5Dataset:
 
     # -- windowing ---------------------------------------------------------
 
-    def _compute_windows(self) -> None:
+    def _compute_windows(self, f: h5py.File) -> None:
         cfg = self.config
+        inp_ts = f[f"{self.layout.inp_prefix}_events/ts"]
         stride = self.window - self.sliding_window
         if cfg.mode == "events":
             max_length = max(self.num_events // stride, 0)
@@ -277,14 +312,14 @@ class EventH5Dataset:
             max_length = max(int(self.duration // stride), 0)
             self.length = min(cfg.dataset_length or max_length, max_length)
             starts = self.t0 + stride * np.arange(self.length, dtype=np.float64)
-            idx0 = np.searchsorted(self._inp_ts, starts, "left")
-            idx1 = np.searchsorted(self._inp_ts, starts + self.window, "left")
+            idx0 = _stream_searchsorted(inp_ts, starts, "left")
+            idx1 = _stream_searchsorted(inp_ts, starts + self.window, "left")
             idx1 = np.minimum(idx1, self.num_events - 1)
             self.event_indices = np.stack([idx0, idx1], 1)
         elif cfg.mode == "frame":
             max_length = max(self.num_frames - 1, 0)
             self.length = min(cfg.dataset_length or max_length, max_length)
-            bounds = np.searchsorted(self._inp_ts, self.frame_ts[: self.length + 1], "left")
+            bounds = _stream_searchsorted(inp_ts, self.frame_ts[: self.length + 1], "left")
             bounds = np.minimum(bounds, self.num_events - 1)
             self.event_indices = np.stack([bounds[:-1], bounds[1:]], 1)
         else:
@@ -301,8 +336,9 @@ class EventH5Dataset:
             # (h5dataset.py:362-390)
             first_len = int(self.event_indices[0, 1] - self.event_indices[0, 0])
             gt_count = cfg.scale**2 * first_len
-            t_starts = self._inp_ts[self.event_indices[:, 0]]
-            g0 = np.searchsorted(self._gt_ts, t_starts, "left")
+            t_starts = _gather_sorted(inp_ts, self.event_indices[:, 0])
+            gt_ts = f[f"{self.layout.gt_prefix}_events/ts"]
+            g0 = _stream_searchsorted(gt_ts, t_starts, "left")
             g1 = g0 + gt_count
             over = g1 > self.num_gt_events - 1
             g1 = np.where(over, self.num_gt_events - 1, g1)
@@ -455,7 +491,7 @@ class EventH5Dataset:
         (reference h5dataset.py:287-295, 392-402)."""
         import cv2
 
-        mid_ts = self._inp_ts[(i0 + i1) // 2]
+        mid_ts = self.file[f"{self.layout.inp_prefix}_events/ts"][(i0 + i1) // 2]
         gi = int(np.searchsorted(self.frame_ts, mid_ts, "left"))
         gi = min(max(gi, 0), self.num_frames - 1)
         img = self.file[f"ori_images/image{gi:09d}"][:]

@@ -155,6 +155,70 @@ class TestWindowing:
         assert ts[i0] >= start
         assert ts[i1 - 1] < start + 0.2 or i1 == ds.num_events - 1
 
+    @pytest.mark.parametrize("mode,window,sliding", [
+        ("events", 256, 128), ("time", 0.2, 0.1),
+    ])
+    def test_streamed_indexing_matches_full_load(self, fixture_h5, mode, window, sliding):
+        """Window + GT-alignment indices must be byte-identical to the
+        brute-force computation over fully-loaded timestamp arrays (the
+        streamed path never caches ts whole — round-1 VERDICT #5)."""
+        from bmcnet_esr_tpu.data.h5dataset import _TS_BLOCK, _stream_searchsorted
+
+        cfg = small_config(mode=mode, window=window, sliding_window=sliding)
+        ds = EventH5Dataset(fixture_h5, cfg)
+        with h5py.File(fixture_h5, "r") as f:
+            inp_ts = f["down4_events/ts"][:]
+            gt_ts = f["ori_events/ts"][:]
+
+        # brute-force replication of the indexing math on in-RAM arrays
+        stride = window - sliding
+        if mode == "events":
+            idx0 = stride * np.arange(len(ds), dtype=np.int64)
+            idx1 = np.minimum(idx0 + window, ds.num_events - 1)
+        else:
+            starts = ds.t0 + stride * np.arange(len(ds), dtype=np.float64)
+            idx0 = np.searchsorted(inp_ts, starts, "left")
+            idx1 = np.minimum(np.searchsorted(inp_ts, starts + window, "left"),
+                              ds.num_events - 1)
+        np.testing.assert_array_equal(ds.event_indices, np.stack([idx0, idx1], 1))
+
+        gt_count = 16 * int(idx1[0] - idx0[0])
+        g0 = np.searchsorted(gt_ts, inp_ts[idx0], "left")
+        g1 = g0 + gt_count
+        over = g1 > len(gt_ts) - 1
+        g1 = np.where(over, len(gt_ts) - 1, g1)
+        g0 = np.where(over, np.maximum(g1 - gt_count, 0), g0)
+        np.testing.assert_array_equal(ds.gt_event_indices, np.stack([g0, g1], 1))
+
+    def test_stream_searchsorted_block_boundaries(self, tmp_path):
+        """Exact np.searchsorted semantics across block edges, incl. ties on
+        the boundary and queries beyond the last element."""
+        import bmcnet_esr_tpu.data.h5dataset as h5mod
+
+        vals = np.sort(np.random.default_rng(0).integers(0, 50, 200)).astype(np.float64)
+        path = str(tmp_path / "s.h5")
+        with h5py.File(path, "w") as f:
+            f.create_dataset("ts", data=vals)
+        queries = np.unique(np.concatenate([vals[::7], [-1.0, 49.0, 50.0, 99.0]]))
+        old = h5mod._TS_BLOCK
+        try:
+            h5mod._TS_BLOCK = 16  # force many blocks
+            with h5py.File(path, "r") as f:
+                got = h5mod._stream_searchsorted(f["ts"], queries, "left")
+        finally:
+            h5mod._TS_BLOCK = old
+        np.testing.assert_array_equal(got, np.searchsorted(vals, queries, "left"))
+
+    def test_no_full_ts_arrays_resident(self, fixture_h5):
+        """The dataset object must not hold O(num_events) arrays."""
+        ds = EventH5Dataset(fixture_h5, small_config())
+        big = {
+            k: v.size
+            for k, v in ds.__dict__.items()
+            if isinstance(v, np.ndarray) and v.size >= ds.num_events // 4
+        }
+        assert not big, big  # nothing may scale with the event count
+
 
 class TestAugmentation:
     def test_seed_determinism_and_flip_semantics(self, fixture_h5):
