@@ -91,6 +91,19 @@ class NoiseConfig:
 
 
 @dataclasses.dataclass
+class HotFilterConfig:
+    """Hot-pixel suppression for real-world captures (the reference carries
+    this block in every recipe with ``enabled: False`` and never wires its
+    ``create_hot_mask`` — here the same block actually filters when enabled;
+    ``train_EventZoom.yml:89-93``, ``h5dataset.py:528-548``)."""
+
+    enabled: bool = False
+    max_px: int = 100
+    min_obvs: int = 5
+    max_rate: float = 0.8
+
+
+@dataclasses.dataclass
 class PauseConfig:
     enabled: bool = False
     proba_pause_when_running: float = 0.05
@@ -120,6 +133,7 @@ class DatasetConfig:
     custom_resolution: Optional[Sequence[int]] = None
     augment: AugmentConfig = dataclasses.field(default_factory=AugmentConfig)
     noise: NoiseConfig = dataclasses.field(default_factory=NoiseConfig)
+    hot_filter: HotFilterConfig = dataclasses.field(default_factory=HotFilterConfig)
     sequence: SequenceConfig = dataclasses.field(default_factory=SequenceConfig)
 
     @classmethod
@@ -127,6 +141,7 @@ class DatasetConfig:
         """Build from a reference-style YAML dataset dict (train_nfs.yml:76-101)."""
         aug = cfg.get("data_augment", {})
         noise = cfg.get("add_noise", {})
+        hot = cfg.get("hot_filter", {})
         seq = cfg.get("sequence", {})
         pause = seq.get("pause", {})
         return cls(
@@ -149,6 +164,12 @@ class DatasetConfig:
             noise=NoiseConfig(
                 enabled=noise.get("enabled", False),
                 noise_level=noise.get("noise_level", 0.01),
+            ),
+            hot_filter=HotFilterConfig(
+                enabled=hot.get("enabled", False),
+                max_px=hot.get("max_px", 100),
+                min_obvs=hot.get("min_obvs", 5),
+                max_rate=hot.get("max_rate", 0.8),
             ),
             sequence=SequenceConfig(
                 sequence_length=seq.get("sequence_length", 9),
@@ -462,6 +483,8 @@ class EventH5Dataset:
             item["inp_events"], item["inp_len"] = inp, 0
         else:
             ev = self._read_events(self.layout.inp_prefix, i0, i1)
+            if cfg.hot_filter.enabled:
+                ev = self._apply_hot_filter(ev)
             if cfg.augment.enabled:
                 ev = self._augment(ev, self.layout.inp_resolution, seed)
             ev = self._normalize_ts(ev)
@@ -629,6 +652,27 @@ class EventH5Dataset:
             hot = order[flat[order] > max_rate]
             mask.reshape(-1)[hot] = 0.0
         return mask
+
+    def _apply_hot_filter(self, events: np.ndarray) -> np.ndarray:
+        """Suppress events at hot pixels (``hot_filter`` config block).
+
+        Updates the per-file running rate from this window's count image,
+        then zeroes the polarity of events landing on masked pixels — every
+        downstream encoder ignores ``p == 0``, so shapes stay static.  The
+        count image (and therefore the mask) lives in y-FLIPPED raster
+        coordinates (encodings.py:265); the lookup flips accordingly.
+        """
+        hf = self.config.hot_filter
+        res = self.layout.inp_resolution
+        cnt = self.create_cnt_encoding(events, res)
+        mask = self.update_hot_mask(cnt, hf.max_px, hf.min_obvs, hf.max_rate)
+        xs, ys, _, ps = events
+        xi = np.clip(xs.astype(np.int64), 0, res[1] - 1)
+        yi = np.clip(res[0] - 1 - ys.astype(np.int64), 0, res[0] - 1)
+        keep = mask[yi, xi] > 0
+        out = events.copy()
+        out[3] = np.where(keep, ps, 0.0)
+        return out
 
 
 class EventSequenceDataset:

@@ -391,6 +391,38 @@ def resnet_features(params: Dict[str, Array], x: Array, num: int = 18) -> List[A
     return taps
 
 
+# -- FakeNet distance modes (dist_model.py:81-86, networks_basic.py:153-189) -
+
+def l2_distance(in0: Array, in1: Array) -> Array:
+    """``DistModel(model='L2', colorspace='RGB')``: plain mean squared
+    difference of the [-1, 1] tensors, one value per image
+    (``networks_basic.py:163-167``).  The Lab colorspace variant needs
+    skimage's rgb2lab (not in this environment) and is not provided."""
+    return jnp.mean(jnp.square(in0 - in1), axis=(1, 2, 3))
+
+
+def _tensor2im_quantize(x: Array) -> Array:
+    """The reference's ``tensor2im`` maps [-1, 1] -> uint8 ([0, 255] with
+    truncation) before DSSIM (``models/__init__.py:112-113``); quantization
+    replicated exactly."""
+    return jnp.clip(jnp.floor((x + 1.0) * 127.5), 0.0, 255.0)
+
+
+def dssim_distance(in0: Array, in1: Array) -> Array:
+    """``DistModel(model='SSIM', colorspace='RGB')``: ``(1 - SSIM)/2`` on
+    uint8-quantized images, data_range 255, per-channel SSIM averaged
+    (skimage ``multichannel=True`` semantics; ``models/__init__.py:58-59``,
+    ``networks_basic.py:176-189``).  One value per image."""
+    from bmcnet_esr_tpu.losses.restore import ssim_metric
+
+    q0 = _tensor2im_quantize(in0)
+    q1 = _tensor2im_quantize(in1)
+    vals = [
+        (1.0 - ssim_metric(q0[b], q1[b], 255.0)) / 2.0 for b in range(in0.shape[0])
+    ]
+    return jnp.stack(vals)
+
+
 def perceptual_loss(
     lpips: LPIPS, pred: Array, target: Array, *, normalize: bool = True, weight: float = 1.0
 ) -> Array:

@@ -274,6 +274,66 @@ class TestSequences:
         assert len(sq) == 1 and sq.L == len(sq.dataset)
 
 
+class TestHotFilter:
+    def test_config_round_trip(self):
+        cfg = DatasetConfig.from_dict(
+            {"scale": 4, "hot_filter": {"enabled": True, "max_px": 7,
+                                        "min_obvs": 2, "max_rate": 0.5}}
+        )
+        hf = cfg.hot_filter
+        assert (hf.enabled, hf.max_px, hf.min_obvs, hf.max_rate) == (True, 7, 2, 0.5)
+        # absent block -> reference defaults, disabled
+        off = DatasetConfig.from_dict({"scale": 4})
+        assert not off.hot_filter.enabled and off.hot_filter.max_px == 100
+
+    def test_hot_pixel_events_suppressed(self, fixture_h5):
+        """A pixel firing in EVERY window gets masked after min_obvs windows
+        and its events zeroed out; quiet pixels are untouched."""
+        from bmcnet_esr_tpu.data.h5dataset import HotFilterConfig
+
+        cfg = small_config()
+        # max_px must cover the whole sensor here: argsort ties among other
+        # frequently-firing fixture pixels can push the injected pixel out of
+        # a small top-k (the cap is reference semantics, not a bug)
+        cfg.hot_filter = HotFilterConfig(enabled=True, max_px=400, min_obvs=3, max_rate=0.9)
+        ds = EventH5Dataset(fixture_h5, cfg)
+        h, w = ds.layout.inp_resolution
+        hot_x, hot_y = 3, 5
+
+        # inject a hot pixel into every read window
+        orig_read = ds._read_events
+
+        def read_with_hot(prefix, i0, i1):
+            ev = orig_read(prefix, i0, i1)
+            if prefix == ds.layout.inp_prefix:
+                n = ev.shape[1] // 8
+                ev[0, :n] = hot_x
+                ev[1, :n] = hot_y
+                ev[3, :n] = 1.0
+            return ev
+
+        ds._read_events = read_with_hot
+        for i in range(3):  # warm-up below min_obvs: nothing masked yet
+            item = ds.get_window(i, seed=0)
+            inp = item["inp_events"]
+            assert ((inp[0, :] == hot_x) & (inp[1, :] == hot_y) & (inp[3, :] != 0)).any()
+        item = ds.get_window(3, seed=0)  # hot_idx=4 > min_obvs: masked now
+        inp = item["inp_events"]
+        at_hot = (inp[0, :] == hot_x) & (inp[1, :] == hot_y)
+        assert at_hot.any() and (inp[3, at_hot] == 0).all()
+        # quiet pixels keep their polarity
+        assert (inp[3, ~at_hot] != 0).any()
+
+    def test_disabled_filter_is_identity(self, fixture_h5):
+        base = EventH5Dataset(fixture_h5, small_config()).get_window(0, seed=9)
+        cfg = small_config()
+        from bmcnet_esr_tpu.data.h5dataset import HotFilterConfig
+
+        cfg.hot_filter = HotFilterConfig(enabled=False)
+        off = EventH5Dataset(fixture_h5, cfg).get_window(0, seed=9)
+        np.testing.assert_array_equal(base["inp_events"], off["inp_events"])
+
+
 class TestLoader:
     def test_batch_shapes_and_order_determinism(self, fixture_h5):
         cfg = small_config()

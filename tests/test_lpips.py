@@ -131,6 +131,37 @@ class TestResnet:
             assert len(taps) == 5 and all(np.isfinite(np.asarray(t)).all() for t in taps)
 
 
+class TestFakeNets:
+    def test_l2_matches_reference_formula(self, g):
+        import torch
+
+        from bmcnet_esr_tpu.losses.lpips import l2_distance
+
+        in0, in1 = g["in0"], g["in1"]
+        got = np.asarray(l2_distance(jnp.asarray(in0), jnp.asarray(in1)))
+        # reference L2.forward RGB (networks_basic.py:163-167), oracled
+        t0, t1 = torch.tensor(in0), torch.tensor(in1)
+        n, c, x, y = t0.shape
+        want = torch.mean(
+            torch.mean(torch.mean((t0 - t1) ** 2, dim=1).view(n, 1, x, y), dim=2).view(n, 1, 1, y),
+            dim=3,
+        ).view(n)
+        np.testing.assert_allclose(got, want.numpy(), rtol=1e-6)
+
+    def test_dssim_quantization_and_range(self, g):
+        from bmcnet_esr_tpu.losses.lpips import _tensor2im_quantize, dssim_distance
+
+        # tensor2im quantization: [-1,1] -> truncated [0,255]
+        x = jnp.asarray(np.array([[-1.0, -0.5, 0.0, 0.996, 1.0]], np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(_tensor2im_quantize(x)), [[0.0, 63.0, 127.0, 254.0, 255.0]]
+        )
+        d_same = np.asarray(dssim_distance(jnp.asarray(g["in0"]), jnp.asarray(g["in0"])))
+        np.testing.assert_allclose(d_same, 0.0, atol=1e-6)
+        d = np.asarray(dssim_distance(jnp.asarray(g["in0"]), jnp.asarray(g["in1"])))
+        assert d.shape == (2,) and (d > 0).all() and (d <= 0.5 + 1e-6).all()
+
+
 def test_perceptual_loss_channel_broadcast(g, backbones):
     lp = build(backbones, "alex")
     rng = np.random.default_rng(0)
