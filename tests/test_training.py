@@ -326,6 +326,29 @@ class TestTrainerLoop:
         assert logged[1] == pytest.approx(np.mean(per_iter[1:4]), rel=1e-6)
         assert logged[1] != pytest.approx(per_iter[3], rel=1e-6)  # not last-sample
 
+    def test_remat_config_plumbs_through(self, loaders, tmp_path):
+        train_loader, _ = loaders
+        cfg = {
+            "experiment": "remat",
+            "model": {"args": {"n_c": 8, "n_b": 2, "variant": "plain"}},
+            "optimizer": {"name": "Adam", "args": {"lr": 1e-3}},
+            "trainer": {
+                "output_path": str(tmp_path), "monitor": "off", "tensorboard": False,
+                "remat": False,
+                "iteration_based_train": {
+                    "enabled": True, "iterations": 1, "save_period": 10,
+                    "train_log_step": 1, "valid_log_step": 1, "valid_step": 10,
+                    "lr_change_rate": 4,
+                },
+            },
+            "train_dataloader": {"dataset": {"scale": 2}},
+        }
+        run = RunConfig(cfg, runid="r0")
+        tr = Trainer(run, train_loader=train_loader, seed=0)
+        assert tr.use_remat is False
+        result = tr.train()
+        assert np.isfinite(result["train_loss"])
+
     def test_set_by_path(self):
         d = {}
         set_by_path(d, "a;b;c", 5)
