@@ -1,6 +1,14 @@
 """Loss & metric library (JAX)."""
 
 from bmcnet_esr_tpu.losses.restore import mse_loss, psnr, psnr_metric, ssim, ssim_metric
+from bmcnet_esr_tpu.losses.lpips import (
+    LPIPS,
+    DistanceModel,
+    dssim_distance,
+    l2_distance,
+    perceptual_loss,
+    resnet_features,
+)
 from bmcnet_esr_tpu.losses.iwe import (
     compute_pol_iwe,
     deblur_events,
@@ -19,6 +27,12 @@ from bmcnet_esr_tpu.losses.reconstruction import (
 )
 
 __all__ = [
+    "LPIPS",
+    "DistanceModel",
+    "dssim_distance",
+    "l2_distance",
+    "perceptual_loss",
+    "resnet_features",
     "mse_loss",
     "psnr",
     "psnr_metric",

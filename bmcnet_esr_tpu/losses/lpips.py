@@ -423,6 +423,56 @@ def dssim_distance(in0: Array, in1: Array) -> Array:
     return jnp.stack(vals)
 
 
+class DistanceModel:
+    """``DistModel.initialize`` dispatch (``dist_model.py:28-113``) as a thin
+    facade: ``model`` selects net-lin (learned heads), net (plain feature
+    distances), L2 or SSIM/DSSIM; calling the instance computes distances.
+
+    Unlike the reference there is no implicit ``weights/v{version}/{net}.pth``
+    download path — backbone/head artifacts are explicit inputs (this
+    environment cannot fetch torchvision weights; the reference's own heads
+    ship in its tree and can be passed via ``lin_weights_path``).
+    """
+
+    def __init__(
+        self,
+        model: str = "net-lin",
+        net: str = "alex",
+        *,
+        backbone_state_dict: Optional[Dict] = None,
+        lin_weights_path: Optional[str] = None,
+        version: str = "0.1",
+        spatial: bool = False,
+    ):
+        self.model = model
+        self.name = f"{model} [{net}]"
+        if model == "net-lin":
+            self._fn = LPIPS.from_torch(
+                backbone_state_dict, lin_weights_path, net,
+                version=version, spatial=spatial, lpips=True,
+            )
+        elif model == "net":
+            self._fn = LPIPS.from_torch(
+                backbone_state_dict, None, net,
+                version=version, spatial=spatial, lpips=False,
+            )
+        elif model in ("L2", "l2"):
+            self._fn = l2_distance
+            self.name = "L2"
+        elif model in ("DSSIM", "dssim", "SSIM", "ssim"):
+            self._fn = dssim_distance
+            self.name = "SSIM"
+        else:
+            raise ValueError(f"Model [{model}] not recognized.")
+
+    def __call__(self, in0: Array, in1: Array, ret_per_layer: bool = False):
+        if isinstance(self._fn, LPIPS):
+            return self._fn(in0, in1, ret_per_layer)
+        return self._fn(in0, in1)
+
+    forward = __call__  # torch-style alias
+
+
 def perceptual_loss(
     lpips: LPIPS, pred: Array, target: Array, *, normalize: bool = True, weight: float = 1.0
 ) -> Array:

@@ -162,6 +162,35 @@ class TestFakeNets:
         assert d.shape == (2,) and (d > 0).all() and (d <= 0.5 + 1e-6).all()
 
 
+class TestDistanceModelFacade:
+    def test_dispatch_matches_components(self, g, backbones):
+        import torch
+
+        from bmcnet_esr_tpu.losses.lpips import DistanceModel, dssim_distance, l2_distance
+
+        sd = {k: v.numpy() for k, v in _BUILDERS["alex"]().state_dict().items()}
+        lin = os.path.join(WEIGHTS, "v0.1", "alex.pth")
+        in0, in1 = jnp.asarray(g["in0"]), jnp.asarray(g["in1"])
+
+        netlin = DistanceModel("net-lin", "alex", backbone_state_dict=sd, lin_weights_path=lin)
+        np.testing.assert_allclose(
+            np.asarray(netlin(in0, in1)), g["alex/v0.1/scalar"], atol=2e-5, rtol=1e-4
+        )
+        plain = DistanceModel("net", "alex", backbone_state_dict=sd)
+        np.testing.assert_allclose(
+            np.asarray(plain(in0, in1)), g["alex/plain/scalar"], atol=5e-5, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(DistanceModel("L2")(in0, in1)), np.asarray(l2_distance(in0, in1))
+        )
+        np.testing.assert_allclose(
+            np.asarray(DistanceModel("ssim")(in0, in1)), np.asarray(dssim_distance(in0, in1))
+        )
+        assert netlin.name == "net-lin [alex]" and DistanceModel("L2").name == "L2"
+        with pytest.raises(ValueError, match="not recognized"):
+            DistanceModel("nope")
+
+
 def test_perceptual_loss_channel_broadcast(g, backbones):
     lp = build(backbones, "alex")
     rng = np.random.default_rng(0)
