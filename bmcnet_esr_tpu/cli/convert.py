@@ -1,12 +1,21 @@
-"""Checkpoint conversion CLI: reference ``.pth`` -> framework param tree.
+"""Checkpoint conversion CLI, both directions.
+
+Import (reference ``.pth`` -> framework param tree):
 
     python -m bmcnet_esr_tpu.cli.convert \
         --pth pretrain/BMCNet_plain_nfs_x4.pth --variant plain --scale 4 \
         --out converted/plain_nfs_x4 [--npz]
 
+Export (trained framework checkpoint -> reference-layout ``.pth``, every
+tied alias re-expanded so the torch implementation loads it unchanged):
+
+    python -m bmcnet_esr_tpu.cli.convert \
+        --from_ckpt runs/exp/save/iteration_100000 --variant full \
+        --n_b 5 --out exported/bmcnet_x4.pth
+
 Verifies tied aliases bit-match during dedupe and reports the unique
-parameter count; the output loads via ``--model_path`` in the infer CLI or
-as initial weights for fine-tuning.
+parameter count; imported output loads via ``--model_path`` in the infer
+CLI or as initial weights for fine-tuning.
 """
 
 from __future__ import annotations
@@ -16,8 +25,10 @@ import os
 
 
 def main(argv=None):
-    p = argparse.ArgumentParser(description="convert reference .pth checkpoints")
-    p.add_argument("--pth", required=True)
+    p = argparse.ArgumentParser(description="convert checkpoints to/from the reference layout")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pth", help="import: reference .pth checkpoint")
+    src.add_argument("--from_ckpt", help="export: framework checkpoint (.npz or orbax dir)")
     p.add_argument("--out", required=True)
     p.add_argument("--variant", default="full", choices=["full", "plain"])
     p.add_argument("--scale", type=int, default=4)
@@ -25,6 +36,9 @@ def main(argv=None):
     p.add_argument("--n_b", type=int, default=5)
     p.add_argument("--npz", action="store_true", help="write a flat .npz instead of orbax")
     args = p.parse_args(argv)
+
+    if args.from_ckpt:
+        return _export(args)
 
     import numpy as np
     import jax
@@ -58,6 +72,26 @@ def main(argv=None):
         path = os.path.abspath(args.out)
         ocp.StandardCheckpointer().save(path, jax.device_get(variables))
         print("wrote orbax checkpoint:", path)
+
+
+def _export(args):
+    import numpy as np
+    import jax
+    jax.config.update("jax_platform_name", "cpu")
+    import torch
+
+    from bmcnet_esr_tpu.inference.engine import load_model_for_inference
+    from bmcnet_esr_tpu.models import export_torch_state_dict
+
+    _, variables = load_model_for_inference(
+        args.from_ckpt, args.scale, args.n_c, args.n_b, args.variant
+    )
+    sd = export_torch_state_dict(variables, args.variant, n_b=args.n_b)
+    out = args.out if args.out.endswith(".pth") else args.out + ".pth"
+    os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+    torch.save({k: torch.tensor(np.asarray(v)) for k, v in sd.items()}, out)
+    n_unique = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(variables))
+    print(f"exported {len(sd)} torch keys ({n_unique} unique params) -> {out}")
 
 
 if __name__ == "__main__":

@@ -2,7 +2,12 @@
 
 from bmcnet_esr_tpu.models.bmcnet import BMCNet, BMCNetPlain, Backbone, PlainBackbone
 from bmcnet_esr_tpu.models.layers import BIE, ChannelLayerNorm, ParallelBlk, ResidualBlock
-from bmcnet_esr_tpu.models.convert import convert_torch_state_dict, load_torch_checkpoint
+from bmcnet_esr_tpu.models.convert import (
+    convert_torch_state_dict,
+    export_torch_state_dict,
+    load_torch_checkpoint,
+    torch_key_manifest,
+)
 
 __all__ = [
     "BMCNet",
@@ -14,5 +19,7 @@ __all__ = [
     "ParallelBlk",
     "ResidualBlock",
     "convert_torch_state_dict",
+    "export_torch_state_dict",
+    "torch_key_manifest",
     "load_torch_checkpoint",
 ]

@@ -103,6 +103,67 @@ def convert_torch_state_dict(
     return {"params": tree}
 
 
+_BIE_MODULES = [
+    "clustering", "conv1.conv1", "conv1.conv2", "conv2.conv1", "conv2.conv2",
+    "convf1", "convf2", "norm_s", "unclustering", "v1", "v2",
+]
+_PLAIN_TOP = ["conv_f1", "conv_f2", "conv_fs", "conv_h", "conv_o"]
+_FULL_TOP = [
+    "conv_fns", "conv_fnst", "conv_fps", "conv_fpst", "conv_fs",
+    "conv_hn", "conv_hp", "conv_hs", "conv_o",
+]
+_FULL_BLK = [
+    "conv1.conv1", "conv1.conv2", "conv1_st.conv1", "conv1_st.conv2",
+    "conv2.conv1", "conv2.conv2", "conv2_st.conv1", "conv2_st.conv2",
+] + [f"{b}.{m}" for b in ("gBIE", "lBIE") for m in _BIE_MODULES]
+
+
+def torch_key_manifest(variant: str = "plain", n_b: int = 5) -> list:
+    """The reference state dict's key list for a model variant (every tied
+    alias present, ``para_reschunk.{0..n_b-1}`` expanded — 120 keys for
+    plain n_b=5, matching the released checkpoint)."""
+    if variant == "plain":
+        mods = [f"neuro.{m}" for m in _PLAIN_TOP]
+        blk = _BIE_MODULES
+    elif variant == "full":
+        mods = [f"neuro.{m}" for m in _FULL_TOP]
+        blk = _FULL_BLK
+    else:
+        raise ValueError(f"unknown variant {variant!r}")
+    for i in range(n_b):
+        mods += [f"neuro.para_reschunk.{i}.{m}" for m in blk]
+    return [f"{m}.{leaf}" for m in mods for leaf in ("weight", "bias")]
+
+
+def export_torch_state_dict(
+    variables: Dict[str, Any], variant: str = "plain", n_b: int = 5
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_torch_state_dict`: a bmcnet_esr_tpu param
+    tree -> a reference-layout torch ``state_dict`` (numpy values).
+
+    Re-expands every tied alias and depth index onto the single shared
+    tensor and transposes conv kernels HWIO -> OIHW, so the result loads
+    into the reference ``BMCNet``/``BMCNet_plain`` with ``load_state_dict``
+    — trained-on-TPU weights run in the torch implementation unchanged.
+    """
+    params = variables.get("params", variables)
+    out: Dict[str, np.ndarray] = {}
+    for key in torch_key_manifest(variant, n_b):
+        parts = _canonical_key(key).split(".")
+        path, leaf = parts[:-1], parts[-1]
+        node = params
+        for p in path:
+            node = node[p]
+        flax_leaf = (
+            "bias" if leaf == "bias" else ("scale" if path[-1] == "norm_s" else "kernel")
+        )
+        arr = np.asarray(node[flax_leaf])
+        if flax_leaf == "kernel" and arr.ndim == 4:
+            arr = arr.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+        out[key] = arr
+    return out
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     """Load a reference ``.pth`` file and convert it (requires torch)."""
     import torch  # local import: torch is a conversion-time-only dependency

@@ -188,6 +188,33 @@ def test_load_converted_flat_npz(tmp_path):
     assert n == 1_003_296
 
 
+def test_convert_cli_export_round_trip(tmp_path):
+    """cli/convert --from_ckpt writes a reference-layout .pth that equals the
+    original released checkpoint bit-for-bit (import -> export identity)."""
+    import torch
+
+    from bmcnet_esr_tpu.cli.convert import main as convert_main
+
+    npz = str(tmp_path / "conv.npz")
+    convert_main([
+        "--pth", "/root/reference/pretrain/BMCNet_plain_nfs_x4.pth",
+        "--variant", "plain", "--scale", "4", "--out", npz, "--npz",
+    ])
+    pth = str(tmp_path / "exported.pth")
+    convert_main([
+        "--from_ckpt", npz, "--variant", "plain", "--scale", "4",
+        "--n_b", "5", "--out", pth,
+    ])
+    orig = torch.load(
+        "/root/reference/pretrain/BMCNet_plain_nfs_x4.pth",
+        map_location="cpu", weights_only=True,
+    )
+    back = torch.load(pth, map_location="cpu", weights_only=True)
+    assert sorted(back) == sorted(orig)
+    for k in orig:
+        np.testing.assert_array_equal(back[k].numpy(), orig[k].numpy(), err_msg=k)
+
+
 class TestStreaming:
     def test_streaming_matches_batch_engine(self, fixture_h5):
         """Online pushes must reproduce the batch engine's rollout exactly."""

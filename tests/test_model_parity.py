@@ -108,6 +108,55 @@ class TestReleasedCheckpoint:
         np.testing.assert_allclose(preds, want, atol=5e-4, rtol=1e-4)
 
 
+class TestTorchExport:
+    """JAX -> torch round trip: a reference user can take trained-on-TPU
+    weights back into the torch implementation unchanged."""
+
+    def test_released_ckpt_round_trips_bit_exact(self):
+        from bmcnet_esr_tpu.models import export_torch_state_dict, torch_key_manifest
+
+        sd, _ = load_golden("plain_nfs_x4_ckpt.npz")
+        variables = convert_torch_state_dict(sd)
+        back = export_torch_state_dict(variables, "plain", n_b=5)
+        assert sorted(back) == sorted(sd) == sorted(torch_key_manifest("plain", 5))
+        assert len(back) == 120  # every tied alias re-expanded
+        for k in sd:
+            np.testing.assert_array_equal(back[k], np.asarray(sd[k]), err_msg=k)
+
+    def test_full_variant_round_trips(self):
+        from bmcnet_esr_tpu.models import export_torch_state_dict
+
+        sd, _ = load_golden("full_small.npz")
+        variables = convert_torch_state_dict(sd)
+        back = export_torch_state_dict(variables, "full", n_b=2)
+        assert sorted(back) == sorted(sd)
+        for k in sd:
+            np.testing.assert_array_equal(back[k], np.asarray(sd[k]), err_msg=k)
+
+    def test_exported_weights_run_in_reference_architecture(self):
+        """Load an exported dict into a torch reimplementation of the
+        reference module tree shape-wise: strict key/shape agreement is the
+        contract load_state_dict enforces."""
+        import torch
+
+        from bmcnet_esr_tpu.models import export_torch_state_dict
+
+        model = BMCNetPlain(scale=2, n_c=8, n_b=2)
+        dummy = jnp.zeros((1, 2, 12, 10, 2))
+        variables = model.init(jax.random.key(0), dummy, *model.init_state(1, 12, 10))
+        back = export_torch_state_dict(variables, "plain", n_b=2)
+        sd_golden, _ = load_golden("plain_small.npz")
+        assert sorted(back) == sorted(sd_golden)
+        for k in back:
+            assert back[k].shape == np.asarray(sd_golden[k]).shape, k
+        # tied aliases must be identical objects' values
+        np.testing.assert_array_equal(back["neuro.conv_f1.weight"], back["neuro.conv_f2.weight"])
+        np.testing.assert_array_equal(
+            back["neuro.para_reschunk.0.convf1.weight"],
+            back["neuro.para_reschunk.1.convf1.weight"],
+        )
+
+
 class TestBf16Drift:
     def test_bf16_rollout_close_to_fp32(self):
         """Serving-precision sanity: bf16 outputs track fp32 within a coarse
