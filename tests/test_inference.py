@@ -174,6 +174,54 @@ class TestExtraMetrics:
         assert -1.0 <= res["esr_ssim"] <= 1.0
 
 
+class TestBatchedStreams:
+    @pytest.fixture(scope="class")
+    def three_files(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("batch")
+        paths = []
+        for i, n in enumerate((40000, 28000, 16000)):  # different lengths
+            p = str(d / f"f{i}.h5")
+            write_synthetic_fixture(
+                p, (32, 32), ("ori", "down2"), {"ori": n, "down2": n // 4}, seed=10 + i
+            )
+            paths.append(p)
+        return paths
+
+    def test_batch_equals_per_file(self, three_files):
+        """Each stream of the batched rollout must reproduce its own solo
+        rollout (incl. the masked tails of shorter files)."""
+        eng = make_engine(chunk_size=8)
+        solo = [eng.infer_file(p) for p in three_files]
+        batched = eng.infer_file_batch(three_files)
+        for s, b in zip(solo, batched):
+            assert b["esr_mse"] == pytest.approx(s["esr_mse"], rel=1e-5)
+            assert b["bicubic_mse"] == pytest.approx(s["bicubic_mse"], rel=1e-5)
+            assert b["macs"] == pytest.approx(s["macs"], rel=1e-6)
+
+    def test_datalist_batched_mode(self, three_files, tmp_path):
+        eng = make_engine(chunk_size=8)
+        out = eng.infer_datalist(
+            three_files, str(tmp_path / "out"), "m", batch_streams=8
+        )
+        ref = eng.infer_datalist(three_files, str(tmp_path / "ref"), "m")
+        for k in ("esr_mse", "bicubic_mse"):
+            assert out["mean"][k] == pytest.approx(ref["mean"][k], rel=1e-5)
+        # per-file YAMLs written in batched mode too
+        for p in three_files:
+            assert os.path.exists(
+                tmp_path / "out" / os.path.basename(p) / "inference.yml"
+            )
+
+    def test_resolution_mismatch_rejected(self, three_files, tmp_path):
+        p_small = str(tmp_path / "small.h5")
+        write_synthetic_fixture(
+            p_small, (16, 16), ("ori", "down2"), {"ori": 8000, "down2": 2000}, seed=3
+        )
+        eng = make_engine()
+        with pytest.raises(ValueError, match="equal resolutions"):
+            eng.infer_file_batch([three_files[0], p_small])
+
+
 def test_load_converted_flat_npz(tmp_path):
     """cli/convert --npz output loads back through load_model_for_inference."""
     from bmcnet_esr_tpu.cli.convert import main as convert_main
@@ -281,3 +329,16 @@ def test_real_world_eventzoom_path(tmp_path):
     eng = InferenceEngine(model, variables, cfg, chunk_size=8, visualize=False)
     res = eng.infer_file(path)
     assert np.isfinite(res["esr_mse"])  # vs zero GT (no GT exists for real data)
+
+    # the hot_filter config block composes with the real-world path end to end
+    from bmcnet_esr_tpu.data.h5dataset import HotFilterConfig
+
+    cfg_hot = DatasetConfig(
+        scale=4, ori_scale="down8", window=256, sliding_window=128,
+        need_gt_events=False, real_world_test=True,
+        hot_filter=HotFilterConfig(enabled=True, max_px=50, min_obvs=2, max_rate=0.95),
+        sequence=SequenceConfig(4, 2, 1),
+    )
+    eng_hot = InferenceEngine(model, variables, cfg_hot, chunk_size=8, visualize=False)
+    res_hot = eng_hot.infer_file(path)
+    assert np.isfinite(res_hot["esr_mse"])
