@@ -100,7 +100,11 @@ class InferenceEngine:
         visualize: bool = True,
         vis_color_scheme: str = "blue_red",
         extra_metrics: Tuple[str, ...] = (),
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — batched multi-stream
+        rollouts (``infer_file_batch``) shard the stream batch across it
+        (SPMD serving over ICI; the stream count must divide the mesh)."""
         self.model = model
         self.variables = variables
         self.config = dataset_config
@@ -109,10 +113,40 @@ class InferenceEngine:
         self.vis = EventVisualizer()
         self.vis_color_scheme = vis_color_scheme
         self.extra_metrics = tuple(extra_metrics)  # subset of {psnr, ssim}
+        self.mesh = mesh
+        if mesh is not None:
+            from bmcnet_esr_tpu.parallel import replicate_tree
+
+            self.variables = replicate_tree(variables, mesh)
         self._step_cache: Dict[Tuple, Any] = {}
         self.params_m = (
             sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables)) / 1e6
         )
+
+    def _sharded(self, batch: int) -> bool:
+        return self.mesh is not None and batch > 1
+
+    def _place_carry(self, carry, batch: int):
+        """Commit recurrent states to the mesh, stream batch sharded."""
+        if not self._sharded(batch):
+            return carry
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if batch % self.mesh.size != 0:
+            raise ValueError(
+                f"batch of {batch} streams must divide the {self.mesh.size}-device mesh"
+            )
+        st_s = NamedSharding(self.mesh, P("data"))
+        return tuple(jax.device_put(c, st_s) for c in carry)
+
+    def _place_events(self, inp_ev, gt_ev, batch: int):
+        """Commit chunk event arrays ([steps, B, 4, N]) to the mesh."""
+        if not self._sharded(batch):
+            return jnp.asarray(inp_ev), jnp.asarray(gt_ev)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ev_s = NamedSharding(self.mesh, P(None, "data"))
+        return jax.device_put(inp_ev, ev_s), jax.device_put(gt_ev, ev_s)
 
     # -- compiled chunk step ------------------------------------------------
 
@@ -383,14 +417,14 @@ class InferenceEngine:
 
         pool = ThreadPoolExecutor(max_workers=1)
         pending = pool.submit(load_chunk, *chunk_bounds[0])
-        carry = tuple(self.model.init_state(b, *inp_res))
+        carry = self._place_carry(tuple(self.model.init_state(b, *inp_res)), b)
         macs_done = False
 
         for ci, (pos, steps) in enumerate(chunk_bounds):
             inp_ev, gt_ev = pending.result()
             if ci + 1 < len(chunk_bounds):
                 pending = pool.submit(load_chunk, *chunk_bounds[ci + 1])
-            inp_dev, gt_dev = jnp.asarray(inp_ev), jnp.asarray(gt_ev)
+            inp_dev, gt_dev = self._place_events(inp_ev, gt_ev, b)
             run, flops = self._compiled_step(
                 steps, inp_res, gt_res, carry, inp_dev, gt_dev, batch=b
             )

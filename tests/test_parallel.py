@@ -115,6 +115,43 @@ class TestParallelStep:
         )
         assert float(m8["valid_clips"]) == 5.0
 
+    def test_sharded_batched_inference_matches_single_device(self, setup, tmp_path_factory):
+        """infer_file_batch over a mesh (streams sharded on 'data') must
+        equal the unsharded batched rollout — SPMD serving."""
+        from bmcnet_esr_tpu.data.packager import write_synthetic_fixture
+        from bmcnet_esr_tpu.inference import InferenceEngine
+        from bmcnet_esr_tpu.data.h5dataset import SequenceConfig
+
+        d = tmp_path_factory.mktemp("sharded_infer")
+        paths = []
+        for i in range(8):
+            p = str(d / f"f{i}.h5")
+            write_synthetic_fixture(
+                p, (32, 32), ("ori", "down2"),
+                {"ori": 12000 + 2000 * i, "down2": 3000 + 500 * i}, seed=20 + i,
+            )
+            paths.append(p)
+
+        model = BMCNetPlain(scale=2, n_c=8, n_b=2)
+        dummy = jnp.zeros((1, 2, 16, 16, 2))
+        variables = model.init(jax.random.key(1), dummy, *model.init_state(1, 16, 16))
+        cfg = DatasetConfig(
+            scale=2, ori_scale="down2", window=128, sliding_window=64,
+            sequence=SequenceConfig(4, 2, 1),
+        )
+        plain = InferenceEngine(model, variables, cfg, chunk_size=8, visualize=False)
+        sharded = InferenceEngine(
+            model, variables, cfg, chunk_size=8, visualize=False, mesh=make_mesh(8)
+        )
+        want = plain.infer_file_batch(paths)
+        got = sharded.infer_file_batch(paths)
+        for w, g in zip(want, got):
+            assert g["esr_mse"] == pytest.approx(w["esr_mse"], rel=1e-5)
+            assert g["bicubic_mse"] == pytest.approx(w["bicubic_mse"], rel=1e-5)
+
+        with pytest.raises(ValueError, match="divide"):
+            sharded.infer_file_batch(paths[:3])  # 3 streams on an 8-mesh
+
     def test_trainer_uses_mesh_when_available(self, setup, tmp_path):
         from bmcnet_esr_tpu.training.config import RunConfig
         from bmcnet_esr_tpu.training.trainer import Trainer
