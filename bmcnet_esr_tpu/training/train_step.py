@@ -120,22 +120,54 @@ def make_train_step(
     use_remat: bool = True,
     donate: bool = True,
     extra_losses: Tuple = (),
+    grad_accum: int = 1,
 ) -> Callable[[TrainState, Dict[str, Array]], Tuple[TrainState, Dict[str, Array]]]:
     """One fully-jitted optimizer iteration.
 
     Under a device mesh, shard ``batch`` along the data axis and replicate
     ``state``; the in-graph means/sums become XLA collectives automatically
     (see ``bmcnet_esr_tpu.parallel``).
+
+    ``grad_accum > 1`` splits the batch into that many micro-batches scanned
+    sequentially, averaging their gradients before ONE optimizer update —
+    bit-for-tolerance the full-batch gradient (the loss is a batch mean)
+    with a micro-batch's activation memory.  This is how the RGB recipe's
+    batch 2 runs fp32 on a single 16 G chip (DESIGN.md §6).
     """
 
-    def step(state: TrainState, batch: Dict[str, Array]):
-        def loss_fn(params):
-            return sequence_loss(
-                model, params, batch, inp_resolution, gt_resolution, seqn, use_remat,
-                extra_losses,
-            )
+    def batch_loss(params, batch):
+        return sequence_loss(
+            model, params, batch, inp_resolution, gt_resolution, seqn, use_remat,
+            extra_losses,
+        )
 
-        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    def grads_of(params, batch):
+        if grad_accum == 1:
+            return jax.value_and_grad(batch_loss, has_aux=True)(params, batch)
+
+        def split(v):  # [B, ...] -> [A, B//A, ...]
+            b = v.shape[0]
+            if b % grad_accum != 0:
+                raise ValueError(
+                    f"batch {b} must divide grad_accum {grad_accum}"
+                )
+            return v.reshape((grad_accum, b // grad_accum) + v.shape[1:])
+
+        micro_batches = {k: split(v) for k, v in batch.items()}
+        zeros = jax.tree.map(jnp.zeros_like, params)
+
+        def micro(acc, mb):
+            (total, aux), grads = jax.value_and_grad(batch_loss, has_aux=True)(params, mb)
+            acc = jax.tree.map(jnp.add, acc, grads)
+            return acc, (total, aux["mse_loss"])
+
+        acc, (totals, mses) = jax.lax.scan(micro, zeros, micro_batches)
+        grads = jax.tree.map(lambda g: g / grad_accum, acc)
+        # full-batch loss = mean over micro-batch losses (batch-mean loss)
+        return (jnp.mean(totals), {"mse_loss": jnp.mean(mses)}), grads
+
+    def step(state: TrainState, batch: Dict[str, Array]):
+        (total, aux), grads = grads_of(state.params, batch)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params, opt_state, state.step + 1)

@@ -112,6 +112,10 @@ class Trainer:
         # iters/sec at NFS shapes (282 -> 265 ms) with identical numerics
         # (tests/test_training.py::test_remat_matches_no_remat)
         self.use_remat = bool(cfg["trainer"].get("remat", True))
+        # sequential micro-batches per optimizer update (exact full-batch
+        # gradient with 1/N activation memory; fp32 RGB-recipe batch 2 on a
+        # single chip uses grad_accum: 2)
+        self.grad_accum = int(cfg["trainer"].get("grad_accum", 1))
 
         monitor = cfg["trainer"].get("monitor", "off")
         if monitor == "off":
@@ -215,7 +219,7 @@ class Trainer:
             self.train_step = make_train_step(
                 self.model, self.tx, self.inp_resolution, self.gt_resolution,
                 self.seqn, use_remat=self.use_remat,
-                extra_losses=self.extra_losses,
+                extra_losses=self.extra_losses, grad_accum=self.grad_accum,
             )
         self._shard_eval_batch = lambda b: b
         if (

@@ -178,6 +178,37 @@ class TestTrainStep:
         b, _ = sequence_loss(model, params, batch, (h, w), train_loader.gt_resolution, use_remat=False)
         np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
 
+    def test_grad_accum_matches_full_batch(self, loaders):
+        """grad_accum=2 must produce the SAME update as the full batch (the
+        loss is a batch mean, so averaged micro-grads are exact)."""
+        train_loader, _ = loaders
+        model = tiny_model()
+        from bmcnet_esr_tpu.training.optim import adam_torch
+
+        tx = adam_torch(1e-3)
+        h, w = train_loader.inp_resolution
+        dummy = jnp.zeros((2, 2, h, w, 2))
+        params = model.init(jax.random.key(0), dummy, *model.init_state(2, h, w))
+        batch = next(iter(train_loader))
+
+        def run(accum):
+            state = init_train_state(jax.tree.map(jnp.array, params), tx)
+            step = make_train_step(
+                model, tx, train_loader.inp_resolution, train_loader.gt_resolution,
+                donate=False, grad_accum=accum,
+            )
+            return step(state, batch)
+
+        s1, m1 = run(1)
+        s2, m2 = run(2)
+        assert float(m2["train_loss"]) == pytest.approx(float(m1["train_loss"]), rel=1e-6)
+        assert float(m2["grad_norm"]) == pytest.approx(float(m1["grad_norm"]), rel=1e-5)
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+        with pytest.raises(ValueError, match="divide"):
+            run(3)  # batch of 2 can't split into 3
+
     def test_tied_weights_accumulate_grads(self, loaders):
         """The shared BIE block must receive gradients from every depth
         position (tying semantics, SURVEY.md §7 hard part #2)."""
