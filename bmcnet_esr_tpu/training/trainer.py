@@ -206,6 +206,12 @@ class Trainer:
             )
 
             self.mesh = make_mesh(n_dev)
+            if self.grad_accum > 1:
+                self.logger.warning(
+                    "grad_accum > 1 is a single-chip memory lever; the mesh "
+                    "already splits the batch across devices — ignoring it"
+                )
+                self.grad_accum = 1
             self.state = replicate_tree(self.state, self.mesh)
             self._shard_batch = lambda b: shard_batch(b, self.mesh)
             self.train_step = make_parallel_train_step(
