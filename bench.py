@@ -116,9 +116,11 @@ def bench_b1_latency(dtype_name: str = "bfloat16") -> float:
     return 1000.0 / fps
 
 
-def bench_train_iters_per_sec(n_iters_timed: int = 8) -> float:
+def bench_train_iters_per_sec(n_iters_timed: int = 8, dtype_name: str = "float32") -> float:
     """Optimizer iterations/sec at the full NFS recipe shapes (batch 2,
-    9-window clips, 2048-event windows, full BMCNet x4, BPTT + Adam)."""
+    9-window clips, 2048-event windows, full BMCNet x4, BPTT + Adam).
+    ``dtype_name='bfloat16'`` measures the TPU deviation knob (fp32 master
+    weights, bf16 activations)."""
     import jax
     import jax.numpy as jnp
 
@@ -127,7 +129,8 @@ def bench_train_iters_per_sec(n_iters_timed: int = 8) -> float:
     from bmcnet_esr_tpu.training.train_step import init_train_state, make_train_step
 
     batch_size, seq_len = 2, 9
-    model = BMCNet(scale=SCALE, n_c=128, n_b=5)
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    model = BMCNet(scale=SCALE, n_c=128, n_b=5, dtype=dtype)
     tx = adam_torch(1e-4, weight_decay=1e-5, amsgrad=True)
     dummy = jnp.zeros((batch_size, 2, H, W, 2))
     params = model.init(jax.random.key(0), dummy, *model.init_state(batch_size, H, W))
@@ -195,6 +198,7 @@ def main():
     fps_tpu = bench_tpu()
     b1_ms = bench_b1_latency()
     train_ips = bench_train_iters_per_sec()
+    train_ips_bf16 = bench_train_iters_per_sec(dtype_name="bfloat16")
     try:
         fps_torch = bench_torch_cpu()
     except Exception:
@@ -215,6 +219,7 @@ def main():
                 "aux": {
                     "b1_ms_per_window": round(b1_ms, 3),
                     "train_iters_per_sec": round(train_ips, 2),
+                    "train_iters_per_sec_bf16": round(train_ips_bf16, 2),
                     "torch_cpu_fps": round(fps_torch, 2) if fps_torch else None,
                     "gpu_ceiling_note": (
                         "no CUDA here; vs an ESTIMATED PyTorch-GPU ceiling "

@@ -31,7 +31,6 @@ Behavioural parity notes:
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import h5py

@@ -26,7 +26,7 @@ from __future__ import annotations
 import copy
 import queue
 import threading
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Sequence
 
 import numpy as np
 

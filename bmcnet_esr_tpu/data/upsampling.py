@@ -22,7 +22,6 @@ NCHW layout (small offline tool; weight-layout parity over throughput).
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np

@@ -13,7 +13,6 @@ per-window like the offline pipeline (``base_dataset.py:24-31`` semantics).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import numpy as np

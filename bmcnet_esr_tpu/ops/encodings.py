@@ -34,7 +34,6 @@ Replicated behavioural quirks (each cited to the reference):
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence, Tuple
 
 import numpy as np

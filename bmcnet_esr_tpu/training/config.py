@@ -13,7 +13,7 @@ from __future__ import annotations
 import copy
 import datetime
 import os
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import yaml
 

@@ -18,7 +18,6 @@ when ``scale * inp_res != gt_res``.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, NamedTuple, Tuple
 
 import jax

@@ -34,7 +34,6 @@ from bmcnet_esr_tpu.training import checkpoint as ckpt_lib
 from bmcnet_esr_tpu.training.config import RunConfig
 from bmcnet_esr_tpu.training.optim import build_optimizer
 from bmcnet_esr_tpu.training.train_step import (
-    TrainState,
     init_train_state,
     make_eval_step,
     make_train_step,
