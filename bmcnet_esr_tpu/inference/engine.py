@@ -242,7 +242,10 @@ class InferenceEngine:
         data_path: str,
         output_dir: Optional[str] = None,
         logger: Optional[YamlResultLogger] = None,
+        return_per_window: bool = False,
     ) -> Dict[str, float]:
+        """``return_per_window``: additionally return the raw per-window
+        metric arrays under ``result['per_window']`` (parity pinning)."""
         ds = EventH5Dataset(data_path, self.config)
         inp_res = tuple(ds.layout.inp_resolution)
         gt_res = tuple(ds.layout.gt_resolution)
@@ -265,6 +268,8 @@ class InferenceEngine:
         carry = tuple(self.model.init_state(1, *inp_res))
         macs_done = False
         frame_idx = 0
+        pw_esr: List[float] = []
+        pw_bic: List[float] = []
 
         def load_chunk(pos: int, steps: int):
             # windows pos .. pos+steps (inclusive) for inputs; gt for pos+1..;
@@ -319,6 +324,8 @@ class InferenceEngine:
             bicm = np.asarray(bicm)
             extras = np.asarray(extras)
             for s in range(steps):
+                pw_esr.append(float(esr[s, 0]))
+                pw_bic.append(float(bicm[s, 0]))
                 track.update("esr_mse", float(esr[s, 0]))
                 track.update("bicubic_mse", float(bicm[s, 0]))
                 track.update("time", dt_ms)
@@ -339,6 +346,11 @@ class InferenceEngine:
         result = track.result()
         if logger is not None:
             logger.log_dict(result, "evaluation results")
+        if return_per_window:
+            result["per_window"] = {
+                "esr_mse": np.asarray(pw_esr),
+                "bicubic_mse": np.asarray(pw_bic),
+            }
         return result
 
     def _save_streams(self, dirs, i, lr, pred, bic, gt):
