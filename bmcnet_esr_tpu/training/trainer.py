@@ -327,6 +327,11 @@ class Trainer:
 
     # -- main loop ---------------------------------------------------------
 
+    # the jitted steps consume only these keys; shipping anything else (the
+    # *_len bookkeeping) changes the jit SIGNATURE — a second multi-minute
+    # compile of an identical program — and wastes transfer
+    _STEP_KEYS = ("inp_events", "gt_events", "clip_mask", "gt_frame")
+
     def _device_prefetched(self, loader, shard_fn=None):
         """Yield batches already placed on device, one transfer ahead.
 
@@ -337,6 +342,7 @@ class Trainer:
         shard_fn = shard_fn or self._shard_batch
         staged = None
         for batch in loader:
+            batch = {k: v for k, v in batch.items() if k in self._STEP_KEYS}
             nxt = shard_fn(batch)
             if staged is not None:
                 yield staged
