@@ -151,9 +151,14 @@ def bench_train_iters_per_sec(n_iters_timed: int = 8, dtype_name: str = "float32
         ev[:, :, 3] = rng.integers(0, 2, (batch_size, seq_len, events_n)) * 2 - 1
         return ev
 
+    # compact int16/int8 transfer — the trainer's default batch format
+    from bmcnet_esr_tpu.ops.batch import compact_events
+
+    inp_xy, inp_p = compact_events(clip_batch(N_EVENTS, H, W))
+    gt_xy, gt_p = compact_events(clip_batch(N_EVENTS * SCALE**2, SCALE * H, SCALE * W))
     batch = {
-        "inp_events": jnp.asarray(clip_batch(N_EVENTS, H, W)),
-        "gt_events": jnp.asarray(clip_batch(N_EVENTS * SCALE**2, SCALE * H, SCALE * W)),
+        "inp_xy": jnp.asarray(inp_xy), "inp_p": jnp.asarray(inp_p),
+        "gt_xy": jnp.asarray(gt_xy), "gt_p": jnp.asarray(gt_p),
     }
     state, metrics = step(state, batch)  # compile + first exec
     _ = jax.device_get(metrics["train_loss"])

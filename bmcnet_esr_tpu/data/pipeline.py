@@ -57,6 +57,7 @@ class SequenceLoader:
         shuffle: bool = False,
         drop_last: bool = False,
         pad_last: bool = False,
+        compact: bool = False,
         num_workers: int = 2,
         prefetch: int = 4,
         seed: int = 0,
@@ -71,6 +72,12 @@ class SequenceLoader:
         # padding in a `clip_mask` key, so shape-specialized jitted steps
         # compile ONCE per run (the eval step excludes padded clips by mask)
         self.pad_last = pad_last and not drop_last
+        # compact: ship events as int16 xy + int8 p (no timestamps) — the
+        # count-image train path never reads ts, and the transfer drops ~69%
+        # (ops/batch.compact_events); keys become {inp,gt}_{xy,p}.  At NFS
+        # scale (10 MB/iter) the upload already hides under compute; the win
+        # is recipes where transfer rivals compute (RGB: 75 -> 23 MB/iter)
+        self.compact = compact
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.seed = seed
@@ -149,6 +156,13 @@ class SequenceLoader:
             clips.append(datasets[d].get_clip(i, seed=clip_seed))
             mask.append(1.0 if real else 0.0)
         out = self._collate(clips)
+        if self.compact:
+            from bmcnet_esr_tpu.ops.batch import compact_events
+
+            for prefix in ("inp", "gt"):
+                key = f"{prefix}_events"
+                if key in out:
+                    out[f"{prefix}_xy"], out[f"{prefix}_p"] = compact_events(out.pop(key))
         if self.pad_last:
             # present in EVERY batch so the pytree structure (and therefore
             # the jit signature) is identical across the epoch

@@ -59,6 +59,46 @@ def batch_events_to_voxels(
     return vox.reshape(lead + vox.shape[1:])
 
 
+def compact_events(events) -> Tuple:
+    """Host-side transfer compaction: ``[..., 4, N]`` float32 events ->
+    ``(xy int16 [..., 2, N], p int8 [..., N])``.
+
+    The count-image path never reads timestamps and x/y/p are small ints, so
+    the training batch sheds ~69% of its host->device bytes (10 MB -> 3 MB
+    per NFS iteration over the tunneled chip).  Padding (p == 0) survives.
+    """
+    import numpy as np
+
+    events = np.asarray(events)
+    xy = events[..., 0:2, :].astype(np.int16)
+    p = events[..., 3, :].astype(np.int8)
+    return xy, p
+
+
+@functools.partial(jax.jit, static_argnames=("sensor_size",))
+def batch_counts_from_compact(xy: Array, p: Array, sensor_size: Tuple[int, int]) -> Array:
+    """Compact ``(xy, p)`` windows -> ``[..., H, W, 2]`` NHWC count images
+    (identical to :func:`batch_events_to_counts` on the uncompacted input)."""
+    lead = xy.shape[:-2]
+    fxy = xy.reshape((-1,) + xy.shape[-2:]).astype(jnp.float32)
+    fp = p.reshape((-1,) + p.shape[-1:]).astype(jnp.float32)
+    imgs = jax.vmap(
+        lambda e_xy, e_p: events_to_channels(e_xy[0], e_xy[1], e_p, sensor_size)
+    )(fxy, fp)
+    imgs = jnp.moveaxis(imgs, 1, -1)
+    return imgs.reshape(lead + imgs.shape[1:])
+
+
+def counts_from_batch(batch, prefix: str, sensor_size: Tuple[int, int]) -> Array:
+    """Rasterize ``batch[f'{prefix}_events']`` or its compact form
+    (``{prefix}_xy`` + ``{prefix}_p``) — the jitted steps accept either."""
+    if f"{prefix}_xy" in batch:
+        return batch_counts_from_compact(
+            batch[f"{prefix}_xy"], batch[f"{prefix}_p"], sensor_size
+        )
+    return batch_events_to_counts(batch[f"{prefix}_events"], sensor_size)
+
+
 def sliding_pairs(frames: Array, seqn: int = 2) -> Array:
     """``[B, L, H, W, C]`` -> ``[B, L - seqn + 1, seqn, H, W, C]``.
 

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from bmcnet_esr_tpu.ops.batch import batch_events_to_counts, sliding_pairs
+from bmcnet_esr_tpu.ops.batch import counts_from_batch, sliding_pairs
 from bmcnet_esr_tpu.ops.resize import resize_bicubic
 
 Array = jax.Array
@@ -99,9 +99,11 @@ def sequence_loss(
     use_remat: bool = True,
     extra_losses: Tuple = (),
 ) -> Tuple[Array, Dict[str, Array]]:
-    """Total BPTT loss for one batch of clips; aux = reference log metrics."""
-    inp_frames = batch_events_to_counts(batch["inp_events"], tuple(inp_resolution))
-    gt_frames = batch_events_to_counts(batch["gt_events"], tuple(gt_resolution))
+    """Total BPTT loss for one batch of clips; aux = reference log metrics.
+    ``batch`` carries either raw ``{inp,gt}_events`` or the compact
+    ``{inp,gt}_{xy,p}`` transfer format (``SequenceLoader(compact=True)``)."""
+    inp_frames = counts_from_batch(batch, "inp", tuple(inp_resolution))
+    gt_frames = counts_from_batch(batch, "gt", tuple(gt_resolution))
     mses, totals = _rollout_losses(
         model, params, inp_frames, gt_frames, seqn, tuple(gt_resolution), use_remat,
         extra_losses,
@@ -198,8 +200,8 @@ def make_eval_step(
     """
 
     def step(params, batch: Dict[str, Array]):
-        inp_frames = batch_events_to_counts(batch["inp_events"], tuple(inp_resolution))
-        gt_frames = batch_events_to_counts(batch["gt_events"], tuple(gt_resolution))
+        inp_frames = counts_from_batch(batch, "inp", tuple(inp_resolution))
+        gt_frames = counts_from_batch(batch, "gt", tuple(gt_resolution))
         mses, totals = _rollout_losses(
             model, params, inp_frames, gt_frames, seqn, tuple(gt_resolution),
             use_remat=False, extra_losses=extra_losses,

@@ -73,6 +73,9 @@ def build_loader(
         shuffle=dl_cfg.get("shuffle", False),
         drop_last=dl_cfg.get("drop_last", False),
         pad_last=dl_cfg.get("pad_last", pad_last),
+        # int16/int8 event transfer (no ts): -69% host->device bytes on the
+        # count-image train path; disable via compact_transfer: False
+        compact=dl_cfg.get("compact_transfer", True),
         num_workers=dl_cfg.get("num_workers", 2),
         seed=seed,
         shard_index=shard_index,
@@ -330,7 +333,10 @@ class Trainer:
     # the jitted steps consume only these keys; shipping anything else (the
     # *_len bookkeeping) changes the jit SIGNATURE — a second multi-minute
     # compile of an identical program — and wastes transfer
-    _STEP_KEYS = ("inp_events", "gt_events", "clip_mask", "gt_frame")
+    _STEP_KEYS = (
+        "inp_events", "gt_events", "inp_xy", "inp_p", "gt_xy", "gt_p",
+        "clip_mask", "gt_frame",
+    )
 
     def _device_prefetched(self, loader, shard_fn=None):
         """Yield batches already placed on device, one transfer ahead.

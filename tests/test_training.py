@@ -178,6 +178,47 @@ class TestTrainStep:
         b, _ = sequence_loss(model, params, batch, (h, w), train_loader.gt_resolution, use_remat=False)
         np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
 
+    def test_compact_transfer_matches_raw(self, loaders):
+        """SequenceLoader(compact=True) ships int16 xy + int8 p (no ts); the
+        train step must produce the IDENTICAL update (the count path never
+        reads timestamps)."""
+        train_loader, _ = loaders
+        from bmcnet_esr_tpu.data import SequenceLoader as SL
+        from bmcnet_esr_tpu.training.optim import adam_torch
+
+        compact_loader = SL(
+            train_loader.datasets and [ds.dataset.path for ds in train_loader.datasets],
+            train_loader.config, batch_size=2, shuffle=True, drop_last=True,
+            num_workers=1, seed=0, compact=True,
+        )
+        raw = next(iter(SL(
+            [ds.dataset.path for ds in train_loader.datasets],
+            train_loader.config, batch_size=2, shuffle=True, drop_last=True,
+            num_workers=1, seed=0,
+        )))
+        comp = next(iter(compact_loader))
+        assert comp["inp_xy"].dtype == np.int16 and comp["inp_p"].dtype == np.int8
+        assert "inp_events" not in comp
+        # ~69% fewer event bytes on the wire
+        raw_bytes = raw["inp_events"].nbytes + raw["gt_events"].nbytes
+        comp_bytes = sum(comp[k].nbytes for k in ("inp_xy", "inp_p", "gt_xy", "gt_p"))
+        assert comp_bytes < 0.35 * raw_bytes
+
+        model = tiny_model()
+        tx = adam_torch(1e-3)
+        h, w = train_loader.inp_resolution
+        dummy = jnp.zeros((2, 2, h, w, 2))
+        params = model.init(jax.random.key(0), dummy, *model.init_state(2, h, w))
+        step = make_train_step(
+            model, tx, train_loader.inp_resolution, train_loader.gt_resolution,
+            donate=False,
+        )
+        s_raw, m_raw = step(init_train_state(jax.tree.map(jnp.array, params), tx), raw)
+        s_cmp, m_cmp = step(init_train_state(jax.tree.map(jnp.array, params), tx), comp)
+        assert float(m_cmp["train_loss"]) == pytest.approx(float(m_raw["train_loss"]), rel=1e-6)
+        for a, b in zip(jax.tree.leaves(s_raw.params), jax.tree.leaves(s_cmp.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_grad_accum_matches_full_batch(self, loaders):
         """grad_accum=2 must produce the SAME update as the full batch (the
         loss is a batch mean, so averaged micro-grads are exact)."""
