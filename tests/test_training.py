@@ -347,6 +347,93 @@ class TestCheckpoint:
         assert np.isfinite(float(m["train_loss"]))
 
 
+class TestResumeExactness:
+    def test_resume_continues_identically(self, loaders, tmp_path):
+        """Checkpoint fidelity: restoring {params, opt_state, step} must let
+        training continue EXACTLY as the uninterrupted run (same batches,
+        same losses), not merely load weights."""
+        train_loader, _ = loaders
+        model = tiny_model()
+        from bmcnet_esr_tpu.training.optim import adam_torch
+
+        tx = adam_torch(1e-3)
+        h, w = train_loader.inp_resolution
+        dummy = jnp.zeros((2, 2, h, w, 2))
+        params = model.init(jax.random.key(0), dummy, *model.init_state(2, h, w))
+        step = make_train_step(model, tx, train_loader.inp_resolution,
+                               train_loader.gt_resolution, donate=False)
+        batches = [b for _, b in zip(range(8), iter(train_loader))]
+
+        # uninterrupted: 8 steps
+        state = init_train_state(jax.tree.map(jnp.array, params), tx)
+        losses_full = []
+        for b in batches:
+            state, m = step(state, b)
+            losses_full.append(float(m["train_loss"]))
+
+        # interrupted: 4 steps, checkpoint, restore, 4 more
+        state = init_train_state(jax.tree.map(jnp.array, params), tx)
+        for b in batches[:4]:
+            state, m = step(state, b)
+        save_checkpoint(str(tmp_path), state, iteration=3)
+        restored, meta = restore_checkpoint(os.path.join(str(tmp_path), "iteration_3"), state)
+        losses_resumed = []
+        for b in batches[4:]:
+            restored, m = step(restored, b)
+            losses_resumed.append(float(m["train_loss"]))
+
+        np.testing.assert_allclose(losses_resumed, losses_full[4:], rtol=1e-7)
+
+    def test_same_seed_runs_are_identical(self, tmp_path):
+        """Full determinism: two Trainer runs with the same seed produce the
+        same loss sequence (loader order, augmentation, init)."""
+        p = write_synthetic_fixture(
+            str(tmp_path / "det.h5"), (32, 32), ("ori", "down2"),
+            {"ori": 30000, "down2": 7500}, seed=9,
+        )
+        from bmcnet_esr_tpu.data.h5dataset import AugmentConfig
+
+        cfg_ds = DatasetConfig(
+            scale=2, ori_scale="down2", window=128, sliding_window=64,
+            augment=AugmentConfig(enabled=True),
+            sequence=SequenceConfig(sequence_length=3, seqn=2, step_size=3),
+        )
+
+        def run():
+            ld = SequenceLoader([p], cfg_ds, batch_size=2, shuffle=True,
+                                drop_last=True, num_workers=2, seed=5, compact=True)
+            cfg = {
+                "experiment": "det",
+                "model": {"args": {"n_c": 8, "n_b": 2, "variant": "plain"}},
+                "optimizer": {"name": "Adam", "args": {"lr": 1e-3}},
+                "trainer": {
+                    "output_path": str(tmp_path), "monitor": "off",
+                    "tensorboard": False,
+                    "iteration_based_train": {
+                        "enabled": True, "iterations": 5, "save_period": 100,
+                        "train_log_step": 1, "valid_log_step": 1,
+                        "valid_step": 100, "lr_change_rate": 4,
+                    },
+                },
+                "train_dataloader": {"dataset": {"scale": 2}},
+            }
+            tr = Trainer(RunConfig(cfg, runid="d"), train_loader=ld, seed=7)
+            losses = []
+            orig = tr.train_step
+
+            def rec(state, batch):
+                state, m = orig(state, batch)
+                losses.append(float(m["train_loss"]))
+                return state, m
+
+            tr.train_step = rec
+            tr.train()
+            return losses
+
+        a, b = run(), run()
+        assert a == b  # bit-identical loss sequences
+
+
 class TestTrainerLoop:
     def test_end_to_end_smoke(self, loaders, tmp_path):
         train_loader, valid_loader = loaders
