@@ -9,6 +9,15 @@ from bmcnet_esr_tpu.losses.lpips import (
     perceptual_loss,
     resnet_features,
 )
+from bmcnet_esr_tpu.losses.lpips_train import (
+    LPIPSTrainer,
+    bce_ranking_loss,
+    dist2logit,
+    init_dist2logit,
+    score_2afc_dataset,
+    score_jnd_dataset,
+    voc_ap,
+)
 from bmcnet_esr_tpu.losses.iwe import (
     compute_pol_iwe,
     deblur_events,
@@ -33,6 +42,13 @@ __all__ = [
     "l2_distance",
     "perceptual_loss",
     "resnet_features",
+    "LPIPSTrainer",
+    "bce_ranking_loss",
+    "dist2logit",
+    "init_dist2logit",
+    "score_2afc_dataset",
+    "score_jnd_dataset",
+    "voc_ap",
     "mse_loss",
     "psnr",
     "psnr_metric",
