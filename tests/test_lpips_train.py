@@ -271,6 +271,25 @@ class TestTrainerParity:
         tr.update_learning_rate(5)
         assert tr.lr == pytest.approx(1e-3 - 2 * (1e-3 / 5))
 
+    def test_pnet_tune_trains_backbone(self, alex_setup):
+        _, backbone, lins = alex_setup
+        lp = LPIPS(backbone, lins, "alex", version="0.1")
+        tr = LPIPSTrainer(lp, lr=1e-3, seed=4, use_dropout=False, pnet_tune=True)
+        before = np.asarray(tr.params["backbone"]["0.weight"]).copy()
+        batch = triplets(seed=21, n=2, hw=32)
+        tr.optimize_parameters(batch)
+        after = np.asarray(tr.params["backbone"]["0.weight"])
+        # backbone received gradient updates (dist_model.py:66 pnet_tune)
+        assert not np.allclose(before, after)
+        # and the tuned backbone is what distance() evaluates with
+        d_tuned = tr.distance(batch["ref"], batch["p0"])
+        d_frozen = np.asarray(
+            LPIPS(backbone, tr.lin_weights(), "alex", version="0.1")(
+                jnp.asarray(batch["ref"]), jnp.asarray(batch["p0"])
+            )
+        ).reshape(-1)
+        assert not np.allclose(d_tuned, d_frozen)
+
     def test_dropout_path_runs_and_varies(self, alex_setup):
         _, backbone, lins = alex_setup
         lp = LPIPS(backbone, lins, "alex", version="0.1")
