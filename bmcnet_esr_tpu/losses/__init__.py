@@ -12,6 +12,7 @@ from bmcnet_esr_tpu.losses.lpips import (
 from bmcnet_esr_tpu.losses.lpips_train import (
     LPIPSTrainer,
     bce_ranking_loss,
+    compute_accuracy,
     dist2logit,
     init_dist2logit,
     score_2afc_dataset,
@@ -44,6 +45,7 @@ __all__ = [
     "resnet_features",
     "LPIPSTrainer",
     "bce_ranking_loss",
+    "compute_accuracy",
     "dist2logit",
     "init_dist2logit",
     "score_2afc_dataset",

@@ -291,9 +291,21 @@ class LPIPS:
         lins = load_lin_weights(lin_weights_path, net) if lin_weights_path else None
         return cls(convert_backbone_state_dict(backbone_state_dict, net), lins, net, **kwargs)
 
-    def __call__(self, in0: Array, in1: Array, ret_per_layer: bool = False):
+    def __call__(
+        self,
+        in0: Array,
+        in1: Array,
+        ret_per_layer: bool = False,
+        drop_masks: Optional[Sequence[Array]] = None,
+    ):
         """``[B, 3, H, W]`` inputs in [-1, 1] -> ``[B, 1, 1, 1]`` distances
-        (or ``[B, 1, H, W]`` maps when ``spatial``)."""
+        (or ``[B, 1, H, W]`` maps when ``spatial``).
+
+        ``drop_masks``: optional per-layer inverted-dropout masks (0 or
+        1/(1-p), shaped like each layer's feature diff) applied to the squared
+        diffs before the heads — the training path's ``Dropout(0.5)``
+        (reference ``networks_basic.py:113-120``; used by
+        ``losses/lpips_train.LPIPSTrainer``)."""
         if self.version == "0.1":
             shift = jnp.asarray(_SHIFT)[None, :, None, None]
             scale = jnp.asarray(_SCALE)[None, :, None, None]
@@ -306,6 +318,8 @@ class LPIPS:
         res = []
         for k, (a, b) in enumerate(zip(f0, f1)):
             diff = (_unit_normalize(a) - _unit_normalize(b)) ** 2
+            if drop_masks is not None:
+                diff = diff * drop_masks[k]
             if self.lpips:
                 head = jnp.einsum("oc,bchw->bohw", self.lins[k], diff)
             else:

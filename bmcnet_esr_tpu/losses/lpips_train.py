@@ -38,53 +38,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from bmcnet_esr_tpu.losses.lpips import (
-    _SCALE,
-    _SHIFT,
-    LPIPS,
-    _unit_normalize,
-    backbone_features,
-)
+from bmcnet_esr_tpu.losses.lpips import LPIPS, backbone_features
 from bmcnet_esr_tpu.training.optim import scale_by_torch_adam
 
 Array = jax.Array
-
-
-def _lin_distance(
-    backbone: Dict,
-    lins: Sequence[Array],
-    net: str,
-    version: str,
-    in0: Array,
-    in1: Array,
-    drop_masks: Optional[List[Array]] = None,
-) -> Array:
-    """Scalar net-lin LPIPS with optional per-layer dropout masks.
-
-    Same math as :meth:`LPIPS.__call__` (scalar, net-lin), plus the training
-    path's ``Dropout(0.5)`` on the squared feature diffs before each lin head
-    (``networks_basic.py:113-120`` with ``use_dropout=True`` set by
-    ``dist_model.py:66``). ``drop_masks`` are pre-scaled inverted-dropout
-    masks (0 or 1/(1-p)) shaped like each layer's diff tensor.
-    """
-    if version == "0.1":
-        shift = jnp.asarray(_SHIFT)[None, :, None, None]
-        scale = jnp.asarray(_SCALE)[None, :, None, None]
-        x0 = (in0 - shift) / scale
-        x1 = (in1 - shift) / scale
-    else:  # v0.0 skips input scaling (networks_basic.py:74-75)
-        x0, x1 = in0, in1
-    f0 = backbone_features(backbone, x0, net)
-    f1 = backbone_features(backbone, x1, net)
-    val = None
-    for k, (a, b) in enumerate(zip(f0, f1)):
-        diff = (_unit_normalize(a) - _unit_normalize(b)) ** 2
-        if drop_masks is not None:
-            diff = diff * drop_masks[k]
-        head = jnp.einsum("oc,bchw->bohw", lins[k], diff)
-        term = jnp.mean(head, axis=(2, 3), keepdims=True)
-        val = term if val is None else val + term
-    return val
 
 
 # -- Dist2LogitLayer / BCERankingLoss (networks_basic.py:123-150) -------------
@@ -107,6 +64,17 @@ def init_dist2logit(seed: int = 0, chn_mid: int = 32) -> Dict[str, Array]:
     return params
 
 
+def _dist2logit_raw(params: Dict[str, Array], d0: Array, d1: Array, eps: float = 0.1) -> Array:
+    """Pre-sigmoid output of the logit net (for a stable from-logits BCE)."""
+    x = jnp.concatenate([d0, d1, d0 - d1, d0 / (d1 + eps), d1 / (d0 + eps)], axis=1)
+    for i in range(3):
+        w, b = params[f"w{i}"], params[f"b{i}"]
+        x = jnp.einsum("oc,bchw->bohw", w, x) + b[None, :, None, None]
+        if i < 2:
+            x = jnp.where(x >= 0, x, 0.2 * x)
+    return x
+
+
 def dist2logit(params: Dict[str, Array], d0: Array, d1: Array, eps: float = 0.1) -> Array:
     """Map two distance maps ``[N,1,H,W]`` to a judgment probability in [0,1].
 
@@ -114,13 +82,7 @@ def dist2logit(params: Dict[str, Array], d0: Array, d1: Array, eps: float = 0.1)
     through 1x1 convs with LeakyReLU(0.2) and a final sigmoid
     (``networks_basic.py:128-138``).
     """
-    x = jnp.concatenate([d0, d1, d0 - d1, d0 / (d1 + eps), d1 / (d0 + eps)], axis=1)
-    for i in range(3):
-        w, b = params[f"w{i}"], params[f"b{i}"]
-        x = jnp.einsum("oc,bchw->bohw", w, x) + b[None, :, None, None]
-        if i < 2:
-            x = jnp.where(x >= 0, x, 0.2 * x)
-    return jax.nn.sigmoid(x)
+    return jax.nn.sigmoid(_dist2logit_raw(params, d0, d1, eps))
 
 
 def bce_ranking_loss(
@@ -130,14 +92,17 @@ def bce_ranking_loss(
 
     ``judge`` is in [-1, 1] (``forward_train`` passes ``judge*2-1``,
     ``dist_model.py:162``); ``per = (judge+1)/2`` recovers the [0,1] fraction
-    (``networks_basic.py:147-150``). Log terms clamp at -100 like torch's
-    BCELoss.
+    (``networks_basic.py:147-150``).
+
+    Computed FROM LOGITS (``-log sigmoid(z) = softplus(-z)``) rather than by
+    clipping ``log(sigmoid(z))``: the clipped form yields NaN *gradients*
+    once the sigmoid saturates to exactly 0/1 in fp32 (0·inf in the backward
+    chain), which would permanently poison the Adam moments — torch's BCELoss
+    stays finite in that state, and so does this.
     """
     per = (judge + 1.0) / 2.0
-    logit = dist2logit(params, d0, d1, eps)
-    log_p = jnp.clip(jnp.log(logit), -100.0, None)
-    log_q = jnp.clip(jnp.log(1.0 - logit), -100.0, None)
-    return -jnp.mean(per * log_p + (1.0 - per) * log_q)
+    z = _dist2logit_raw(params, d0, d1, eps)
+    return jnp.mean(per * jax.nn.softplus(-z) + (1.0 - per) * jax.nn.softplus(z))
 
 
 def compute_accuracy(d0: Array, d1: Array, judge: Array) -> Array:
@@ -206,13 +171,15 @@ class LPIPSTrainer:
         self._key = jax.random.PRNGKey(seed)
         self._tx = scale_by_torch_adam(b1=beta1, b2=0.999, eps=1e-8)
         self.opt_state = self._tx.init(params)
-        self.errors: Dict[str, float] = {}
+        self._errors: Dict[str, Array] = {}  # device scalars, resolved lazily
         self._step = jax.jit(self._build_step())
+        self._distance_jit = jax.jit(self._distance)
 
     # distance with the CURRENT (possibly trained) parameters, eval mode
     def _distance(self, params: Dict, in0: Array, in1: Array) -> Array:
         backbone = params.get("backbone", self._static_backbone)
-        return _lin_distance(backbone, params["lins"], self.net, self.version, in0, in1)
+        lp = LPIPS(backbone, params["lins"], self.net, version=self.version, lpips=True)
+        return lp(in0, in1)
 
     def _drop_masks(self, key: Array, diff_shapes: List[Tuple[int, ...]]) -> List[Array]:
         keys = jax.random.split(key, len(diff_shapes))
@@ -224,9 +191,12 @@ class LPIPSTrainer:
     def _build_step(self) -> Callable:
         def loss_fn(params, key, ref, p0, p1, judge):
             backbone = params.get("backbone", self._static_backbone)
-            masks = None
+            lp = LPIPS(
+                backbone, params["lins"], self.net, version=self.version, lpips=True
+            )
             if self.use_dropout:
-                # diff tensors have the backbone feature shapes; probe once
+                # diff tensors have the backbone feature shapes; the probe
+                # forward is CSE'd with the distance forwards under jit
                 shapes = [
                     f.shape for f in backbone_features(backbone, ref, self.net)
                 ]
@@ -235,12 +205,8 @@ class LPIPSTrainer:
                 m1 = self._drop_masks(k1, shapes)
             else:
                 m0 = m1 = None
-            d0 = _lin_distance(
-                backbone, params["lins"], self.net, self.version, ref, p0, m0
-            )
-            d1 = _lin_distance(
-                backbone, params["lins"], self.net, self.version, ref, p1, m1
-            )
+            d0 = lp(ref, p0, drop_masks=m0)
+            d1 = lp(ref, p1, drop_masks=m1)
             j = judge.reshape(d0.shape).astype(d0.dtype)
             loss = bce_ranking_loss(params["logit"], d0, d1, j * 2.0 - 1.0)
             acc = jnp.mean(compute_accuracy(d0, d1, j))
@@ -265,6 +231,12 @@ class LPIPSTrainer:
 
         ``batch``: ``ref``/``p0``/``p1`` as ``[N,3,H,W]`` in [-1,1] and
         ``judge`` of N elements in [0,1] (fraction preferring p1).
+
+        Returns ``{'loss_total', 'acc_r'}`` as device scalars — asynchronous
+        futures, so back-to-back steps pipeline without a host sync (the
+        reference defers fetching to ``get_current_errors`` too,
+        ``dist_model.py:175-182``); call :meth:`get_current_errors` for
+        Python floats.
         """
         ref = jnp.asarray(batch["ref"], jnp.float32)
         p0 = jnp.asarray(batch["p0"], jnp.float32)
@@ -274,12 +246,13 @@ class LPIPSTrainer:
         self.params, self.opt_state, loss, acc = self._step(
             self.params, self.opt_state, sub, jnp.float32(self.lr), ref, p0, p1, judge
         )
-        self.errors = {"loss_total": float(loss), "acc_r": float(acc)}
-        return self.errors
+        self._errors = {"loss_total": loss, "acc_r": acc}
+        return dict(self._errors)
 
     def get_current_errors(self) -> Dict[str, float]:
-        """Latest ``{'loss_total', 'acc_r'}`` means (``dist_model.py:175-182``)."""
-        return dict(self.errors)
+        """Latest ``{'loss_total', 'acc_r'}`` means as Python floats (syncs;
+        ``dist_model.py:175-182``)."""
+        return {k: float(v) for k, v in self._errors.items()}
 
     def update_learning_rate(self, nepoch_decay: int) -> float:
         """Linear decay: lr -= lr0 / nepoch_decay (``dist_model.py:206-214``)."""
@@ -287,8 +260,9 @@ class LPIPSTrainer:
         return self.lr
 
     def distance(self, in0, in1) -> np.ndarray:
-        """Calibrated distances ``[N]`` under the current parameters."""
-        d = self._distance(
+        """Calibrated distances ``[N]`` under the current parameters (jitted —
+        the 2AFC/JND scoring loops run one program per batch, not per op)."""
+        d = self._distance_jit(
             self.params, jnp.asarray(in0, jnp.float32), jnp.asarray(in1, jnp.float32)
         )
         return np.asarray(d).reshape(-1)
@@ -345,6 +319,10 @@ def score_jnd_dataset(
     """JND mAP: area under the precision-recall curve obtained by sweeping a
     threshold over distances against human same/different labels
     (``dist_model.py:251-288``).
+
+    Deviation (documented): the denominators carry a 1e-12 guard so an
+    all-different label set returns 0.0 instead of the reference's NaN
+    (``recs = TPs/(TPs+FNs)`` is 0/0 there).
     """
     ds: List[float] = []
     gts: List[float] = []

@@ -172,6 +172,24 @@ class TestLogitNet:
         np.testing.assert_allclose(np.asarray(g0), td0.grad.numpy(), rtol=1e-4, atol=1e-7)
         np.testing.assert_allclose(np.asarray(g1), td1.grad.numpy(), rtol=1e-4, atol=1e-7)
 
+    def test_saturated_sigmoid_grads_stay_finite(self):
+        # fp32 sigmoid saturates to exactly 0/1 around |z|~17; a clipped-log
+        # BCE has NaN gradients there (0*inf in the backward), poisoning Adam.
+        # The from-logits form must stay finite.
+        params = init_dist2logit(seed=0)
+        params = dict(params, w2=jnp.full_like(params["w2"], 100.0),
+                      b2=jnp.full_like(params["b2"], 100.0))
+        d0 = jnp.full((3, 1, 1, 1), 2.0)
+        d1 = jnp.full((3, 1, 1, 1), 0.01)
+        judge = jnp.asarray([1.0, -1.0, 0.0]).reshape(3, 1, 1, 1)
+        assert float(jnp.max(dist2logit(params, d0, d1))) == 1.0  # truly saturated
+        loss, grads = jax.value_and_grad(
+            lambda p: bce_ranking_loss(p, d0, d1, judge)
+        )(params)
+        assert np.isfinite(float(loss))
+        for g in jax.tree.leaves(grads):
+            assert np.isfinite(np.asarray(g)).all()
+
     def test_accuracy_formula(self):
         d0 = jnp.asarray([1.0, 2.0, 3.0]).reshape(3, 1, 1, 1)
         d1 = jnp.asarray([2.0, 1.0, 3.0]).reshape(3, 1, 1, 1)
