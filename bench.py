@@ -204,6 +204,10 @@ def bench_torch_cpu(budget_s: float = 60.0):
 def main():
     fps_tpu = bench_tpu()
     b1_ms = bench_b1_latency()
+    # true one-window-per-dispatch latency (reference's exact measurement
+    # shape); on this attachment it is dominated by the ~33 ms tunnel
+    # dispatch overhead — the amortized number above is the serving figure
+    b1_ms_single = 1000.0 / _rollout_fps(1, chunk=1)
     train_ips = bench_train_iters_per_sec()
     train_ips_bf16 = bench_train_iters_per_sec(dtype_name="bfloat16")
     try:
@@ -225,6 +229,7 @@ def main():
                 "vs_baseline": round(vs, 2) if vs else None,
                 "aux": {
                     "b1_ms_per_window": round(b1_ms, 3),
+                    "b1_ms_single_dispatch": round(b1_ms_single, 2),
                     "train_iters_per_sec": round(train_ips, 2),
                     "train_iters_per_sec_bf16": round(train_ips_bf16, 2),
                     "torch_cpu_fps": round(fps_torch, 2) if fps_torch else None,
