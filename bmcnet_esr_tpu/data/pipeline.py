@@ -210,15 +210,49 @@ class SequenceLoader:
                     if not put_or_stop(queues[wid], self._load_batch(local, batch, rng)):
                         break
             finally:
-                put_or_stop(queues[wid], None)
+                # close BEFORE signalling completion: if the interpreter
+                # starts finalizing while a daemon worker sits inside h5py's
+                # close (holding HDF5's global lock), CPython >= 3.12 freezes
+                # the thread at its next GIL acquisition and h5py's atexit
+                # then deadlocks on that lock — the sentinel must mean "this
+                # worker holds no h5 handles anymore"
                 for ds in local:
                     ds.dataset.close()
+                put_or_stop(queues[wid], None)
 
         threads = [
             threading.Thread(target=worker, args=(w,), daemon=True) for w in range(n_workers)
         ]
         for t in threads:
             t.start()
+
+        empty_exc = queue.Empty  # bind now: module globals vanish at teardown
+        shut = []
+
+        def shutdown_workers():
+            if shut:  # idempotent: atexit and the generator finally both call
+                return
+            shut.append(True)
+            stop.set()
+            for q in queues:  # unblock producers stuck on put()
+                try:
+                    q.get_nowait()
+                except empty_exc:
+                    pass
+            # wait for workers to release their h5 handles — proceeding (or
+            # finalizing the interpreter) while a worker is inside h5py
+            # teardown deadlocks, see the worker-side comment
+            for t in threads:
+                t.join(timeout=10.0)
+
+        # abandoned-iterator safety: a generator's `finally` only runs at GC,
+        # which during interpreter shutdown comes AFTER h5py's atexit — too
+        # late (that handler would close files under live worker threads).
+        # atexit runs LIFO, so registering here guarantees workers are
+        # stopped and joined BEFORE h5py's import-time handler.
+        import atexit
+
+        atexit.register(shutdown_workers)
 
         try:
             done = [False] * n_workers
@@ -234,9 +268,8 @@ class SequenceLoader:
                     continue
                 yield item
         finally:
-            stop.set()
-            for q in queues:  # unblock producers stuck on put()
-                try:
-                    q.get_nowait()
-                except queue.Empty:
-                    pass
+            try:
+                atexit.unregister(shutdown_workers)
+            except Exception:
+                pass  # generator GC'd during interpreter teardown
+            shutdown_workers()
