@@ -33,9 +33,11 @@ def setup_logging(
     console.setFormatter(logging.Formatter("%(message)s"))
     root.addHandler(console)
 
-    # orbax/absl emit very chatty INFO during async checkpoint saves
-    logging.getLogger("absl").setLevel(logging.WARNING)
-    logging.getLogger("jax").setLevel(logging.WARNING)
+    # orbax/absl emit very chatty INFO during async checkpoint saves;
+    # matplotlib/h5py/TF flood DEBUG at import (matplotlib alone prints ~40
+    # font-manager lines into the training console)
+    for noisy in ("absl", "jax", "matplotlib", "h5py", "PIL", "tensorflow"):
+        logging.getLogger(noisy).setLevel(logging.WARNING)
 
     if log_dir is not None:
         os.makedirs(log_dir, exist_ok=True)
