@@ -24,6 +24,7 @@ stack.
 from __future__ import annotations
 
 import copy
+import logging
 import queue
 import threading
 from typing import Dict, Iterator, List, Sequence
@@ -215,10 +216,20 @@ class SequenceLoader:
                 # close (holding HDF5's global lock), CPython >= 3.12 freezes
                 # the thread at its next GIL acquisition and h5py's atexit
                 # then deadlocks on that lock — the sentinel must mean "this
-                # worker holds no h5 handles anymore"
-                for ds in local:
-                    ds.dataset.close()
-                put_or_stop(queues[wid], None)
+                # worker holds no h5 handles anymore".  The sentinel itself
+                # must ALWAYS go out, even if a close raises, or the consumer
+                # blocks forever on its untimed get.
+                try:
+                    for ds in local:
+                        try:
+                            ds.dataset.close()
+                        except Exception:
+                            logging.getLogger(__name__).warning(
+                                "loader worker failed to close an h5 handle",
+                                exc_info=True,
+                            )
+                finally:
+                    put_or_stop(queues[wid], None)
 
         threads = [
             threading.Thread(target=worker, args=(w,), daemon=True) for w in range(n_workers)
@@ -244,6 +255,12 @@ class SequenceLoader:
             # teardown deadlocks, see the worker-side comment
             for t in threads:
                 t.join(timeout=10.0)
+                if t.is_alive():
+                    logging.getLogger(__name__).warning(
+                        "loader worker %s still running after 10s; "
+                        "interpreter exit may block on h5py teardown",
+                        t.name,
+                    )
 
         # abandoned-iterator safety: a generator's `finally` only runs at GC,
         # which during interpreter shutdown comes AFTER h5py's atexit — too

@@ -13,30 +13,22 @@ from an atexit hook (LIFO -> before h5py's) for abandoned iterators.
 
 import threading
 
-import numpy as np
 import pytest
 
 from bmcnet_esr_tpu.data import DatasetConfig, SequenceLoader
 from bmcnet_esr_tpu.data.h5dataset import EventH5Dataset
-from bmcnet_esr_tpu.data.packager import MultiScaleEventPackager
+from bmcnet_esr_tpu.data.packager import write_synthetic_fixture
 
 
 @pytest.fixture(scope="module")
 def h5_path(tmp_path_factory):
     path = str(tmp_path_factory.mktemp("shutdown") / "seq.h5")
-    rng = np.random.default_rng(0)
-    with MultiScaleEventPackager(path) as pk:
-        pk.set_sensor_resolution([32, 32])
-        for prefix, n, res in [("down2", 40_000, 16), ("ori", 160_000, 32)]:
-            ts = np.sort(rng.random(n))
-            pk.append_events(
-                prefix,
-                rng.integers(0, res, n),
-                rng.integers(0, res, n),
-                ts,
-                rng.integers(0, 2, n) * 2 - 1,
-            )
-    return path
+    return write_synthetic_fixture(
+        path,
+        sensor_resolution=(32, 32),
+        prefixes=("ori", "down2"),
+        events_per_scale={"ori": 160_000, "down2": 40_000},
+    )
 
 
 def make_loader(h5_path, **kw):
@@ -75,6 +67,23 @@ def test_exhausted_epoch_joins_workers_and_closes_handles(h5_path, monkeypatch):
     # every worker closed its private handle (2 workers x 1 file)
     worker_closes = [t for t in closes if t != "MainThread"]
     assert len(worker_closes) == 2
+
+
+def test_close_failure_still_delivers_sentinel(h5_path, monkeypatch):
+    """A worker whose h5 close raises must still signal completion, or the
+    consumer blocks forever on its untimed queue get."""
+    orig_close = EventH5Dataset.close
+
+    def flaky_close(self):
+        had_file = getattr(self, "_file", None) is not None
+        orig_close(self)
+        if had_file and threading.current_thread().name != "MainThread":
+            raise OSError("synthetic close failure")
+
+    monkeypatch.setattr(EventH5Dataset, "close", flaky_close)
+    loader = make_loader(h5_path)
+    n = sum(1 for _ in loader)  # must not hang
+    assert n == len(loader)
 
 
 def test_abandoned_iterator_joins_workers(h5_path):
