@@ -293,6 +293,10 @@ class InferenceEngine:
 
         pool = ThreadPoolExecutor(max_workers=1)
         pending = pool.submit(load_chunk, *chunk_bounds[0])
+        # PNG rendering/compression is ~25 ms x 4 streams per window — far
+        # more than the model's compute; overlap it with the device scans.
+        img_pool = ThreadPoolExecutor(max_workers=4) if img_dirs else None
+        img_futures: List = []
 
         for ci, (pos, steps) in enumerate(chunk_bounds):
             inp_ev, gt_ev = pending.result()
@@ -336,11 +340,21 @@ class InferenceEngine:
                 gt_np = np.asarray(gt_frames)
                 for s in range(steps):
                     i = frame_idx + s
-                    self._save_streams(
-                        img_dirs, i, lr_np[s, 0], preds[s, 0], bics[s, 0], gt_np[s, 0]
+                    img_futures.append(
+                        img_pool.submit(
+                            self._save_streams,
+                            img_dirs, i, lr_np[s, 0], preds[s, 0], bics[s, 0], gt_np[s, 0],
+                        )
                     )
+                # bound the backlog (each pending window pins 4 images)
+                while len(img_futures) > 2 * self.chunk_size:
+                    img_futures.pop(0).result()
             frame_idx += steps
 
+        for f in img_futures:
+            f.result()
+        if img_pool is not None:
+            img_pool.shutdown(wait=True)
         pool.shutdown(wait=False)
         ds.close()
         result = track.result()

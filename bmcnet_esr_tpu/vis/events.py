@@ -19,10 +19,12 @@ import numpy as np
 
 
 def _normalize(pos: np.ndarray, neg: np.ndarray, is_norm: bool):
-    pos = pos.astype(np.float64).copy()
-    neg = neg.astype(np.float64).copy()
-    pos_max, pos_min = np.percentile(pos, 99), np.percentile(pos, 1)
-    neg_max, neg_min = np.percentile(neg, 99), np.percentile(neg, 1)
+    pos = pos.astype(np.float64)
+    neg = neg.astype(np.float64)
+    # one two-quantile partition per polarity (identical values to separate
+    # percentile calls; ~2x faster — percentile dominates render time)
+    pos_min, pos_max = np.percentile(pos, (1, 99))
+    neg_min, neg_max = np.percentile(neg, (1, 99))
     vmax = max(pos_max, neg_max)
     if is_norm:
         if pos_min != vmax:
