@@ -323,10 +323,13 @@ class InferenceEngine:
             esr = np.asarray(esr)
             dt_ms = (time.perf_counter() - t0) * 1000.0 / steps
 
-            preds = np.asarray(preds)
-            bics = np.asarray(bics)
             bicm = np.asarray(bicm)
             extras = np.asarray(extras)
+            if img_dirs:
+                # full prediction/bicubic stacks only cross the tunnel when
+                # the PNG streams need them (~59 MB per 64-window chunk)
+                preds = np.asarray(preds)
+                bics = np.asarray(bics)
             for s in range(steps):
                 pw_esr.append(float(esr[s, 0]))
                 pw_bic.append(float(bicm[s, 0]))
