@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from bmcnet_esr_tpu.data import DatasetConfig, EventH5Dataset
 from bmcnet_esr_tpu.losses.restore import psnr_metric, ssim_metric
 from bmcnet_esr_tpu.models import BMCNet, BMCNetPlain, load_torch_checkpoint
-from bmcnet_esr_tpu.ops.batch import batch_events_to_counts
+from bmcnet_esr_tpu.ops.batch import batch_counts_from_compact, compact_events
 from bmcnet_esr_tpu.ops.resize import resize_bicubic
 from bmcnet_esr_tpu.utils import MetricTracker, YamlResultLogger
 from bmcnet_esr_tpu.vis import EventVisualizer
@@ -49,11 +49,19 @@ def load_model_for_inference(
     n_c: int = 128,
     n_b: int = 5,
     variant: str = "full",
+    dtype: str = "float32",
 ):
     """Build the model and load weights from a ``.pth``/``.npz`` reference
-    checkpoint or an Orbax train-state directory."""
+    checkpoint or an Orbax train-state directory.
+
+    ``dtype='bfloat16'`` enables the serving-mode compute path (fp32 params,
+    bf16 activations on the MXU — ~3x the fp32 throughput on v5e at a
+    rel-RMSE < 5e-2 drift bound, docs/DESIGN.md §4); ``float32`` is the
+    parity default.
+    """
     cls = BMCNetPlain if variant == "plain" else BMCNet
-    model = cls(scale=scale, n_c=n_c, n_b=n_b)
+    mdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    model = cls(scale=scale, n_c=n_c, n_b=n_b, dtype=mdtype)
     if checkpoint_path.endswith(".pth"):
         variables = load_torch_checkpoint(checkpoint_path)
     elif checkpoint_path.endswith(".npz"):
@@ -139,14 +147,21 @@ class InferenceEngine:
         st_s = NamedSharding(self.mesh, P("data"))
         return tuple(jax.device_put(c, st_s) for c in carry)
 
-    def _place_events(self, inp_ev, gt_ev, batch: int):
-        """Commit chunk event arrays ([steps, B, 4, N]) to the mesh."""
+    def _place_events(self, inp_c, gt_c, batch: int):
+        """Commit compact chunk event tuples (xy [steps, B, 2, N] + p) to the
+        mesh, stream batch sharded."""
         if not self._sharded(batch):
-            return jnp.asarray(inp_ev), jnp.asarray(gt_ev)
+            return (
+                tuple(jnp.asarray(a) for a in inp_c),
+                tuple(jnp.asarray(a) for a in gt_c),
+            )
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         ev_s = NamedSharding(self.mesh, P(None, "data"))
-        return jax.device_put(inp_ev, ev_s), jax.device_put(gt_ev, ev_s)
+        return (
+            tuple(jax.device_put(a, ev_s) for a in inp_c),
+            tuple(jax.device_put(a, ev_s) for a in gt_c),
+        )
 
     # -- compiled chunk step ------------------------------------------------
 
@@ -161,11 +176,14 @@ class InferenceEngine:
         model = self.model
 
         @jax.jit
-        def run(variables, carry, inp_events, gt_events):
-            # inp_events [steps+1, B, 4, N] (one-window overlap),
-            # gt_events [steps, B, 4, Ng]
-            frames = batch_events_to_counts(inp_events, inp_res)
-            gts = batch_events_to_counts(gt_events, gt_res)
+        def run(variables, carry, inp_xy, inp_p, gt_xy, gt_p):
+            # compact event windows (int16 xy [.., 2, N] + int8 p [.., N],
+            # ops/batch.compact_events): the count path never reads
+            # timestamps, and GT streams are scale^2 x the input size — raw
+            # f32 GT upload alone was ~9 ms/window over the tunnel
+            # (inp [steps+1, B, ...] with one-window overlap, gt [steps, B, ...])
+            frames = batch_counts_from_compact(inp_xy, inp_p, inp_res)
+            gts = batch_counts_from_compact(gt_xy, gt_p, gt_res)
             pairs = jnp.stack([frames[:-1], frames[1:]], axis=2)  # [S,B,2,H,W,2]
 
             def body(c, xs):
@@ -195,7 +213,7 @@ class InferenceEngine:
         self._step_cache[key] = run
         return run
 
-    def _compiled_step(self, steps: int, inp_res, gt_res, carry, inp_ev, gt_ev,
+    def _compiled_step(self, steps: int, inp_res, gt_res, carry, inp_c, gt_c,
                        batch: int = 1):
         """AOT-compiled chunk executable + its flop count.
 
@@ -208,7 +226,7 @@ class InferenceEngine:
         key = ("aot", steps, inp_res, gt_res, batch)
         if key not in self._step_cache:
             run = self._chunk_step(steps, inp_res, gt_res, batch)
-            lowered = run.lower(self.variables, carry, inp_ev, gt_ev)
+            lowered = run.lower(self.variables, carry, *inp_c, *gt_c)
             compiled = lowered.compile()
             try:
                 cost = compiled.cost_analysis()
@@ -220,19 +238,19 @@ class InferenceEngine:
             # warm-up execution, outputs discarded: the first run of a fresh
             # executable pays a one-time device program load (~seconds over
             # the axon tunnel) that must not land in the timed region
-            out = compiled(self.variables, carry, inp_ev, gt_ev)
+            out = compiled(self.variables, carry, *inp_c, *gt_c)
             np.asarray(jax.tree.leaves(out)[-1])  # reliable sync (CLAUDE.md)
             self._step_cache[key] = (compiled, flops)
         return self._step_cache[key]
 
-    def macs_per_window(self, steps: int, inp_res, gt_res, carry, inp_ev, gt_ev) -> float:
+    def macs_per_window(self, steps: int, inp_res, gt_res, carry, inp_c, gt_c) -> float:
         """MACs per window from XLA's compiled cost analysis.
 
         XLA counts a ``lax.scan`` body ONCE regardless of trip count
         (verified empirically), so the chunk's flops already equal one
         window's flops — no division by ``steps``.
         """
-        _, flops = self._compiled_step(steps, inp_res, gt_res, carry, inp_ev, gt_ev)
+        _, flops = self._compiled_step(steps, inp_res, gt_res, carry, inp_c, gt_c)
         return flops / 2.0
 
     # -- per-file rollout ---------------------------------------------------
@@ -274,11 +292,12 @@ class InferenceEngine:
         def load_chunk(pos: int, steps: int):
             # windows pos .. pos+steps (inclusive) for inputs; gt for pos+1..;
             # one get_window per window (each item carries both streams);
-            # batch dim of 1 (see infer_datalist(batch_streams=) for >1)
+            # batch dim of 1 (see infer_datalist(batch_streams=) for >1);
+            # shipped compact (int16 xy + int8 p — counts never read ts)
             items = [ds.get_window(w) for w in range(pos, pos + steps + 1)]
             inp_ev = np.stack([it["inp_events"] for it in items])[:, None]
             gt_ev = np.stack([it["gt_events"] for it in items[1:]])[:, None]
-            return inp_ev, gt_ev
+            return compact_events(inp_ev), compact_events(gt_ev)
 
         # double-buffered host loading: the next chunk's h5 reads overlap the
         # current chunk's device scan
@@ -299,11 +318,12 @@ class InferenceEngine:
         img_futures: List = []
 
         for ci, (pos, steps) in enumerate(chunk_bounds):
-            inp_ev, gt_ev = pending.result()
+            inp_c, gt_c = pending.result()
             if ci + 1 < len(chunk_bounds):
                 pending = pool.submit(load_chunk, *chunk_bounds[ci + 1])
 
-            inp_dev, gt_dev = jnp.asarray(inp_ev), jnp.asarray(gt_ev)
+            inp_dev = tuple(jnp.asarray(a) for a in inp_c)
+            gt_dev = tuple(jnp.asarray(a) for a in gt_c)
             # compile happens here (cached per shape key) — never inside the
             # timed region below, so chunk 0's per-window ms matches later
             # chunks (round-1 VERDICT "what's weak" #1)
@@ -316,7 +336,7 @@ class InferenceEngine:
 
             t0 = time.perf_counter()
             carry, preds, bics, esr, bicm, extras, lr_frames, gt_frames = run(
-                self.variables, carry, inp_dev, gt_dev
+                self.variables, carry, *inp_dev, *gt_dev
             )
             # reliable device sync (block_until_ready can return early on the
             # tunneled chip); then measure
@@ -433,7 +453,7 @@ class InferenceEngine:
                         inp[s, j] = pad_to(item["inp_events"], inp_pad)
                         if s >= 1 and w <= last:
                             gt[s - 1, j] = pad_to(item["gt_events"], gt_pad)
-            return inp, gt
+            return compact_events(inp), compact_events(gt)
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -450,10 +470,10 @@ class InferenceEngine:
         macs_done = False
 
         for ci, (pos, steps) in enumerate(chunk_bounds):
-            inp_ev, gt_ev = pending.result()
+            inp_c, gt_c = pending.result()
             if ci + 1 < len(chunk_bounds):
                 pending = pool.submit(load_chunk, *chunk_bounds[ci + 1])
-            inp_dev, gt_dev = self._place_events(inp_ev, gt_ev, b)
+            inp_dev, gt_dev = self._place_events(inp_c, gt_c, b)
             run, flops = self._compiled_step(
                 steps, inp_res, gt_res, carry, inp_dev, gt_dev, batch=b
             )
@@ -463,7 +483,7 @@ class InferenceEngine:
                 macs_done = True
             t0 = time.perf_counter()
             carry, preds, bics, esr, bicm, extras, _, _ = run(
-                self.variables, carry, inp_dev, gt_dev
+                self.variables, carry, *inp_dev, *gt_dev
             )
             esr = np.asarray(esr)
             dt_ms = (time.perf_counter() - t0) * 1000.0 / steps

@@ -40,6 +40,25 @@ def make_engine(chunk_size=8, visualize=False):
 
 
 class TestEngine:
+    def test_bf16_serving_mode_tracks_fp32(self, fixture_h5):
+        """The --dtype bfloat16 serving path produces metrics within the
+        documented drift bound of fp32 (docs/DESIGN.md §4)."""
+        model = BMCNetPlain(scale=2, n_c=8, n_b=2, dtype=jnp.bfloat16)
+        h = w = 16
+        dummy = jnp.zeros((1, 2, h, w, 2))
+        variables = model.init(jax.random.key(1), dummy, *model.init_state(1, h, w))
+        cfg = DatasetConfig(
+            scale=2, ori_scale="down2", window=128, sliding_window=64,
+            sequence=SequenceConfig(4, 2, 1),
+        )
+        eng16 = InferenceEngine(model, variables, cfg, chunk_size=8, visualize=False)
+        res16 = eng16.infer_file(fixture_h5, output_dir=None)
+        res32 = make_engine().infer_file(fixture_h5, output_dir=None)
+        assert np.isfinite(res16["esr_mse"])
+        assert res16["esr_mse"] == pytest.approx(res32["esr_mse"], rel=5e-2)
+        # bicubic baseline is computed from fp32 count images either way
+        assert res16["bicubic_mse"] == pytest.approx(res32["bicubic_mse"], rel=1e-3)
+
     def test_metrics_finite_and_macs_populated(self, fixture_h5, tmp_path):
         eng = make_engine()
         res = eng.infer_file(fixture_h5, output_dir=None)
