@@ -271,6 +271,24 @@ class LPIPSTrainer:
         """Trained head weights, loadable back into :class:`LPIPS`."""
         return [np.asarray(w) for w in self.params["lins"]]
 
+    def save_lin_weights(self, path: str) -> str:
+        """Export the trained heads in the reference ``.pth`` layout
+        (``lin{k}.model.1.weight`` of shape [1, C, 1, 1]) so they load into
+        the upstream ``PNetLin`` — and back here via
+        :func:`bmcnet_esr_tpu.losses.lpips.load_lin_weights` — exactly like
+        the shipped ``weights/v0.1/{net}.pth`` files (the LPIPS counterpart
+        of ``models/convert.export_torch_state_dict``)."""
+        import torch
+
+        state = {
+            f"lin{k}.model.1.weight": torch.from_numpy(
+                np.asarray(w, np.float32)[:, :, None, None].copy()
+            )
+            for k, w in enumerate(self.params["lins"])
+        }
+        torch.save(state, path)
+        return path
+
 
 # -- evaluation harnesses (dist_model.py:216-288) ------------------------------
 

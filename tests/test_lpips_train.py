@@ -308,6 +308,22 @@ class TestTrainerParity:
         ).reshape(-1)
         assert not np.allclose(d_tuned, d_frozen)
 
+    def test_save_lin_weights_reference_layout_roundtrip(self, alex_setup, tmp_path):
+        _, backbone, lins = alex_setup
+        lp = LPIPS(backbone, lins, "alex", version="0.1")
+        tr = LPIPSTrainer(lp, lr=1e-3, seed=1, use_dropout=False)
+        tr.optimize_parameters(triplets(seed=33, n=2, hw=32))
+        path = tr.save_lin_weights(str(tmp_path / "alex_trained.pth"))
+        # reference-layout keys/shapes...
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        assert sorted(sd) == [f"lin{k}.model.1.weight" for k in range(5)]
+        assert sd["lin0.model.1.weight"].shape == (1, 64, 1, 1)
+        # ...and a bit-exact round trip through the shipped-weights loader
+        from bmcnet_esr_tpu.losses.lpips import load_lin_weights as llw
+
+        for got, want in zip(llw(path, "alex"), tr.params["lins"]):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
     def test_dropout_path_runs_and_varies(self, alex_setup):
         _, backbone, lins = alex_setup
         lp = LPIPS(backbone, lins, "alex", version="0.1")
