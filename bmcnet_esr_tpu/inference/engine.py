@@ -284,8 +284,6 @@ class InferenceEngine:
         track.update("params", self.params_m)
 
         carry = tuple(self.model.init_state(1, *inp_res))
-        macs_done = False
-        frame_idx = 0
         pw_esr: List[float] = []
         pw_bic: List[float] = []
 
@@ -311,19 +309,50 @@ class InferenceEngine:
             pos += steps
 
         pool = ThreadPoolExecutor(max_workers=1)
-        pending = pool.submit(load_chunk, *chunk_bounds[0])
         # PNG rendering/compression is ~25 ms x 4 streams per window — far
         # more than the model's compute; overlap it with the device scans.
         img_pool = ThreadPoolExecutor(max_workers=4) if img_dirs else None
         img_futures: List = []
 
+        try:
+            self._rollout_chunks(
+                chunk_bounds, load_chunk, pool, img_pool, img_futures, img_dirs,
+                carry, inp_res, gt_res, track, pw_esr, pw_bic,
+            )
+        finally:
+            # a mid-rollout exception (corrupt h5 chunk, failed PNG write)
+            # must not leak the pools or the h5 handle across a datalist run
+            for f in img_futures:
+                try:
+                    f.result()
+                except Exception:
+                    pass
+            if img_pool is not None:
+                img_pool.shutdown(wait=True)
+            pool.shutdown(wait=False)
+            ds.close()
+        result = track.result()
+        if logger is not None:
+            logger.log_dict(result, "evaluation results")
+        if return_per_window:
+            result["per_window"] = {
+                "esr_mse": np.asarray(pw_esr),
+                "bicubic_mse": np.asarray(pw_bic),
+            }
+        return result
+
+    def _rollout_chunks(self, chunk_bounds, load_chunk, pool, img_pool,
+                        img_futures, img_dirs, carry, inp_res, gt_res, track,
+                        pw_esr, pw_bic):
+        macs_done = False
+        frame_idx = 0
+        pending = pool.submit(load_chunk, *chunk_bounds[0])
         for ci, (pos, steps) in enumerate(chunk_bounds):
             inp_c, gt_c = pending.result()
             if ci + 1 < len(chunk_bounds):
                 pending = pool.submit(load_chunk, *chunk_bounds[ci + 1])
 
-            inp_dev = tuple(jnp.asarray(a) for a in inp_c)
-            gt_dev = tuple(jnp.asarray(a) for a in gt_c)
+            inp_dev, gt_dev = self._place_events(inp_c, gt_c, 1)
             # compile happens here (cached per shape key) — never inside the
             # timed region below, so chunk 0's per-window ms matches later
             # chunks (round-1 VERDICT "what's weak" #1)
@@ -374,21 +403,10 @@ class InferenceEngine:
                     img_futures.pop(0).result()
             frame_idx += steps
 
+        # strict drain on success: a failed PNG write must surface (the
+        # caller's finally only mops up when an exception is already flying)
         for f in img_futures:
             f.result()
-        if img_pool is not None:
-            img_pool.shutdown(wait=True)
-        pool.shutdown(wait=False)
-        ds.close()
-        result = track.result()
-        if logger is not None:
-            logger.log_dict(result, "evaluation results")
-        if return_per_window:
-            result["per_window"] = {
-                "esr_mse": np.asarray(pw_esr),
-                "bicubic_mse": np.asarray(pw_bic),
-            }
-        return result
 
     def _save_streams(self, dirs, i, lr, pred, bic, gt):
         cs = self.vis_color_scheme

@@ -66,11 +66,21 @@ def compact_events(events) -> Tuple:
     The count-image path never reads timestamps and x/y/p are small ints, so
     the training batch sheds ~69% of its host->device bytes (10 MB -> 3 MB
     per NFS iteration over the tunneled chip).  Padding (p == 0) survives.
+
+    Out-of-range safety: the device rasterizer zeroes events with
+    ``x < 0 | x >= w`` BEFORE truncating (``ops/encodings.events_to_image``),
+    so a bare int16 cast would diverge on adversarial coords (-0.5 truncates
+    to a valid 0; >= 32768 wraps).  Negatives therefore clamp to -1 (still
+    rejected on device) and the high side to int16-max (>= any real sensor
+    width, still rejected); in-range values truncate toward zero exactly
+    like the device cast, so compact == raw for EVERY input.
     """
     import numpy as np
 
     events = np.asarray(events)
-    xy = events[..., 0:2, :].astype(np.int16)
+    xy = events[..., 0:2, :]
+    xy = np.where(xy < 0, -1.0, np.minimum(xy, np.float32(np.iinfo(np.int16).max)))
+    xy = xy.astype(np.int16)
     p = events[..., 3, :].astype(np.int8)
     return xy, p
 

@@ -226,13 +226,15 @@ class Trainer:
             # still device_put on single device: feeding the jit numpy forces
             # a synchronous upload inside every dispatch; an explicit put one
             # batch ahead overlaps the transfer with the running step
-            self._shard_batch = lambda b: {k: jax.device_put(v) for k, v in b.items()}
+            self._shard_batch = jax.device_put  # pytree-aware
             self.train_step = make_train_step(
                 self.model, self.tx, self.inp_resolution, self.gt_resolution,
                 self.seqn, use_remat=self.use_remat,
                 extra_losses=self.extra_losses, grad_accum=self.grad_accum,
             )
-        self._shard_eval_batch = lambda b: b
+        # same one-ahead device placement for validation (numpy-fed eval
+        # dispatches would pay the synchronous upload the train path avoids)
+        self._shard_eval_batch = jax.device_put
         if (
             self.mesh is not None
             and self.valid_loader is not None
