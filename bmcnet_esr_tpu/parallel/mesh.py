@@ -32,6 +32,26 @@ def make_mesh(
     return Mesh(np.array(devices[:n_data]), (axis,))
 
 
+def make_mesh_2d(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    *,
+    devices: Optional[Sequence] = None,
+    axes: Sequence[str] = ("data", "model"),
+) -> Mesh:
+    """2-D ``(data, model)`` mesh: batch parallelism over ``data``, optional
+    tensor parallelism over ``model`` (channel-sharded convs, SURVEY.md §2.2
+    "optional pjit sharding of the 128-ch convs").  ``n_model = 1`` degrades
+    to plain data parallelism on a 2-D mesh."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    need = n_data * n_model
+    if need > len(devices):
+        raise ValueError(f"requested {n_data}x{n_model} devices, have {len(devices)}")
+    return Mesh(np.array(devices[:need]).reshape(n_data, n_model), tuple(axes))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -62,3 +82,31 @@ def shard_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
 
 def replicate_tree(tree, mesh: Mesh):
     return jax.device_put(tree, replicated(mesh))
+
+
+def channel_sharding(tree, mesh: Mesh, axis: str = "model"):
+    """Per-leaf shardings splitting the trailing (channel) dim over ``axis``.
+
+    The tensor-parallel layout for a conv net: kernels are HWIO, so the last
+    dim is output channels; biases and LayerNorm scales are ``(C,)``.  Any
+    leaf whose trailing dim divides evenly by the axis size is split there
+    (Adam's ``mu``/``nu`` mirror the param shapes, so optimizer state follows
+    the same rule); everything else — step counters, odd-sized heads like the
+    2-channel output conv — stays replicated.  Sharding is layout, not
+    semantics: GSPMD inserts the ICI collectives that keep the math identical
+    to the replicated program (tested in tests/test_parallel.py).
+    """
+    n = mesh.shape[axis]
+
+    def spec(leaf):
+        shape = getattr(leaf, "shape", ())
+        if len(shape) >= 1 and shape[-1] >= n and shape[-1] % n == 0:
+            return NamedSharding(mesh, P(*([None] * (len(shape) - 1) + [axis])))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec, tree)
+
+
+def shard_tree_channels(tree, mesh: Mesh, axis: str = "model"):
+    """Place a pytree (params / TrainState) with :func:`channel_sharding`."""
+    return jax.device_put(tree, channel_sharding(tree, mesh, axis))

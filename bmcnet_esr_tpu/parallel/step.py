@@ -31,10 +31,17 @@ def make_parallel_train_step(
     seqn: int = 2,
     use_remat: bool = True,
     extra_losses=(),
+    state_shardings=None,
 ):
-    """Jitted SPMD iteration: state replicated, batch sharded on ``data``."""
+    """Jitted SPMD iteration: batch sharded on ``data``; state replicated by
+    default, or laid out per ``state_shardings`` (a pytree of
+    ``NamedSharding`` matching the ``TrainState`` — e.g.
+    ``channel_sharding(state, mesh)`` for tensor parallelism over a 2-D
+    ``(data, model)`` mesh, where conv channels live split across ``model``
+    and GSPMD inserts the ICI collectives)."""
     repl = replicated(mesh)
     data = data_sharding(mesh)
+    state_sh = repl if state_shardings is None else state_shardings
 
     def step(state: TrainState, batch: Dict):
         def loss_fn(params):
@@ -55,8 +62,8 @@ def make_parallel_train_step(
 
     return jax.jit(
         step,
-        in_shardings=(repl, data),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, data),
+        out_shardings=(state_sh, repl),
         donate_argnums=(0,),
     )
 
@@ -68,13 +75,16 @@ def make_parallel_eval_step(
     mesh: Mesh,
     seqn: int = 2,
     extra_losses=(),
+    params_shardings=None,
 ):
-    """Sharded validation rollout: params replicated, batch (incl. the
-    optional ``clip_mask``) sharded on ``data``; the masked weighted means
-    become ICI ``psum``s under GSPMD."""
+    """Sharded validation rollout: batch (incl. the optional ``clip_mask``)
+    sharded on ``data``; params replicated by default or laid out per
+    ``params_shardings`` (tensor-parallel channel split); the masked
+    weighted means become ICI ``psum``s under GSPMD."""
     inner = make_eval_step(model, inp_resolution, gt_resolution, seqn, extra_losses)
+    params_sh = replicated(mesh) if params_shardings is None else params_shardings
     return jax.jit(
         inner.__wrapped__,
-        in_shardings=(replicated(mesh), data_sharding(mesh)),
+        in_shardings=(params_sh, data_sharding(mesh)),
         out_shardings=replicated(mesh),
     )
