@@ -172,9 +172,25 @@ class Trainer:
         # SPMD data parallelism over all local devices (the TPU-native
         # replacement for the reference's vestigial DDP, SURVEY.md §2.2):
         # batch sharded along 'data', state replicated, gradient psum by GSPMD.
+        # `trainer.model_parallel: N` adds the optional tensor-parallel axis:
+        # a 2-D (data, model) mesh with conv channels split across 'model'
+        # (channel_sharding) — same step, different layout, GSPMD collectives.
         self.mesh = None
+        n_model = int(cfg["trainer"].get("model_parallel", 1))
+        if n_model > 1 and jax.process_count() > 1:
+            self.logger.warning(
+                "model_parallel is a single-host layout knob; ignoring it "
+                "under multi-host (shard the data axis across hosts instead)"
+            )
+            n_model = 1
+        if n_model > 1 and jax.device_count() % n_model != 0:
+            raise ValueError(
+                f"model_parallel={n_model} does not divide the "
+                f"{jax.device_count()} available devices"
+            )
         use_dp = cfg["trainer"].get("data_parallel", True) and jax.device_count() > 1
-        if use_dp:
+        use_mesh = use_dp or n_model > 1
+        if use_mesh:
             batch_size = self.train_loader.batch_size  # LOCAL batch per host
             if jax.process_count() > 1:
                 # multi-host: every process must join the global mesh; the
@@ -189,39 +205,47 @@ class Trainer:
                     )
                 n_dev = jax.device_count()
             else:
-                n_dev = jax.device_count()
+                n_dev = jax.device_count() // n_model
                 if batch_size % n_dev != 0:
-                    # shrink the mesh to the largest divisor of the batch
+                    # shrink the data axis to the largest divisor of the batch
                     n_dev = max(d for d in range(1, n_dev + 1) if batch_size % d == 0)
-                if n_dev == 1:
+                if n_dev == 1 and n_model == 1:
                     self.logger.warning(
                         "batch size does not shard across the available devices; "
                         "running single-device"
                     )
-                    use_dp = False
-        if use_dp:
+                    use_mesh = False
+        if use_mesh:
             from bmcnet_esr_tpu.parallel import (
+                channel_sharding,
                 make_mesh,
+                make_mesh_2d,
                 make_parallel_train_step,
                 replicate_tree,
                 shard_batch,
             )
 
-            self.mesh = make_mesh(n_dev)
+            state_sh = None
+            if n_model > 1:
+                self.mesh = make_mesh_2d(n_dev, n_model)
+                state_sh = channel_sharding(self.state, self.mesh)
+                self.state = jax.device_put(self.state, state_sh)
+            else:
+                self.mesh = make_mesh(n_dev)
+                self.state = replicate_tree(self.state, self.mesh)
             if self.grad_accum > 1:
                 self.logger.warning(
                     "grad_accum > 1 is a single-chip memory lever; the mesh "
                     "already splits the batch across devices — ignoring it"
                 )
                 self.grad_accum = 1
-            self.state = replicate_tree(self.state, self.mesh)
             self._shard_batch = lambda b: shard_batch(b, self.mesh)
             self.train_step = make_parallel_train_step(
                 self.model, self.tx, self.inp_resolution, self.gt_resolution,
                 self.mesh, self.seqn, use_remat=self.use_remat,
-                extra_losses=self.extra_losses,
+                extra_losses=self.extra_losses, state_shardings=state_sh,
             )
-            self.logger.info(f"data-parallel over {n_dev} devices: {self.mesh.shape}")
+            self.logger.info(f"mesh over {self.mesh.size} devices: {dict(self.mesh.shape)}")
         else:
             # still device_put on single device: feeding the jit numpy forces
             # a synchronous upload inside every dispatch; an explicit put one
@@ -238,13 +262,18 @@ class Trainer:
         if (
             self.mesh is not None
             and self.valid_loader is not None
-            and self.valid_loader.batch_size % self.mesh.size == 0
+            and self.valid_loader.batch_size % self.mesh.shape["data"] == 0
         ):
-            from bmcnet_esr_tpu.parallel import make_parallel_eval_step
+            from bmcnet_esr_tpu.parallel import channel_sharding, make_parallel_eval_step
 
+            params_sh = (
+                channel_sharding(self.state.params, self.mesh)
+                if "model" in self.mesh.shape and self.mesh.shape["model"] > 1
+                else None
+            )
             self.eval_step = make_parallel_eval_step(
                 self.model, self.inp_resolution, self.gt_resolution, self.mesh,
-                self.seqn, extra_losses=self.extra_losses,
+                self.seqn, extra_losses=self.extra_losses, params_shardings=params_sh,
             )
             self._shard_eval_batch = self._shard_batch
         else:

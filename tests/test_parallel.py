@@ -184,6 +184,71 @@ class TestParallelStep:
         assert np.isfinite(result["train_loss"])
 
 
+def test_trainer_model_parallel_config(setup, tmp_path):
+    """`trainer.model_parallel: N` builds the 2-D (data, model) mesh with
+    channel-sharded params and trains to a finite loss."""
+    from bmcnet_esr_tpu.training.config import RunConfig
+    from bmcnet_esr_tpu.training.trainer import Trainer
+
+    loader, *_ = setup
+    cfg = {
+        "experiment": "tp",
+        "model": {"args": {"n_c": 8, "n_b": 2, "variant": "plain"}},
+        "optimizer": {"name": "Adam", "args": {"lr": 1e-3}},
+        "trainer": {
+            "output_path": str(tmp_path),
+            "monitor": "off",
+            "tensorboard": False,
+            "data_parallel": True,
+            "model_parallel": 4,
+            "iteration_based_train": {
+                "enabled": True, "iterations": 2, "save_period": 10,
+                "train_log_step": 1, "valid_log_step": 1, "valid_step": 10,
+                "lr_change_rate": 4,
+            },
+        },
+        "train_dataloader": {"batch_size": 8, "dataset": {"scale": 2}},
+    }
+    run = RunConfig(cfg, runid="tp0")
+    tr = Trainer(run, train_loader=loader, valid_loader=None, seed=0)
+    assert tr.mesh is not None and dict(tr.mesh.shape) == {"data": 2, "model": 4}
+    # conv kernels actually live split across 'model'
+    kernels = [
+        leaf for leaf in jax.tree.leaves(tr.state.params)
+        if getattr(leaf, "ndim", 0) == 4 and leaf.shape[-1] == 8
+    ]
+    assert kernels and {s.data.shape[-1] for s in kernels[0].addressable_shards} == {2}
+    result = tr.train()
+    assert np.isfinite(result["train_loss"])
+
+
+def test_trainer_model_parallel_rejects_bad_degree(setup, tmp_path):
+    from bmcnet_esr_tpu.training.config import RunConfig
+    from bmcnet_esr_tpu.training.trainer import Trainer
+
+    loader, *_ = setup
+    cfg = {
+        "experiment": "tp",
+        "model": {"args": {"n_c": 8, "n_b": 2, "variant": "plain"}},
+        "optimizer": {"name": "Adam", "args": {"lr": 1e-3}},
+        "trainer": {
+            "output_path": str(tmp_path),
+            "monitor": "off",
+            "tensorboard": False,
+            "model_parallel": 3,
+            "iteration_based_train": {
+                "enabled": True, "iterations": 1, "save_period": 10,
+                "train_log_step": 1, "valid_log_step": 1, "valid_step": 10,
+                "lr_change_rate": 4,
+            },
+        },
+        "train_dataloader": {"batch_size": 8, "dataset": {"scale": 2}},
+    }
+    run = RunConfig(cfg, runid="tp1")
+    with pytest.raises(ValueError, match="model_parallel"):
+        Trainer(run, train_loader=loader, valid_loader=None, seed=0)
+
+
 class TestTensorParallel:
     """dp x tp over a 2-D (data, model) mesh: conv channels split across
     'model', GSPMD inserts the collectives; the math must equal the
