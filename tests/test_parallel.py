@@ -222,6 +222,52 @@ def test_trainer_model_parallel_config(setup, tmp_path):
     assert np.isfinite(result["train_loss"])
 
 
+def test_trainer_model_parallel_resume(setup, tmp_path):
+    """Orbax resume under the dp x tp mesh: restored (host) state re-places
+    onto the channel shardings at the next step and training continues."""
+    from bmcnet_esr_tpu.training.checkpoint import latest_checkpoint
+    from bmcnet_esr_tpu.training.config import RunConfig
+    from bmcnet_esr_tpu.training.trainer import Trainer
+
+    loader, *_ = setup
+
+    def make_run(runid, iterations):
+        return RunConfig({
+            "experiment": "tpres",
+            "model": {"args": {"n_c": 8, "n_b": 2, "variant": "plain"}},
+            "optimizer": {"name": "Adam", "args": {"lr": 1e-3}},
+            "trainer": {
+                "output_path": str(tmp_path),
+                "monitor": "off",
+                "tensorboard": False,
+                "model_parallel": 4,
+                "iteration_based_train": {
+                    "enabled": True, "iterations": iterations, "save_period": 2,
+                    "train_log_step": 1, "valid_log_step": 1, "valid_step": 10,
+                    "lr_change_rate": 4,
+                },
+            },
+            "train_dataloader": {"batch_size": 8, "dataset": {"scale": 2}},
+        }, runid=runid)
+
+    tr = Trainer(make_run("a", 2), train_loader=loader, valid_loader=None, seed=0)
+    tr.train()
+    ckpt = latest_checkpoint(tr.run.save_dir)
+    assert ckpt is not None
+
+    tr2 = Trainer(make_run("b", 4), train_loader=loader, valid_loader=None, seed=0)
+    start = tr2.resume(ckpt)
+    assert start == 2
+    result = tr2.train(start_iteration=start)
+    assert np.isfinite(result["train_loss"])
+    # after the resumed step the state lives channel-sharded again
+    kernels = [
+        leaf for leaf in jax.tree.leaves(tr2.state.params)
+        if getattr(leaf, "ndim", 0) == 4 and leaf.shape[-1] == 8
+    ]
+    assert kernels and {s.data.shape[-1] for s in kernels[0].addressable_shards} == {2}
+
+
 def test_trainer_model_parallel_rejects_bad_degree(setup, tmp_path):
     from bmcnet_esr_tpu.training.config import RunConfig
     from bmcnet_esr_tpu.training.trainer import Trainer
