@@ -2,6 +2,7 @@
 
 from bmcnet_esr_tpu.models.bmcnet import BMCNet, BMCNetPlain, Backbone, PlainBackbone
 from bmcnet_esr_tpu.models.layers import BIE, ChannelLayerNorm, ParallelBlk, ResidualBlock
+from bmcnet_esr_tpu.models.quant import calibrate_act_scales
 from bmcnet_esr_tpu.models.convert import (
     convert_torch_state_dict,
     export_torch_state_dict,
@@ -18,6 +19,7 @@ __all__ = [
     "ChannelLayerNorm",
     "ParallelBlk",
     "ResidualBlock",
+    "calibrate_act_scales",
     "convert_torch_state_dict",
     "export_torch_state_dict",
     "torch_key_manifest",

@@ -48,16 +48,18 @@ class Backbone(nn.Module):
     scale: int
     repeat: int = 3
     dtype: Any = jnp.float32
+    quant: bool = False
 
     def setup(self):
-        self.conv_fpst = _conv(self.n_c, 3, self.dtype)  # tied: also conv_fnst
-        self.conv_fps = _conv(self.n_c, 3, self.dtype)   # tied: also conv_fns
-        self.conv_fs = _conv(self.n_c, 3, self.dtype)
-        self.para_reschunk = ParallelBlk(self.n_c, self.dtype)  # shared n_b times
-        self.conv_hs = _conv(self.n_c, 3, self.dtype)
-        self.conv_hp = _conv(self.n_c, 3, self.dtype)
-        self.conv_hn = _conv(self.n_c, 3, self.dtype)
-        self.conv_o = _conv(self.scale**2 * 2, 3, self.dtype)
+        q = self.quant
+        self.conv_fpst = _conv(self.n_c, 3, self.dtype, quant=q)  # tied: also conv_fnst
+        self.conv_fps = _conv(self.n_c, 3, self.dtype, quant=q)   # tied: also conv_fns
+        self.conv_fs = _conv(self.n_c, 3, self.dtype, quant=q)
+        self.para_reschunk = ParallelBlk(self.n_c, self.dtype, q)  # shared n_b times
+        self.conv_hs = _conv(self.n_c, 3, self.dtype, quant=q)
+        self.conv_hp = _conv(self.n_c, 3, self.dtype, quant=q)
+        self.conv_hn = _conv(self.n_c, 3, self.dtype, quant=q)
+        self.conv_o = _conv(self.scale**2 * 2, 3, self.dtype, quant=q)
 
     def __call__(
         self, xs: Sequence[Array], hp: Array, hn: Array, hs: Array, o: Array
@@ -107,9 +109,12 @@ class BMCNet(nn.Module):
     n_b: int = 5
     repeat: int = 3
     dtype: Any = jnp.float32
+    quant: bool = False
 
     def setup(self):
-        self.neuro = Backbone(self.n_c, self.n_b, self.scale, self.repeat, self.dtype)
+        self.neuro = Backbone(
+            self.n_c, self.n_b, self.scale, self.repeat, self.dtype, self.quant
+        )
 
     def __call__(
         self, x: Array, x_h: Array, x_h_p: Array, x_h_n: Array, o_hr: Array
@@ -166,13 +171,15 @@ class PlainBackbone(nn.Module):
     scale: int
     repeat: int = 3
     dtype: Any = jnp.float32
+    quant: bool = False
 
     def setup(self):
-        self.conv_f1 = _conv(self.n_c, 3, self.dtype)  # tied: also conv_f2
-        self.conv_fs = _conv(self.n_c, 3, self.dtype)
-        self.para_reschunk = BIE(self.n_c, self.dtype)  # shared n_b times
-        self.conv_h = _conv(self.n_c, 3, self.dtype)
-        self.conv_o = _conv(self.scale**2 * 2, 3, self.dtype)
+        q = self.quant
+        self.conv_f1 = _conv(self.n_c, 3, self.dtype, quant=q)  # tied: also conv_f2
+        self.conv_fs = _conv(self.n_c, 3, self.dtype, quant=q)
+        self.para_reschunk = BIE(self.n_c, self.dtype, q)  # shared n_b times
+        self.conv_h = _conv(self.n_c, 3, self.dtype, quant=q)
+        self.conv_o = _conv(self.scale**2 * 2, 3, self.dtype, quant=q)
 
     def __call__(self, x1: Array, x2: Array, h: Array, o: Array) -> Tuple[Array, Array]:
         s2 = self.scale**2
@@ -203,9 +210,12 @@ class BMCNetPlain(nn.Module):
     n_b: int = 5
     repeat: int = 3
     dtype: Any = jnp.float32
+    quant: bool = False
 
     def setup(self):
-        self.neuro = PlainBackbone(self.n_c, self.n_b, self.scale, self.repeat, self.dtype)
+        self.neuro = PlainBackbone(
+            self.n_c, self.n_b, self.scale, self.repeat, self.dtype, self.quant
+        )
 
     def __call__(self, x: Array, x_h: Array, o_hr: Array) -> Tuple[Array, Array]:
         x = x.astype(self.dtype)

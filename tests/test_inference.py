@@ -59,6 +59,28 @@ class TestEngine:
         # bicubic baseline is computed from fp32 count images either way
         assert res16["bicubic_mse"] == pytest.approx(res32["bicubic_mse"], rel=1e-3)
 
+    def test_int8_serving_mode_calibrates_and_tracks_fp32(self, fixture_h5):
+        """--dtype int8: the engine calibrates static activation scales on
+        the first chunk (variables gain a 'quant' collection) and the
+        metrics stay within the serving drift bound of fp32."""
+        model = BMCNetPlain(scale=2, n_c=8, n_b=2, dtype=jnp.bfloat16, quant=True)
+        h = w = 16
+        dummy = jnp.zeros((1, 2, h, w, 2))
+        variables = model.init(jax.random.key(1), dummy, *model.init_state(1, h, w))
+        assert set(variables) == {"params"}  # init sows nothing
+        cfg = DatasetConfig(
+            scale=2, ori_scale="down2", window=128, sliding_window=64,
+            sequence=SequenceConfig(4, 2, 1),
+        )
+        engq = InferenceEngine(model, variables, cfg, chunk_size=8, visualize=False)
+        resq = engq.infer_file(fixture_h5, output_dir=None)
+        assert "quant" in engq.variables  # calibration happened exactly once
+        scales = jax.tree.leaves(engq.variables["quant"])
+        assert scales and all(float(s) > 0 for s in scales)
+        res32 = make_engine().infer_file(fixture_h5, output_dir=None)
+        assert np.isfinite(resq["esr_mse"])
+        assert resq["esr_mse"] == pytest.approx(res32["esr_mse"], rel=5e-2)
+
     def test_metrics_finite_and_macs_populated(self, fixture_h5, tmp_path):
         eng = make_engine()
         res = eng.infer_file(fixture_h5, output_dir=None)
