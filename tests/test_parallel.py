@@ -155,6 +155,47 @@ class TestParallelStep:
         with pytest.raises(ValueError, match="divide"):
             sharded.infer_file_batch(paths[:3])  # 3 streams on an 8-mesh
 
+    def test_sharded_int8_serving_calibrates_and_tracks_fp32(
+        self, setup, tmp_path_factory
+    ):
+        """Mesh-sharded batched serving composed with the int8 mode: the
+        engine calibrates on sharded first-chunk inputs and metrics stay
+        within the serving drift bound of the unsharded fp32 rollout."""
+        from bmcnet_esr_tpu.data.packager import write_synthetic_fixture
+        from bmcnet_esr_tpu.inference import InferenceEngine
+        from bmcnet_esr_tpu.data.h5dataset import SequenceConfig
+
+        d = tmp_path_factory.mktemp("sharded_int8")
+        paths = []
+        for i in range(8):
+            p = str(d / f"f{i}.h5")
+            write_synthetic_fixture(
+                p, (32, 32), ("ori", "down2"),
+                {"ori": 12000 + 2000 * i, "down2": 3000 + 500 * i}, seed=40 + i,
+            )
+            paths.append(p)
+
+        dummy = jnp.zeros((1, 2, 16, 16, 2))
+        cfg = DatasetConfig(
+            scale=2, ori_scale="down2", window=128, sliding_window=64,
+            sequence=SequenceConfig(4, 2, 1),
+        )
+        m32 = BMCNetPlain(scale=2, n_c=8, n_b=2)
+        v32 = m32.init(jax.random.key(1), dummy, *m32.init_state(1, 16, 16))
+        want = InferenceEngine(
+            m32, v32, cfg, chunk_size=8, visualize=False
+        ).infer_file_batch(paths)
+
+        mq = BMCNetPlain(scale=2, n_c=8, n_b=2, dtype=jnp.bfloat16, quant=True)
+        vq = mq.init(jax.random.key(1), dummy, *mq.init_state(1, 16, 16))
+        engq = InferenceEngine(
+            mq, vq, cfg, chunk_size=8, visualize=False, mesh=make_mesh(8)
+        )
+        got = engq.infer_file_batch(paths)
+        assert "quant" in engq.variables
+        for w, g in zip(want, got):
+            assert g["esr_mse"] == pytest.approx(w["esr_mse"], rel=5e-2)
+
     def test_trainer_uses_mesh_when_available(self, setup, tmp_path):
         from bmcnet_esr_tpu.training.config import RunConfig
         from bmcnet_esr_tpu.training.trainer import Trainer
