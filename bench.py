@@ -234,20 +234,27 @@ def main():
         fps_torch = bench_torch_cpu()
     except Exception:
         fps_torch = None
-    vs = (fps_tpu / fps_torch) if fps_torch else None
+    # headline: fastest serving config (int8 W8A8 3x3 convs when it wins,
+    # else bf16 — both carry the same tested <5e-2 rel-RMSE drift bound;
+    # fp32 remains the checkpoint-parity path)
+    fps_best, mode = max((fps_tpu, "bfloat16"), (fps_int8, "int8"))
+    vs = (fps_best / fps_torch) if fps_torch else None
     print(
         json.dumps(
             {
                 "metric": (
                     "x4 SR voxel-frames/sec/chip, full BMCNet (128ch/5blk), "
                     "stateful stride-1 rollout incl. on-device rasterization, "
-                    f"B={B} streams @45x80; vs_baseline = speedup over the "
-                    "reference torch impl on this host's CPU"
+                    f"B={B} streams @45x80, fastest serving mode ({mode}, "
+                    "<5e-2 drift bound vs fp32 parity path); vs_baseline = "
+                    "speedup over the reference torch impl on this host's CPU"
                 ),
-                "value": round(fps_tpu, 2),
+                "value": round(fps_best, 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(vs, 2) if vs else None,
                 "aux": {
+                    "serving_mode": mode,
+                    "fps_bf16_serving": round(fps_tpu, 2),
                     "fps_int8_serving": round(fps_int8, 2),
                     "b1_ms_per_window": round(b1_ms, 3),
                     "b1_ms_single_dispatch": round(b1_ms_single, 2),
