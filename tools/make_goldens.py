@@ -75,6 +75,24 @@ def save(name, state_dict, extras):
     print("wrote", name, "keys:", len(payload))
 
 
+def make_x8_golden():
+    """Scale-8 full BMCNet: exercises the x8 PixelShuffle output head and the
+    x8 feedback unshuffle (o_hr channels 2*64 in LR space) that the scale-2/4
+    goldens never touch."""
+    torch.manual_seed(17)
+    scale, n_c, n_b, hwin, wwin, steps = 8, 8, 2, 16, 8, 2
+    m = BMCNet(scale, n_c, n_b).eval()
+    x = torch.randn(steps, 1, 2, 2, hwin, wwin)
+    with torch.no_grad():
+        preds, hs = rollout_full(m, x, scale, n_c)
+    save(
+        "full_small_x8.npz",
+        m.state_dict(),
+        {"x": x.numpy(), "preds": preds, "hs": hs,
+         "meta": np.array([scale, n_c, n_b])},
+    )
+
+
 def main():
     torch.manual_seed(7)
 
@@ -103,6 +121,8 @@ def main():
         {"x": x.numpy(), "preds": preds, "hs": hs,
          "meta": np.array([scale, n_c, n_b])},
     )
+
+    make_x8_golden()
 
     # --- released checkpoint: BMCNet_plain(4,128,5), 3-step rollout, 16x16 ---
     ckpt = os.path.join(REF, "pretrain", "BMCNet_plain_nfs_x4.pth")
