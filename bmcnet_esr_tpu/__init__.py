@@ -33,7 +33,9 @@ _LAZY = {
     "BMCNetPlain": "bmcnet_esr_tpu.models",
     "load_torch_checkpoint": "bmcnet_esr_tpu.models",
     "InferenceEngine": "bmcnet_esr_tpu.inference",
+    "ExportedStream": "bmcnet_esr_tpu.inference",
     "StreamingSR": "bmcnet_esr_tpu.inference",
+    "export_serving_bundle": "bmcnet_esr_tpu.inference",
     "load_model_for_inference": "bmcnet_esr_tpu.inference",
     "Trainer": "bmcnet_esr_tpu.training",
     "RunConfig": "bmcnet_esr_tpu.training.config",

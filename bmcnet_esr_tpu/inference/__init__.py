@@ -1,6 +1,13 @@
 """Inference/evaluation engine + streaming serving API."""
 
 from bmcnet_esr_tpu.inference.engine import InferenceEngine, load_model_for_inference
+from bmcnet_esr_tpu.inference.export import ExportedStream, export_serving_bundle
 from bmcnet_esr_tpu.inference.streaming import StreamingSR
 
-__all__ = ["InferenceEngine", "load_model_for_inference", "StreamingSR"]
+__all__ = [
+    "ExportedStream",
+    "InferenceEngine",
+    "StreamingSR",
+    "export_serving_bundle",
+    "load_model_for_inference",
+]
