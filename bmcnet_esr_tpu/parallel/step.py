@@ -14,10 +14,16 @@ from __future__ import annotations
 from typing import Dict, Tuple
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from bmcnet_esr_tpu.parallel.mesh import data_sharding, replicated
-from bmcnet_esr_tpu.training.train_step import TrainState, make_eval_step, sequence_loss
+from bmcnet_esr_tpu.training.train_step import (
+    TrainState,
+    guarded_apply,
+    make_eval_step,
+    sequence_loss,
+)
 
 import optax
 
@@ -32,6 +38,7 @@ def make_parallel_train_step(
     use_remat: bool = True,
     extra_losses=(),
     state_shardings=None,
+    skip_nonfinite: bool = False,
 ):
     """Jitted SPMD iteration: batch sharded on ``data``; state replicated by
     default, or laid out per ``state_shardings`` (a pytree of
@@ -51,13 +58,15 @@ def make_parallel_train_step(
             )
 
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics = {
-            "train_loss": total,
-            "train_mse_loss": aux["mse_loss"],
-            "grad_norm": optax.global_norm(grads),
-        }
+        metrics = {"train_loss": total, "train_mse_loss": aux["mse_loss"]}
+        if skip_nonfinite:
+            params, opt_state, gnorm, ok = guarded_apply(state, total, grads, tx)
+            metrics["train_skipped"] = (~ok).astype(jnp.int32)
+        else:
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            gnorm = optax.global_norm(grads)
+        metrics["grad_norm"] = gnorm
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return jax.jit(

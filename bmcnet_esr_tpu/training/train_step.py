@@ -112,6 +112,29 @@ def sequence_loss(
     return total, {"mse_loss": jnp.mean(mses[-1]), "loss": total}
 
 
+def guarded_apply(state: TrainState, total: Array, grads, tx):
+    """Optimizer update that SKIPS non-finite steps in-graph.
+
+    A NaN/inf loss or gradient (event burst overflowing bf16, a corrupt
+    window) would otherwise poison the parameters irreversibly mid-run.  The
+    guard selects old-vs-new per leaf on ``isfinite(loss) & isfinite(|g|)`` —
+    the optimizer state (incl. Adam moments and count) also stays untouched
+    on a skipped step, so a skip is exactly "this batch never happened".
+    Costs one select per parameter leaf (~1 µs at model scale; no host sync).
+
+    Returns ``(params, opt_state, grad_norm, ok)``.
+    """
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    gnorm = optax.global_norm(grads)
+    ok = jnp.isfinite(total) & jnp.isfinite(gnorm)
+    params = jax.tree.map(lambda n, o: jnp.where(ok, n, o), params, state.params)
+    opt_state = jax.tree.map(
+        lambda n, o: jnp.where(ok, n, o), opt_state, state.opt_state
+    )
+    return params, opt_state, gnorm, ok
+
+
 def make_train_step(
     model,
     tx: optax.GradientTransformation,
@@ -122,6 +145,7 @@ def make_train_step(
     donate: bool = True,
     extra_losses: Tuple = (),
     grad_accum: int = 1,
+    skip_nonfinite: bool = False,
 ) -> Callable[[TrainState, Dict[str, Array]], Tuple[TrainState, Dict[str, Array]]]:
     """One fully-jitted optimizer iteration.
 
@@ -169,14 +193,16 @@ def make_train_step(
 
     def step(state: TrainState, batch: Dict[str, Array]):
         (total, aux), grads = grads_of(state.params, batch)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        metrics = {"train_loss": total, "train_mse_loss": aux["mse_loss"]}
+        if skip_nonfinite:
+            params, opt_state, gnorm, ok = guarded_apply(state, total, grads, tx)
+            metrics["train_skipped"] = (~ok).astype(jnp.int32)
+        else:
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            gnorm = optax.global_norm(grads)
+        metrics["grad_norm"] = gnorm
         new_state = TrainState(params, opt_state, state.step + 1)
-        metrics = {
-            "train_loss": total,
-            "train_mse_loss": aux["mse_loss"],
-            "grad_norm": optax.global_norm(grads),
-        }
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import logging
 import math
+import signal
 import time
 from typing import Any, Dict, Optional
 
@@ -118,6 +119,12 @@ class Trainer:
         # gradient with 1/N activation memory; fp32 RGB-recipe batch 2 on a
         # single chip uses grad_accum: 2)
         self.grad_accum = int(cfg["trainer"].get("grad_accum", 1))
+        # production guard: skip (not crash on / not absorb) optimizer steps
+        # whose loss or grad norm is non-finite — the step's select keeps
+        # params AND optimizer moments untouched, and the trainer reports a
+        # count.  Off by default for exact reference-trajectory parity.
+        self.skip_nonfinite = bool(cfg["trainer"].get("skip_nonfinite", False))
+        self.skipped_steps = 0
 
         monitor = cfg["trainer"].get("monitor", "off")
         if monitor == "off":
@@ -244,6 +251,7 @@ class Trainer:
                 self.model, self.tx, self.inp_resolution, self.gt_resolution,
                 self.mesh, self.seqn, use_remat=self.use_remat,
                 extra_losses=self.extra_losses, state_shardings=state_sh,
+                skip_nonfinite=self.skip_nonfinite,
             )
             self.logger.info(f"mesh over {self.mesh.size} devices: {dict(self.mesh.shape)}")
         else:
@@ -255,6 +263,7 @@ class Trainer:
                 self.model, self.tx, self.inp_resolution, self.gt_resolution,
                 self.seqn, use_remat=self.use_remat,
                 extra_losses=self.extra_losses, grad_accum=self.grad_accum,
+                skip_nonfinite=self.skip_nonfinite,
             )
         # same one-ahead device placement for validation (numpy-fed eval
         # dispatches would pay the synchronous upload the train path avoids)
@@ -397,6 +406,28 @@ class Trainer:
         stop = False
         t_start = time.time()
 
+        # Preemption-safe shutdown: TPU slices are routinely preempted with a
+        # SIGTERM grace window; checkpoint-and-exit turns that into a clean
+        # resume point instead of losing up to save_period iterations.  The
+        # handler only sets a flag — the loop finishes the in-flight step and
+        # saves from a consistent state.  (Reference has no counterpart; its
+        # worst case re-runs up to 5000 iterations.)
+        self._preempted = False
+        prev_handler = None
+        try:
+            prev_handler = signal.signal(
+                signal.SIGTERM, lambda signum, frame: setattr(self, "_preempted", True)
+            )
+        except ValueError:
+            pass  # not the main thread (e.g. a test harness): flag still works
+
+        try:
+            return self._train_loop(start_iteration, iter_idx, valid_stamp, pending, stop, t_start)
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
+
+    def _train_loop(self, start_iteration, iter_idx, valid_stamp, pending, stop, t_start):
         while not stop:
             for batch in self._device_prefetched(self.train_loader):
                 self.state, metrics = self.train_step(self.state, batch)
@@ -410,14 +441,24 @@ class Trainer:
                     jax.device_get(pending[-5][1]["train_loss"])
 
                 if iter_idx % self.train_log_step == 0:
-                    window_mse, window_tot = [], []
+                    window_mse, window_tot, window_skip = [], [], 0
                     for it, m in pending:
                         mse = float(m["train_mse_loss"])
                         tot = float(m["train_loss"])
                         window_mse.append(mse)
                         window_tot.append(tot)
+                        window_skip += int(m.get("train_skipped", 0))
                         self.train_metrics.update("train_mse_loss", mse)
                         self.train_metrics.update("train_loss", tot)
+                    if window_skip:
+                        self.skipped_steps += window_skip
+                        self.logger.warning(
+                            f"skipped {window_skip} non-finite step(s) in this "
+                            f"window ({self.skipped_steps} total) — params and "
+                            f"optimizer state untouched for those batches"
+                        )
+                        self.writer.set_step(iter_idx)
+                        self.writer.add_scalar("skipped_steps", self.skipped_steps)
                     # scalar points are the WINDOW MEAN, not the last sample —
                     # the faithful signal when logging every train_log_step
                     mse = float(np.mean(window_mse))
@@ -457,6 +498,14 @@ class Trainer:
                 iter_idx += 1
                 if iter_idx >= self.iterations:
                     self.logger.info("training completes!")
+                    stop = True
+                    break
+                if self._preempted:
+                    # the post-loop final save below checkpoints iter_idx - 1
+                    self.logger.warning(
+                        f"SIGTERM received — checkpointing at iteration "
+                        f"{iter_idx - 1} and exiting for clean resume"
+                    )
                     stop = True
                     break
 

@@ -72,6 +72,34 @@ class TestParallelStep:
         for a, b in zip(jax.tree.leaves(state1.params), jax.tree.leaves(state8.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
+    def test_skip_nonfinite_guard_on_mesh(self, setup):
+        """guarded_apply under GSPMD: a NaN batch leaves the sharded state
+        untouched and reports the skip; params stay replicated-consistent."""
+        loader, model, tx, params = setup
+        batch = next(iter(loader))
+        bad = {k: np.array(v, dtype=np.float32) for k, v in batch.items()}
+        bad["gt_events"][..., :] = np.nan
+
+        mesh = make_mesh(8)
+        state = replicate_tree(init_train_state(params, tx), mesh)
+        step = make_parallel_train_step(
+            model, tx, loader.inp_resolution, loader.gt_resolution, mesh,
+            skip_nonfinite=True,
+        )
+        before = [np.asarray(x) for x in jax.tree.leaves(state.params)]
+        state, m = step(state, shard_batch(bad, mesh))
+        assert int(m["train_skipped"]) == 1
+        for a, b in zip(before, jax.tree.leaves(state.params)):
+            np.testing.assert_array_equal(a, np.asarray(b))
+        # and a clean batch still updates
+        state, m = step(state, shard_batch(batch, mesh))
+        assert int(m["train_skipped"]) == 0
+        diffs = [
+            float(np.max(np.abs(a - np.asarray(b))))
+            for a, b in zip(before, jax.tree.leaves(state.params))
+        ]
+        assert max(diffs) > 0.0
+
     def test_batch_actually_sharded(self, setup):
         loader, *_ = setup
         batch = next(iter(loader))
