@@ -112,6 +112,43 @@ class TestServingBundle:
         np.testing.assert_array_equal(first[1], second[1])
         np.testing.assert_array_equal(first[2], second[2])
 
+    def test_int8_bundle_with_calibrated_scales(self, tmp_path):
+        """The quant serving mode exports: dynamic scales bake into the
+        program; calibrated static scales ride the variables npz as the
+        ``quant`` collection and the exported program uses them."""
+        import jax
+
+        from bmcnet_esr_tpu.models.quant import calibrate_act_scales
+
+        model = BMCNetPlain(scale=2, n_c=8, n_b=2, dtype=jnp.bfloat16, quant=True)
+        variables = init_variables(model)
+
+        # calibrate on a couple of count-window pairs (engine layout [S,B,2,H,W,2])
+        from bmcnet_esr_tpu.ops.batch import batch_events_to_counts
+
+        wins = make_windows(3, seed=11)
+        frames = [batch_events_to_counts(jnp.asarray(ev)[None], RES) for ev in wins]
+        pairs = jnp.stack(
+            [jnp.stack([frames[i][0], frames[i + 1][0]])[None] for i in range(2)]
+        )  # [2, 1, 2, H, W, 2]
+        carry = tuple(model.init_state(1, *RES))
+        calibrated = calibrate_act_scales(model, variables, pairs, carry)
+        assert "quant" in calibrated
+
+        out = export_serving_bundle(
+            model, calibrated, str(tmp_path / "q"), RES, window_size=WINDOW
+        )
+        live = StreamingSR(model, calibrated, RES, window_size=WINDOW)
+        served = ExportedStream(out)
+        assert served.meta["quant"] is True
+        for i, ev in enumerate(make_windows(4, seed=12)):
+            a, b = live.push(ev), served.push(ev)
+            if a is not None:
+                np.testing.assert_array_equal(
+                    np.asarray(a, np.float32), np.asarray(b[0], np.float32),
+                    err_msg=f"window {i}",
+                )
+
     def test_cli_export_from_golden_checkpoint(self, tmp_path, capsys):
         """CLI drives checkpoint-load -> export; bundle loads and serves."""
         import os as _os
