@@ -3,6 +3,7 @@
 from bmcnet_esr_tpu.parallel.mesh import (
     make_mesh,
     make_mesh_2d,
+    make_mesh_multislice,
     replicated,
     data_sharding,
     channel_sharding,
@@ -15,6 +16,7 @@ from bmcnet_esr_tpu.parallel.step import make_parallel_eval_step, make_parallel_
 __all__ = [
     "make_mesh",
     "make_mesh_2d",
+    "make_mesh_multislice",
     "replicated",
     "data_sharding",
     "channel_sharding",

@@ -52,12 +52,46 @@ def make_mesh_2d(
     return Mesh(np.array(devices[:need]).reshape(n_data, n_model), tuple(axes))
 
 
+def make_mesh_multislice(
+    n_slices: int,
+    per_slice: Optional[int] = None,
+    *,
+    devices: Optional[Sequence] = None,
+    axes: Sequence[str] = ("dcn_data", "data"),
+) -> Mesh:
+    """Hierarchical mesh for multi-slice deployments: outer axis = DCN
+    (slice-to-slice data-center network), inner axis = ICI within a slice.
+
+    Data parallelism runs over BOTH axes (the batch is sharded over
+    ``(dcn_data, data)`` jointly — :func:`data_sharding` detects the
+    hierarchy); the gradient ``psum`` XLA derives from the in-graph mean then
+    reduces within each slice over fast ICI first and crosses slow DCN only
+    once with the slice-reduced partial — the scaling-book recipe for
+    DCN-bound data parallelism.  On real hardware pass the actual device list
+    ordered slice-major (``jax.devices()`` already is); on the CPU test mesh
+    any 2-D reshape exercises the same program.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if per_slice is None:
+        per_slice = len(devices) // n_slices
+    need = n_slices * per_slice
+    if need > len(devices):
+        raise ValueError(f"requested {n_slices}x{per_slice} devices, have {len(devices)}")
+    return Mesh(np.array(devices[:need]).reshape(n_slices, per_slice), tuple(axes))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
 def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Leading-dim (batch) sharding."""
+    """Leading-dim (batch) sharding.
+
+    On a multi-slice mesh the batch dim shards over the ``(dcn_data, data)``
+    hierarchy jointly, so every device — across all slices — holds a distinct
+    micro-batch."""
+    if axis == "data" and "dcn_data" in mesh.axis_names:
+        return NamedSharding(mesh, P(("dcn_data", "data")))
     return NamedSharding(mesh, P(axis))
 
 

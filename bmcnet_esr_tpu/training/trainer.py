@@ -182,8 +182,19 @@ class Trainer:
         # `trainer.model_parallel: N` adds the optional tensor-parallel axis:
         # a 2-D (data, model) mesh with conv channels split across 'model'
         # (channel_sharding) — same step, different layout, GSPMD collectives.
+        # `trainer.dcn_slices: N` declares a multi-slice deployment: the mesh
+        # becomes hierarchical (dcn_data, data) so the gradient reduction
+        # rides ICI within each slice and crosses DCN only once per step.
         self.mesh = None
+        n_slices = int(cfg["trainer"].get("dcn_slices", 1))
         n_model = int(cfg["trainer"].get("model_parallel", 1))
+        if n_slices > 1 and n_model > 1:
+            raise ValueError("dcn_slices and model_parallel cannot combine yet")
+        if n_slices > 1 and jax.device_count() % n_slices != 0:
+            raise ValueError(
+                f"dcn_slices={n_slices} does not divide the "
+                f"{jax.device_count()} available devices"
+            )
         if n_model > 1 and jax.process_count() > 1:
             self.logger.warning(
                 "model_parallel is a single-host layout knob; ignoring it "
@@ -237,6 +248,16 @@ class Trainer:
                 self.mesh = make_mesh_2d(n_dev, n_model)
                 state_sh = channel_sharding(self.state, self.mesh)
                 self.state = jax.device_put(self.state, state_sh)
+            elif n_slices > 1:
+                from bmcnet_esr_tpu.parallel import make_mesh_multislice
+
+                if n_dev % n_slices != 0:
+                    raise ValueError(
+                        f"dcn_slices={n_slices} does not divide the data-axis "
+                        f"device count {n_dev} (batch-size constrained)"
+                    )
+                self.mesh = make_mesh_multislice(n_slices, n_dev // n_slices)
+                self.state = replicate_tree(self.state, self.mesh)
             else:
                 self.mesh = make_mesh(n_dev)
                 self.state = replicate_tree(self.state, self.mesh)
@@ -271,7 +292,11 @@ class Trainer:
         if (
             self.mesh is not None
             and self.valid_loader is not None
-            and self.valid_loader.batch_size % self.mesh.shape["data"] == 0
+            # data-axis degree: 'data' x the outer 'dcn_data' on a
+            # multi-slice mesh (batch shards over the hierarchy jointly)
+            and self.valid_loader.batch_size
+            % (self.mesh.shape["data"] * self.mesh.shape.get("dcn_data", 1))
+            == 0
         ):
             from bmcnet_esr_tpu.parallel import channel_sharding, make_parallel_eval_step
 

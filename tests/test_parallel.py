@@ -430,3 +430,97 @@ class TestTensorParallel:
         )
         mtp = step_tp(jax.device_put(params, params_sh), shard_batch(batch, mesh))
         assert float(mtp["valid_loss"]) == pytest.approx(float(m1["valid_loss"]), rel=1e-5)
+
+
+class TestMultiSlice:
+    """Hierarchical (dcn_data, data) mesh: multi-slice data parallelism.
+
+    CPU mesh can't measure DCN-vs-ICI latency, but it proves the hierarchical
+    program compiles, shards the batch over BOTH axes, and computes the exact
+    same update as single-device."""
+
+    def test_multislice_step_matches_single_device(self, setup):
+        from bmcnet_esr_tpu.parallel import make_mesh_multislice
+
+        loader, model, tx, params = setup
+        params = jax.tree.map(jnp.array, params)
+        batch = next(iter(loader))
+
+        state1 = init_train_state(params, tx)
+        step1 = make_train_step(
+            model, tx, loader.inp_resolution, loader.gt_resolution, donate=False
+        )
+        state1, m1 = step1(state1, batch)
+
+        mesh = make_mesh_multislice(2, 4)
+        assert dict(mesh.shape) == {"dcn_data": 2, "data": 4}
+        state = replicate_tree(init_train_state(params, tx), mesh)
+        step = make_parallel_train_step(
+            model, tx, loader.inp_resolution, loader.gt_resolution, mesh
+        )
+        sharded = shard_batch(batch, mesh)
+        # batch dim sharded over the (dcn_data, data) hierarchy: every one of
+        # the 8 devices holds exactly one of the 8 clips
+        shards = sharded["inp_events"].addressable_shards
+        assert len(shards) == 8 and {s.data.shape[0] for s in shards} == {1}
+
+        state, m = step(state, sharded)
+        assert float(m["train_loss"]) == pytest.approx(float(m1["train_loss"]), rel=1e-5)
+        for a, b in zip(jax.tree.leaves(state1.params), jax.tree.leaves(state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_trainer_dcn_slices_config(setup, tmp_path):
+    """`trainer.dcn_slices: N` builds the hierarchical mesh from config and
+    trains to a finite loss."""
+    from bmcnet_esr_tpu.training.config import RunConfig
+    from bmcnet_esr_tpu.training.trainer import Trainer
+
+    loader, *_ = setup
+    cfg = {
+        "experiment": "slices",
+        "model": {"args": {"n_c": 8, "n_b": 2, "variant": "plain"}},
+        "optimizer": {"name": "Adam", "args": {"lr": 1e-3}},
+        "trainer": {
+            "output_path": str(tmp_path),
+            "monitor": "off",
+            "tensorboard": False,
+            "data_parallel": True,
+            "dcn_slices": 2,
+            "iteration_based_train": {
+                "enabled": True, "iterations": 2, "save_period": 10,
+                "train_log_step": 1, "valid_log_step": 1, "valid_step": 10,
+                "lr_change_rate": 4,
+            },
+        },
+        "train_dataloader": {"batch_size": 8, "dataset": {"scale": 2}},
+    }
+    run = RunConfig(cfg, runid="sl0")
+    tr = Trainer(run, train_loader=loader, valid_loader=None, seed=0)
+    assert tr.mesh is not None and dict(tr.mesh.shape) == {"dcn_data": 2, "data": 4}
+    result = tr.train()
+    assert np.isfinite(result["train_loss"])
+
+
+def test_trainer_dcn_slices_rejects_model_parallel(setup, tmp_path):
+    from bmcnet_esr_tpu.training.config import RunConfig
+    from bmcnet_esr_tpu.training.trainer import Trainer
+
+    loader, *_ = setup
+    cfg = {
+        "experiment": "bad",
+        "model": {"args": {"n_c": 8, "n_b": 2, "variant": "plain"}},
+        "optimizer": {"name": "Adam", "args": {"lr": 1e-3}},
+        "trainer": {
+            "output_path": str(tmp_path), "monitor": "off", "tensorboard": False,
+            "dcn_slices": 2, "model_parallel": 2,
+            "iteration_based_train": {
+                "enabled": True, "iterations": 1, "save_period": 10,
+                "train_log_step": 1, "valid_log_step": 1, "valid_step": 10,
+                "lr_change_rate": 4,
+            },
+        },
+        "train_dataloader": {"batch_size": 8, "dataset": {"scale": 2}},
+    }
+    with pytest.raises(ValueError, match="cannot combine"):
+        Trainer(RunConfig(cfg, runid="b0"), train_loader=loader, seed=0)
