@@ -98,3 +98,133 @@ class StreamingSR:
         )
         self.windows_seen += 1
         return np.asarray(pred[0])
+
+
+class StreamPool:
+    """Continuous batching of live event streams into fixed device slots.
+
+    A single chip peaks at several *batched* streams (B=8 on v5e — see
+    ``bench.py``), but real serving traffic is independent cameras that
+    connect and disconnect at will.  ``StreamPool`` multiplexes them onto ONE
+    jitted step of static shape: ``slots`` recurrent state slots live on the
+    device; streams :meth:`attach` into free slots and :meth:`detach` when
+    done; each :meth:`push` tick advances every slot in-graph with masked
+    state carry, so attach/detach/idle never recompile or touch host state.
+
+    In-graph slot lifecycle (all via ``jnp.where`` on ``[B]`` masks — the TPU
+    way: compute everything, select lanes):
+
+    * fresh slot, first window  — carry forced to zeros (the reference's
+      ``init=True``, ``infer_BMCNet.py:45``), prev frame := this frame,
+      output discarded;
+    * live slot with a window   — carry advances, output valid;
+    * idle slot (no window)     — carry and prev frame pass through
+      untouched, its lane's compute is discarded.
+
+    >>> pool = StreamPool(model, variables, (45, 80), slots=8)
+    >>> a, b = pool.attach(), pool.attach()
+    >>> preds = pool.push({a: ev_a, b: ev_b})   # {slot: HR image} once a
+    ...                                          # slot has seen >= 2 windows
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        inp_resolution: Tuple[int, int],
+        slots: int = 8,
+        window_size: int = 2048,
+    ):
+        self.model = model
+        self.variables = variables
+        self.inp_resolution = tuple(inp_resolution)
+        self.slots = int(slots)
+        self.window_size = window_size
+        h, w = self.inp_resolution
+        self._carry = tuple(model.init_state(self.slots, h, w))
+        self._prev = jnp.zeros((self.slots, h, w, 2), jnp.float32)
+        self._active = np.zeros(self.slots, bool)
+        self._seen = np.zeros(self.slots, np.int64)
+        self._step = self._build_step()
+
+    def _build_step(self):
+        model = self.model
+        res = self.inp_resolution
+
+        @jax.jit
+        def step(variables, carry, prev, events, update, first):
+            # events [B, 4, N]; update/first: [B] bool masks
+            frame = batch_events_to_counts(events, res)  # [B, H, W, 2]
+            x = jnp.stack([prev, frame], axis=1)  # [B, 2, H, W, 2]
+            outs = model.apply(variables, x, *carry)
+
+            def sel(mask, a, b):
+                m = mask.reshape((-1,) + (1,) * (a.ndim - 1))
+                return jnp.where(m, a, b)
+
+            advance = update & ~first
+            reset = update & first
+            # init_state is zeros, so "stay at init" == zero the lane
+            new_carry = tuple(
+                sel(advance, n, sel(reset, jnp.zeros_like(o), o))
+                for n, o in zip(tuple(outs), carry)
+            )
+            new_prev = sel(update, frame, prev)
+            return new_carry, new_prev, outs[-1]
+
+        return step
+
+    @property
+    def free_slots(self) -> int:
+        return int((~self._active).sum())
+
+    def attach(self) -> int:
+        """Claim a free slot for a new stream; returns the slot id."""
+        free = np.flatnonzero(~self._active)
+        if free.size == 0:
+            raise RuntimeError(f"all {self.slots} stream slots are busy")
+        slot = int(free[0])
+        self._active[slot] = True
+        self._seen[slot] = 0
+        return slot
+
+    def detach(self, slot: int) -> None:
+        """Release a slot (its device state is re-zeroed on next attach)."""
+        if not self._active[slot]:
+            raise ValueError(f"slot {slot} is not attached")
+        self._active[slot] = False
+
+    def _pad(self, events: np.ndarray) -> np.ndarray:
+        n = events.shape[1]
+        if n > self.window_size:
+            raise ValueError(
+                f"window of {n} events exceeds window_size {self.window_size}"
+            )
+        out = np.zeros((4, self.window_size), np.float32)
+        out[:, :n] = events
+        if n:
+            ts = out[2, :n]
+            out[2, :n] = (ts - ts[0]) / (ts[-1] - ts[0] + 1e-6)
+        return out
+
+    def push(self, windows: dict) -> dict:
+        """Advance one tick: ``{slot: events [4, n]}`` in, ``{slot: HR
+        prediction [kH, kW, 2]}`` out for every pushed slot that has already
+        seen a window (slots absent from ``windows`` idle in place)."""
+        events = np.zeros((self.slots, 4, self.window_size), np.float32)
+        update = np.zeros(self.slots, bool)
+        first = np.zeros(self.slots, bool)
+        for slot, ev in windows.items():
+            if not self._active[slot]:
+                raise ValueError(f"slot {slot} is not attached")
+            events[slot] = self._pad(np.asarray(ev, np.float32))
+            update[slot] = True
+            first[slot] = self._seen[slot] == 0
+        self._carry, self._prev, preds = self._step(
+            self.variables, self._carry, self._prev,
+            jnp.asarray(events), jnp.asarray(update), jnp.asarray(first),
+        )
+        out_slots = [s for s in windows if not first[s]]
+        preds = np.asarray(preds)
+        self._seen[update] += 1
+        return {s: preds[s] for s in out_slots}

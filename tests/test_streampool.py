@@ -1,0 +1,114 @@
+"""StreamPool: continuous batching of live streams must reproduce solo
+StreamingSR rollouts exactly through attach/idle/detach/slot-reuse churn.
+
+The pool is the serving multiplexer (one jitted step of static shape, masked
+in-graph state carry); the reference's serving shape is one stream per
+process (`infer_BMCNet.py:45-64`), so the correctness oracle is the solo
+streaming rollout.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bmcnet_esr_tpu.inference.streaming import StreamingSR, StreamPool
+from bmcnet_esr_tpu.models import BMCNetPlain
+
+RES = (16, 16)
+WINDOW = 64
+
+
+@pytest.fixture(scope="module")
+def model_vars():
+    model = BMCNetPlain(scale=2, n_c=8, n_b=2)
+    h, w = RES
+    dummy = jnp.zeros((1, 2, h, w, 2))
+    variables = model.init(jax.random.key(3), dummy, *model.init_state(1, h, w))
+    return model, variables
+
+
+def make_windows(rng, count, n=48):
+    out = []
+    for _ in range(count):
+        ev = np.zeros((4, n), np.float32)
+        ev[0] = rng.integers(0, RES[1], n)
+        ev[1] = rng.integers(0, RES[0], n)
+        ev[2] = np.sort(rng.random(n))
+        ev[3] = rng.integers(0, 2, n) * 2 - 1
+        out.append(ev)
+    return out
+
+
+def solo_preds(model, variables, windows):
+    s = StreamingSR(model, variables, RES, window_size=WINDOW)
+    return [s.push(w) for w in windows]
+
+
+class TestStreamPool:
+    def test_churn_matches_solo(self, model_vars):
+        """Interleaved attach/idle/detach with slot reuse: every stream's
+        predictions equal its solo rollout."""
+        model, variables = model_vars
+        rng = np.random.default_rng(0)
+        wins = {k: make_windows(rng, n) for k, n in (("a", 4), ("b", 3), ("c", 3))}
+
+        pool = StreamPool(model, variables, RES, slots=2, window_size=WINDOW)
+        got = {k: [] for k in wins}
+
+        a = pool.attach()
+        got["a"].append(pool.push({a: wins["a"][0]}).get(a))
+        b = pool.attach()
+        assert pool.free_slots == 0
+        out = pool.push({a: wins["a"][1], b: wins["b"][0]})
+        got["a"].append(out.get(a)); got["b"].append(out.get(b))
+        got["a"].append(pool.push({a: wins["a"][2]}).get(a))  # b idles
+        out = pool.push({a: wins["a"][3], b: wins["b"][1]})
+        got["a"].append(out.get(a)); got["b"].append(out.get(b))
+        pool.detach(a)
+        c = pool.attach()
+        assert c == a  # slot reuse
+        out = pool.push({c: wins["c"][0], b: wins["b"][2]})
+        got["c"].append(out.get(c)); got["b"].append(out.get(b))
+        got["c"].append(pool.push({c: wins["c"][1]}).get(c))
+        got["c"].append(pool.push({c: wins["c"][2]}).get(c))
+
+        for k in wins:
+            want = solo_preds(model, variables, wins[k])
+            assert len(got[k]) == len(want)
+            for g, w in zip(got[k], want):
+                if w is None:
+                    assert g is None
+                else:
+                    np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+
+    def test_guards(self, model_vars):
+        model, variables = model_vars
+        pool = StreamPool(model, variables, RES, slots=1, window_size=WINDOW)
+        s = pool.attach()
+        with pytest.raises(RuntimeError, match="busy"):
+            pool.attach()
+        pool.detach(s)
+        with pytest.raises(ValueError, match="not attached"):
+            pool.detach(s)
+        with pytest.raises(ValueError, match="not attached"):
+            pool.push({s: np.zeros((4, 4), np.float32)})
+        s = pool.attach()
+        with pytest.raises(ValueError, match="exceeds window_size"):
+            pool.push({s: np.zeros((4, WINDOW * 2), np.float32)})
+
+    def test_empty_push_is_noop_tick(self, model_vars):
+        """A tick with no windows leaves every stream's trajectory intact."""
+        model, variables = model_vars
+        rng = np.random.default_rng(1)
+        wins = make_windows(rng, 3)
+        pool = StreamPool(model, variables, RES, slots=2, window_size=WINDOW)
+        s = pool.attach()
+        pool.push({s: wins[0]})
+        pool.push({})  # nobody updates
+        p1 = pool.push({s: wins[1]})[s]
+        p2 = pool.push({s: wins[2]})[s]
+        want = solo_preds(model, variables, wins)
+        np.testing.assert_allclose(p1, want[1], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(p2, want[2], rtol=1e-5, atol=1e-6)
