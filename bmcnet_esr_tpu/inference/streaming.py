@@ -134,15 +134,38 @@ class StreamPool:
         inp_resolution: Tuple[int, int],
         slots: int = 8,
         window_size: int = 2048,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — slots shard across the
+        mesh's ``data`` axis (SPMD live serving over ICI; ``slots`` must
+        divide the mesh) while params replicate; the step program is
+        identical, GSPMD handles layout."""
         self.model = model
-        self.variables = variables
         self.inp_resolution = tuple(inp_resolution)
         self.slots = int(slots)
         self.window_size = window_size
+        self.mesh = mesh
         h, w = self.inp_resolution
-        self._carry = tuple(model.init_state(self.slots, h, w))
-        self._prev = jnp.zeros((self.slots, h, w, 2), jnp.float32)
+        carry = tuple(model.init_state(self.slots, h, w))
+        prev = jnp.zeros((self.slots, h, w, 2), jnp.float32)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if self.slots % mesh.size != 0:
+                raise ValueError(
+                    f"{self.slots} slots must divide the {mesh.size}-device mesh"
+                )
+            slot_s = NamedSharding(mesh, P("data"))
+            self._slot_s = slot_s
+            self._ev_s = NamedSharding(mesh, P("data"))
+            variables = jax.device_put(
+                variables, NamedSharding(mesh, P())
+            )
+            carry = tuple(jax.device_put(c, slot_s) for c in carry)
+            prev = jax.device_put(prev, slot_s)
+        self.variables = variables
+        self._carry = carry
+        self._prev = prev
         self._active = np.zeros(self.slots, bool)
         self._seen = np.zeros(self.slots, np.int64)
         self._step = self._build_step()
@@ -220,9 +243,13 @@ class StreamPool:
             events[slot] = self._pad(np.asarray(ev, np.float32))
             update[slot] = True
             first[slot] = self._seen[slot] == 0
+        ev, up, fi = jnp.asarray(events), jnp.asarray(update), jnp.asarray(first)
+        if self.mesh is not None:
+            ev = jax.device_put(ev, self._ev_s)
+            up = jax.device_put(up, self._slot_s)
+            fi = jax.device_put(fi, self._slot_s)
         self._carry, self._prev, preds = self._step(
-            self.variables, self._carry, self._prev,
-            jnp.asarray(events), jnp.asarray(update), jnp.asarray(first),
+            self.variables, self._carry, self._prev, ev, up, fi
         )
         out_slots = [s for s in windows if not first[s]]
         preds = np.asarray(preds)

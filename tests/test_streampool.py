@@ -98,6 +98,29 @@ class TestStreamPool:
         with pytest.raises(ValueError, match="exceeds window_size"):
             pool.push({s: np.zeros((4, WINDOW * 2), np.float32)})
 
+    def test_mesh_sharded_pool_matches_solo(self, model_vars):
+        """Slots sharded over an 8-device mesh: same outputs as solo
+        rollouts (SPMD live serving)."""
+        from bmcnet_esr_tpu.parallel import make_mesh
+
+        model, variables = model_vars
+        rng = np.random.default_rng(2)
+        mesh = make_mesh(8)
+        pool = StreamPool(
+            model, variables, RES, slots=8, window_size=WINDOW, mesh=mesh
+        )
+        streams = {pool.attach(): make_windows(rng, 3) for _ in range(8)}
+        got = {s: [] for s in streams}
+        for t in range(3):
+            out = pool.push({s: ws[t] for s, ws in streams.items()})
+            for s in out:
+                got[s].append(out[s])
+        for s, ws in streams.items():
+            want = [p for p in solo_preds(model, variables, ws) if p is not None]
+            assert len(got[s]) == len(want) == 2
+            for g, w in zip(got[s], want):
+                np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+
     def test_empty_push_is_noop_tick(self, model_vars):
         """A tick with no windows leaves every stream's trajectory intact."""
         model, variables = model_vars
