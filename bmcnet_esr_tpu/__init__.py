@@ -34,6 +34,8 @@ _LAZY = {
     "load_torch_checkpoint": "bmcnet_esr_tpu.models",
     "InferenceEngine": "bmcnet_esr_tpu.inference",
     "ExportedStream": "bmcnet_esr_tpu.inference",
+    "EventSRClient": "bmcnet_esr_tpu.inference",
+    "EventSRServer": "bmcnet_esr_tpu.inference",
     "StreamPool": "bmcnet_esr_tpu.inference",
     "StreamingSR": "bmcnet_esr_tpu.inference",
     "export_serving_bundle": "bmcnet_esr_tpu.inference",

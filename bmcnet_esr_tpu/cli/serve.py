@@ -1,0 +1,71 @@
+"""Serving daemon CLI: own the chip, serve live event streams over TCP.
+
+    python -m bmcnet_esr_tpu.cli.serve \
+        --model_path pretrain/BMCNet_plain_nfs_x4.pth --variant plain \
+        --scale 4 --resolution 45x80 --slots 8 --port 7070 --dtype bfloat16
+
+Clients connect with :class:`bmcnet_esr_tpu.inference.server.EventSRClient`
+(or any implementation of the frame protocol), attach a stream slot, push
+``[4, n]`` event windows, and receive HR count images.  The reference has no
+serving daemon — its eval loop is file-at-a-time (`infer_BMCNet.py`).
+"""
+
+import argparse
+import logging
+
+from bmcnet_esr_tpu.inference.engine import load_model_for_inference
+from bmcnet_esr_tpu.inference.server import EventSRServer
+from bmcnet_esr_tpu.utils.cache import enable_compilation_cache
+from bmcnet_esr_tpu.utils.logging import setup_logging
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="bmcnet_esr_tpu serving daemon")
+    p.add_argument("--model_path", type=str, required=True)
+    p.add_argument("--variant", type=str, default="full", choices=["full", "plain"])
+    p.add_argument("--n_c", type=int, default=128)
+    p.add_argument("--n_b", type=int, default=5)
+    p.add_argument("--scale", type=int, default=4)
+    p.add_argument(
+        "--resolution", type=str, default="45x80",
+        help="LR input resolution HxW (NFS down8 default)",
+    )
+    p.add_argument("--slots", type=int, default=8)
+    p.add_argument("--window", type=int, default=2048)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=7070)
+    p.add_argument("--batch_window_ms", type=float, default=2.0)
+    p.add_argument(
+        "--dtype", type=str, default="float32",
+        choices=["float32", "bfloat16", "int8"],
+        help="serving compute mode (docs/DESIGN.md §4); int8 calibrates "
+        "activation scales online from the first windows",
+    )
+    args = p.parse_args(argv)
+
+    setup_logging()
+    enable_compilation_cache()
+    log = logging.getLogger("serve")
+    h, w = (int(v) for v in args.resolution.split("x"))
+    model, variables = load_model_for_inference(
+        args.model_path, args.scale, args.n_c, args.n_b, args.variant, args.dtype
+    )
+    server = EventSRServer(
+        model, variables, (h, w),
+        slots=args.slots, window_size=args.window,
+        host=args.host, port=args.port,
+        batch_window_ms=args.batch_window_ms,
+    )
+    log.info(
+        "serving %s x%d (%s) on %s:%d — %d slots, window %d",
+        args.variant, args.scale, args.dtype, *server.address,
+        args.slots, args.window,
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        log.info("shutting down")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,292 @@
+"""Event-camera serving daemon: :class:`StreamPool` behind a TCP socket.
+
+The deployment shape the reference never had (its serving story is one
+process re-running ``infer_BMCNet.py`` per file): a daemon owns the chip,
+clients connect over TCP, attach into recurrent stream slots, push raw event
+windows, and receive HR predictions.  Concurrent client pushes are
+**dynamically batched** — the server collects pushes for up to
+``batch_window_ms`` (or until every attached slot has one) and advances them
+all in ONE :meth:`StreamPool.push` device tick, so independent cameras share
+the chip at batched-throughput rates (B=8 is the v5e sweet spot, bench.py).
+
+Wire protocol (little-endian, each frame ``u32 length | u8 opcode | body``):
+
+=========  ======  =====================================================
+request    0x01    ATTACH
+           0x02    DETACH  ``u32 slot``
+           0x03    PUSH    ``u32 slot, u32 n, f32[4*n]`` (x,y,t,p rows)
+response   0x81    ATTACHED ``u32 slot``
+           0x82    DETACHED
+           0x83    PRED    ``u32 kh, u32 kw, u32 c, f32[kh*kw*c]``
+           0x84    PENDING (stream's first window — no output yet)
+           0x85    ERROR   utf-8 message
+=========  ======  =====================================================
+
+Python client included (:class:`EventSRClient`).  The server loop is a
+single ``selectors`` thread — JAX dispatch stays single-threaded, and slow
+clients never stall the device (a tick runs with whatever arrived).
+"""
+
+from __future__ import annotations
+
+import selectors
+import socket
+import struct
+import threading
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from bmcnet_esr_tpu.inference.streaming import StreamPool
+
+_U32 = struct.Struct("<I")
+
+ATTACH, DETACH, PUSH = 0x01, 0x02, 0x03
+ATTACHED, DETACHED, PRED, PENDING, ERROR = 0x81, 0x82, 0x83, 0x84, 0x85
+
+
+def _frame(opcode: int, body: bytes = b"") -> bytes:
+    return _U32.pack(1 + len(body)) + bytes([opcode]) + body
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        buf += chunk
+    return buf
+
+
+def _read_frame(sock: socket.socket) -> Tuple[int, bytes]:
+    (length,) = _U32.unpack(_recv_exact(sock, 4))
+    payload = _recv_exact(sock, length)
+    return payload[0], payload[1:]
+
+
+class EventSRServer:
+    """Serve a :class:`StreamPool` over TCP with dynamic batching.
+
+    >>> server = EventSRServer(model, variables, (45, 80), port=0)
+    >>> server.start()                      # background thread
+    >>> client = EventSRClient(*server.address)
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        inp_resolution: Tuple[int, int],
+        slots: int = 8,
+        window_size: int = 2048,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        batch_window_ms: float = 2.0,
+        mesh=None,
+    ):
+        self.pool = StreamPool(
+            model, variables, inp_resolution,
+            slots=slots, window_size=window_size, mesh=mesh,
+        )
+        self.batch_window_ms = batch_window_ms
+        self._listener = socket.create_server((host, port))
+        self._listener.setblocking(False)
+        self.address = self._listener.getsockname()
+        self._sel = selectors.DefaultSelector()
+        self._sel.register(self._listener, selectors.EVENT_READ, "accept")
+        self._slot_owner: Dict[int, socket.socket] = {}
+        self._conn_slots: Dict[socket.socket, set] = {}
+        # slot -> queued event windows (FIFO; one consumed per tick)
+        self._pending: Dict[int, list] = {}
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.ticks = 0
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self.serve_forever, daemon=True)
+        self._thread.start()
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
+
+    # -- loop --------------------------------------------------------------
+
+    def serve_forever(self) -> None:
+        first_pending: Optional[float] = None
+        try:
+            while not self._stop.is_set():
+                timeout = 0.05
+                if first_pending is not None:
+                    timeout = max(
+                        0.0,
+                        self.batch_window_ms / 1e3 - (time.monotonic() - first_pending),
+                    )
+                for key, _ in self._sel.select(timeout):
+                    if key.data == "accept":
+                        self._accept()
+                    else:
+                        self._read_client(key.fileobj)
+                if self._pending:
+                    if first_pending is None:
+                        first_pending = time.monotonic()
+                    ready = all(
+                        s in self._pending for s in self._slot_owner
+                    )
+                    overdue = (
+                        time.monotonic() - first_pending
+                    ) * 1e3 >= self.batch_window_ms
+                    if ready or overdue:
+                        self._tick()
+                        first_pending = time.monotonic() if self._pending else None
+                else:
+                    first_pending = None
+        finally:
+            for sock in list(self._conn_slots):
+                self._drop(sock)
+            self._sel.close()
+            self._listener.close()
+
+    def _accept(self) -> None:
+        conn, _ = self._listener.accept()
+        conn.setblocking(True)  # frames are read whole per READ event
+        self._sel.register(conn, selectors.EVENT_READ, "client")
+        self._conn_slots[conn] = set()
+
+    def _drop(self, sock: socket.socket) -> None:
+        for slot in self._conn_slots.pop(sock, ()):
+            self._slot_owner.pop(slot, None)
+            self._pending.pop(slot, None)
+            try:
+                self.pool.detach(slot)
+            except ValueError:
+                pass
+        try:
+            self._sel.unregister(sock)
+        except KeyError:
+            pass
+        sock.close()
+
+    def _read_client(self, sock: socket.socket) -> None:
+        try:
+            opcode, body = _read_frame(sock)
+        except (ConnectionError, OSError):
+            self._drop(sock)
+            return
+        try:
+            if opcode == ATTACH:
+                slot = self.pool.attach()
+                self._slot_owner[slot] = sock
+                self._conn_slots[sock].add(slot)
+                sock.sendall(_frame(ATTACHED, _U32.pack(slot)))
+            elif opcode == DETACH:
+                (slot,) = _U32.unpack(body[:4])
+                if self._slot_owner.get(slot) is not sock:
+                    raise ValueError(f"slot {slot} is not yours")
+                self.pool.detach(slot)
+                del self._slot_owner[slot]
+                self._conn_slots[sock].discard(slot)
+                self._pending.pop(slot, None)
+                sock.sendall(_frame(DETACHED))
+            elif opcode == PUSH:
+                slot, n = struct.unpack_from("<II", body)
+                if self._slot_owner.get(slot) is not sock:
+                    raise ValueError(f"slot {slot} is not yours")
+                if n > self.pool.window_size:
+                    # reject here so a bad window can't poison a shared tick
+                    raise ValueError(
+                        f"window of {n} events exceeds window_size "
+                        f"{self.pool.window_size}"
+                    )
+                ev = np.frombuffer(body, np.float32, 4 * n, offset=8)
+                self._pending.setdefault(slot, []).append(
+                    ev.reshape(4, n).copy()
+                )
+            else:
+                raise ValueError(f"unknown opcode {opcode:#x}")
+        except Exception as exc:  # noqa: BLE001 — protocol error reply
+            try:
+                sock.sendall(_frame(ERROR, str(exc).encode()))
+            except OSError:
+                self._drop(sock)
+
+    def _tick(self) -> None:
+        windows = {}
+        for slot, queue in list(self._pending.items()):
+            windows[slot] = queue.pop(0)
+            if not queue:
+                del self._pending[slot]
+        try:
+            preds = self.pool.push(windows)
+        except Exception as exc:  # noqa: BLE001 — report to every pusher
+            for slot in windows:
+                sock = self._slot_owner.get(slot)
+                if sock is not None:
+                    sock.sendall(_frame(ERROR, str(exc).encode()))
+            return
+        self.ticks += 1
+        for slot in windows:
+            sock = self._slot_owner.get(slot)
+            if sock is None:
+                continue
+            try:
+                if slot in preds:
+                    p = np.ascontiguousarray(preds[slot], np.float32)
+                    head = struct.pack("<III", *p.shape)
+                    sock.sendall(_frame(PRED, head + p.tobytes()))
+                else:
+                    sock.sendall(_frame(PENDING))
+            except OSError:
+                self._drop(sock)
+
+
+class EventSRClient:
+    """Blocking client for :class:`EventSRServer` managing one stream slot."""
+
+    def __init__(self, host: str, port: int):
+        self._sock = socket.create_connection((host, port))
+        self.slot: Optional[int] = None
+
+    def attach(self) -> int:
+        self._sock.sendall(_frame(ATTACH))
+        opcode, body = _read_frame(self._sock)
+        self._check(opcode, ATTACHED, body)
+        (self.slot,) = _U32.unpack(body)
+        return self.slot
+
+    def push(self, events: np.ndarray) -> Optional[np.ndarray]:
+        """Send one ``[4, n]`` window; returns the HR prediction
+        ``[kh, kw, 2]`` or ``None`` for the stream's first window."""
+        ev = np.ascontiguousarray(events, np.float32)
+        body = struct.pack("<II", self.slot, ev.shape[1]) + ev.tobytes()
+        self._sock.sendall(_frame(PUSH, body))
+        opcode, body = _read_frame(self._sock)
+        if opcode == PENDING:
+            return None
+        self._check(opcode, PRED, body)
+        kh, kw, c = struct.unpack_from("<III", body)
+        return np.frombuffer(body, np.float32, kh * kw * c, offset=12).reshape(
+            kh, kw, c
+        )
+
+    def detach(self) -> None:
+        self._sock.sendall(_frame(DETACH, _U32.pack(self.slot)))
+        opcode, body = _read_frame(self._sock)
+        self._check(opcode, DETACHED, body)
+        self.slot = None
+
+    def close(self) -> None:
+        self._sock.close()
+
+    @staticmethod
+    def _check(opcode: int, want: int, body: bytes) -> None:
+        if opcode == ERROR:
+            raise RuntimeError(body.decode())
+        if opcode != want:
+            raise RuntimeError(f"unexpected reply {opcode:#x}")

@@ -1,0 +1,147 @@
+"""EventSRServer: TCP serving daemon over StreamPool.
+
+Concurrent clients over loopback must receive exactly the predictions their
+solo StreamingSR rollouts would produce, with concurrent pushes dynamically
+batched into shared device ticks."""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bmcnet_esr_tpu.inference.server import EventSRClient, EventSRServer
+from bmcnet_esr_tpu.inference.streaming import StreamingSR
+from bmcnet_esr_tpu.models import BMCNetPlain
+
+RES = (16, 16)
+WINDOW = 64
+
+
+@pytest.fixture(scope="module")
+def model_vars():
+    model = BMCNetPlain(scale=2, n_c=8, n_b=2)
+    h, w = RES
+    dummy = jnp.zeros((1, 2, h, w, 2))
+    variables = model.init(jax.random.key(3), dummy, *model.init_state(1, h, w))
+    return model, variables
+
+
+@pytest.fixture()
+def server(model_vars):
+    model, variables = model_vars
+    srv = EventSRServer(
+        model, variables, RES, slots=4, window_size=WINDOW,
+        port=0, batch_window_ms=20.0,
+    )
+    srv.start()
+    yield srv
+    srv.shutdown()
+
+
+def make_windows(rng, count, n=48):
+    out = []
+    for _ in range(count):
+        ev = np.zeros((4, n), np.float32)
+        ev[0] = rng.integers(0, RES[1], n)
+        ev[1] = rng.integers(0, RES[0], n)
+        ev[2] = np.sort(rng.random(n))
+        ev[3] = rng.integers(0, 2, n) * 2 - 1
+        out.append(ev)
+    return out
+
+
+class TestServer:
+    def test_concurrent_clients_match_solo(self, server, model_vars):
+        model, variables = model_vars
+        rng = np.random.default_rng(0)
+        n_clients, n_windows = 3, 4
+        streams = [make_windows(rng, n_windows) for _ in range(n_clients)]
+        results = [None] * n_clients
+        errors = []
+
+        def run(i):
+            try:
+                client = EventSRClient(*server.address)
+                client.attach()
+                preds = [client.push(w) for w in streams[i]]
+                client.detach()
+                client.close()
+                results[i] = preds
+            except Exception as exc:  # noqa: BLE001
+                errors.append((i, exc))
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(n_clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors
+
+        for i in range(n_clients):
+            solo = StreamingSR(model, variables, RES, window_size=WINDOW)
+            want = [solo.push(w) for w in streams[i]]
+            assert results[i][0] is None and want[0] is None
+            for got, exp in zip(results[i][1:], want[1:]):
+                np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-6)
+
+        # dynamic batching actually shared ticks: 3 clients x 4 windows in
+        # fewer than 12 device steps (first-window ticks can interleave)
+        assert server.ticks < n_clients * n_windows
+
+    def test_protocol_errors(self, server):
+        client = EventSRClient(*server.address)
+        client.attach()
+        # pushing someone else's slot is rejected
+        thief = EventSRClient(*server.address)
+        thief.slot = client.slot
+        with pytest.raises(RuntimeError, match="not yours"):
+            thief.push(np.zeros((4, 4), np.float32))
+        thief.close()
+        # oversize window is rejected at tick time with an ERROR reply
+        with pytest.raises(RuntimeError, match="exceeds window_size"):
+            client.push(np.zeros((4, WINDOW * 2), np.float32))
+        client.close()
+
+    def test_cli_wiring(self, monkeypatch):
+        """cli.serve builds the server from a checkpoint + flags."""
+        import os
+
+        from bmcnet_esr_tpu.cli import serve as serve_cli
+
+        launched = {}
+        monkeypatch.setattr(
+            serve_cli.EventSRServer, "serve_forever",
+            lambda self: launched.setdefault("addr", self.address),
+        )
+        ckpt = os.path.join(
+            os.path.dirname(__file__), "goldens", "plain_small.npz"
+        )
+        serve_cli.main([
+            "--model_path", ckpt, "--variant", "plain", "--scale", "2",
+            "--n_c", "8", "--n_b", "2", "--resolution", "16x16", "--port", "0",
+        ])
+        assert launched["addr"][1] > 0
+
+    def test_disconnect_releases_slots(self, server):
+        clients = [EventSRClient(*server.address) for _ in range(4)]
+        for c in clients:
+            c.attach()
+        extra = EventSRClient(*server.address)
+        with pytest.raises(RuntimeError, match="busy"):
+            extra.attach()
+        for c in clients:
+            c.close()  # drop without detach
+        # server reaps dropped connections and frees their slots
+        deadline = __import__("time").monotonic() + 10
+        while True:
+            try:
+                extra.attach()
+                break
+            except RuntimeError:
+                assert __import__("time").monotonic() < deadline
+                __import__("time").sleep(0.05)
+        extra.detach()
+        extra.close()
