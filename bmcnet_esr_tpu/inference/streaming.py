@@ -125,6 +125,12 @@ class StreamPool:
     >>> a, b = pool.attach(), pool.attach()
     >>> preds = pool.push({a: ev_a, b: ev_b})   # {slot: HR image} once a
     ...                                          # slot has seen >= 2 windows
+
+    int8 serving note: pass variables carrying *calibrated* static scales
+    (:func:`bmcnet_esr_tpu.models.calibrate_act_scales`) — with dynamic
+    scales the per-tensor activation max couples the streams sharing a tick,
+    so lanes would no longer equal their solo rollouts (tested in
+    ``tests/test_streampool.py``).
     """
 
     def __init__(

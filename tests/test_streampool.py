@@ -98,6 +98,44 @@ class TestStreamPool:
         with pytest.raises(ValueError, match="exceeds window_size"):
             pool.push({s: np.zeros((4, WINDOW * 2), np.float32)})
 
+    def test_int8_static_scales_keep_streams_independent(self):
+        """Quantized serving through the pool: with calibrated static
+        activation scales each lane equals its solo rollout (dynamic scales
+        would couple the streams through the shared per-tensor max)."""
+        from bmcnet_esr_tpu.models import calibrate_act_scales
+        from bmcnet_esr_tpu.ops.batch import batch_events_to_counts
+
+        model = BMCNetPlain(scale=2, n_c=8, n_b=2, dtype=jnp.bfloat16, quant=True)
+        h, w = RES
+        dummy = jnp.zeros((1, 2, h, w, 2))
+        variables = model.init(jax.random.key(5), dummy, *model.init_state(1, h, w))
+
+        rng = np.random.default_rng(4)
+        cal_windows = make_windows(rng, 5)
+        frames = batch_events_to_counts(
+            jnp.asarray(np.stack(cal_windows)), RES
+        )  # [5, H, W, 2]
+        pairs = jnp.stack([frames[:-1], frames[1:]], axis=1)[:, None]  # [S,1,2,H,W,2]
+        calibrated = calibrate_act_scales(
+            model, variables, pairs, tuple(model.init_state(1, h, w))
+        )
+        assert "quant" in calibrated
+
+        wins = {k: make_windows(rng, 3) for k in ("a", "b")}
+        pool = StreamPool(model, calibrated, RES, slots=2, window_size=WINDOW)
+        slots = {k: pool.attach() for k in wins}
+        got = {k: [] for k in wins}
+        for t in range(3):
+            out = pool.push({slots[k]: wins[k][t] for k in wins})
+            for k in wins:
+                if slots[k] in out:
+                    got[k].append(out[slots[k]])
+        for k in wins:
+            want = [p for p in solo_preds(model, calibrated, wins[k]) if p is not None]
+            assert len(got[k]) == len(want) == 2
+            for g, x in zip(got[k], want):
+                np.testing.assert_allclose(g, x, rtol=1e-4, atol=1e-4)
+
     def test_mesh_sharded_pool_matches_solo(self, model_vars):
         """Slots sharded over an 8-device mesh: same outputs as solo
         rollouts (SPMD live serving)."""
