@@ -64,7 +64,10 @@ def _conv(nf: int, kernel: int, dtype, name: str | None = None, quant: bool = Fa
     # int8 mode quantizes only the FLOPs-dominant 3x3 convs (~85% of model
     # FLOPs); 1x1 convs stay on the bf16 MXU path — their compute is too
     # small to amortize the quantize/rescale passes (measured on v5e:
-    # all-conv quantization is a net LOSS, 848 vs 932 fps bf16).
+    # all-conv quantization is a net LOSS, 848 vs 932 fps bf16; extending
+    # int8 to just the 1x1s under the calibrated-scale path is also a loss,
+    # 967 vs 1044 fps — the rescale epilogues outweigh the ~1/3 BIE-conv
+    # FLOPs they cover).
     if quant and kernel >= 3:
         return QuantConv(features=nf, kernel=kernel, dtype=dtype, name=name)
     return nn.Conv(
