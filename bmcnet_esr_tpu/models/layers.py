@@ -165,7 +165,17 @@ class ChannelLayerNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
         x32 = x.astype(jnp.float32)
         mu = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        if self.dtype == jnp.float32:
+            # parity path: subtract-then-square exactly as the reference
+            var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        else:
+            # serving/bf16 path: E[x^2] - E[x]^2 makes the two channel
+            # reduces independent, so XLA sibling-fuses them into ONE pass
+            # over the activations instead of two sequential ones (the LN
+            # reduces are ~11% of the int8 rollout step).  The ~1e-7-level
+            # cancellation error is invisible under bf16 input precision.
+            ms = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+            var = jnp.maximum(ms - jnp.square(mu), 0.0)
         y = (x32 - mu) * jax.lax.rsqrt(var + self.eps)
         return (y * scale + bias).astype(self.dtype)
 
@@ -217,24 +227,26 @@ class BIE(nn.Module):
         center1 = self.clustering(self.norm_s(self.convf1(jnp.concatenate([x_s, x_2], -1))))
         center2 = self.clustering(self.norm_s(self.convf1(jnp.concatenate([x_s, x_1], -1))))
 
-        v_1 = self.v1(x_1).reshape(b, h * w, c)
-        v_2 = self.v2(x_2).reshape(b, h * w, c)
-        c1 = center1.reshape(b, h * w, c)
-        c2 = center2.reshape(b, h * w, c)
+        v_1 = self.v1(x_1)
+        v_2 = self.v2(x_2)
 
-        # torch: att = center[b,c,hw] @ v[b,hw,c]; here both operands live as
-        # [b, hw, c] so the contraction is over hw -> one MXU-tile [c, c].
+        # torch: att = center[b,c,hw] @ v[b,hw,c]; here the contraction runs
+        # over (h, w) directly on the NHWC 4-D tensors (dot_general takes
+        # multiple contracting dims) -> one MXU-tile [c, c].  Contracting the
+        # spatial dims in place avoids the [b, hw, c] reshape, which XLA
+        # lowers as a real layout copy inside the rollout scan (measured
+        # ~9% of int8 serving step time in bf16[8,3600,128] copies).
         # Logits accumulate in fp32 (softmax stability on the bf16 path).
         f32 = jnp.float32
-        att1 = jnp.einsum("bni,bnj->bij", c1, v_1, precision=hi, preferred_element_type=f32)
-        att2 = jnp.einsum("bni,bnj->bij", c2, v_2, precision=hi, preferred_element_type=f32)
+        att1 = jnp.einsum("bhwi,bhwj->bij", center1, v_1, precision=hi, preferred_element_type=f32)
+        att2 = jnp.einsum("bhwi,bhwj->bij", center2, v_2, precision=hi, preferred_element_type=f32)
         scale32 = jnp.asarray(c, f32) ** -0.5
         att1 = jax.nn.softmax(att1 * scale32, axis=-1).astype(self.dtype)
         att2 = jax.nn.softmax(att2 * scale32, axis=-1).astype(self.dtype)
 
-        # torch: out = att[b,c,c] @ v^T[b,c,hw] -> [b,c,hw]; NHWC: [b,hw,c].
-        out_1 = jnp.einsum("bij,bnj->bni", att1, v_1, precision=hi).reshape(b, h, w, c)
-        out_2 = jnp.einsum("bij,bnj->bni", att2, v_2, precision=hi).reshape(b, h, w, c)
+        # torch: out = att[b,c,c] @ v^T[b,c,hw] -> [b,c,hw]; NHWC: [b,h,w,c].
+        out_1 = jnp.einsum("bij,bhwj->bhwi", att1, v_1, precision=hi)
+        out_2 = jnp.einsum("bij,bhwj->bhwi", att2, v_2, precision=hi)
 
         x_s_ = self.unclustering(jnp.concatenate([center1, center2], -1)) + x_s
 

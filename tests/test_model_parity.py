@@ -230,3 +230,24 @@ class TestBf16Drift:
         scale = max(float(np.abs(p32).max()), 1.0)
         rel_rmse = float(np.sqrt(np.mean((p16.astype(np.float32) - p32) ** 2))) / scale
         assert rel_rmse < 0.05, rel_rmse
+
+    def test_layernorm_one_pass_matches_two_pass(self):
+        """The bf16/int8 serving LN uses one-pass E[x^2]-E[x]^2 stats (the two
+        reduces sibling-fuse into a single pass over the activations); the
+        fp32 parity path keeps the reference's subtract-then-square.  Both
+        branches must agree to fp32 round-off on serving-scale activations."""
+        from bmcnet_esr_tpu.models.layers import ChannelLayerNorm
+
+        rng = np.random.default_rng(3)
+        # offset + scaled: worst reasonable case for the cancellation term
+        x = jnp.asarray(rng.normal(5.0, 3.0, (2, 9, 11, 128)).astype(np.float32))
+        ln32 = ChannelLayerNorm(128, dtype=jnp.float32)
+        ln16 = ChannelLayerNorm(128, dtype=jnp.bfloat16)
+        v = ln32.init(jax.random.key(0), x)
+        y32 = np.asarray(ln32.apply(v, x))
+        y16 = np.asarray(ln16.apply(v, x)).astype(np.float32)
+        # one-pass fp32 stats vs two-pass, then one bf16 output round
+        assert float(np.max(np.abs(y16 - y32))) < 0.05
+        # and in fp32-in/fp32-stats form the two formulas agree tightly
+        y1p = np.asarray(ln16.apply(v, x.astype(jnp.bfloat16))).astype(np.float32)
+        assert float(np.max(np.abs(y1p - y32))) < 0.1
