@@ -68,7 +68,7 @@ def main(argv=None):
                    help="bfloat16 = serving mode (~3x fp32 throughput, "
                         "rel-RMSE < 5e-2 drift bound); int8 = W8A8 3x3 convs "
                         "on the int8 MXU with first-chunk scale calibration "
-                        "(+13% over bf16, same drift bound)")
+                        "(+13%% over bf16, same drift bound)")
     p.add_argument("--no_images", action="store_true", help="skip PNG streams")
     p.add_argument("--psnr", action="store_true", help="also track PSNR")
     p.add_argument("--ssim", action="store_true", help="also track SSIM")

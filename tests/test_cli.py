@@ -86,3 +86,21 @@ class TestRecipeConfigs:
         assert float(sched(0)) == pytest.approx(1e-4)
         tcfg = run["trainer"]["iteration_based_train"]
         assert tcfg["enabled"] and tcfg["iterations"] == 100000
+
+
+class TestHelpRenders:
+    """Every CLI must render --help (a literal '%' in a help string once made
+    argparse crash with '%o format: an integer is required' — cli/infer.py)."""
+
+    @pytest.mark.parametrize(
+        "mod",
+        ["infer", "train", "serve", "convert", "export", "generate", "upsample", "visualize"],
+    )
+    def test_help(self, mod, capsys):
+        import importlib
+
+        cli = importlib.import_module(f"bmcnet_esr_tpu.cli.{mod}")
+        with pytest.raises(SystemExit) as e:
+            cli.main(["--help"])
+        assert e.value.code == 0
+        assert "usage" in capsys.readouterr().out.lower()
