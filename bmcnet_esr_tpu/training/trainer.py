@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 import signal
 import time
 from typing import Any, Dict, Optional
@@ -437,12 +438,17 @@ class Trainer:
         # handler only sets a flag — the loop finishes the in-flight step and
         # saves from a consistent state.  (Reference has no counterpart; its
         # worst case re-runs up to 5000 iterations.)
+        #
+        # A SECOND SIGTERM exits immediately (default disposition): during a
+        # long first compile (minutes on the remote-compile tunnel) the loop's
+        # flag check is unreachable, so a lone deferred TERM would leave the
+        # process lingering until SIGKILL; the conventional escalation —
+        # TERM = drain, TERM TERM = now — keeps supervisors and `timeout`
+        # able to stop a run that is still compiling.
         self._preempted = False
         prev_handler = None
         try:
-            prev_handler = signal.signal(
-                signal.SIGTERM, lambda signum, frame: setattr(self, "_preempted", True)
-            )
+            prev_handler = signal.signal(signal.SIGTERM, self._on_sigterm)
         except ValueError:
             pass  # not the main thread (e.g. a test harness): flag still works
 
@@ -451,6 +457,15 @@ class Trainer:
         finally:
             if prev_handler is not None:
                 signal.signal(signal.SIGTERM, prev_handler)
+
+    def _on_sigterm(self, signum, frame):
+        if self._preempted:  # second SIGTERM: stop being graceful
+            self._exit_now()
+        self._preempted = True
+
+    def _exit_now(self):  # separated so tests can stub the re-kill
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        os.kill(os.getpid(), signal.SIGTERM)
 
     def _train_loop(self, start_iteration, iter_idx, valid_stamp, pending, stop, t_start):
         while not stop:

@@ -139,6 +139,38 @@ class TestSigtermCheckpoint:
         start = tr.resume(latest)
         assert start > 0
 
+    def test_second_sigterm_escalates_to_immediate_exit(self, loader, tmp_path):
+        """TERM = drain to a checkpoint; TERM TERM = exit now.  During a long
+        first compile the drain flag is unreachable, so without escalation a
+        `timeout`-style supervisor cannot stop a run that is still compiling."""
+        cfg = {
+            "experiment": "preempt2",
+            "model": {"name": "tiny", "args": {"n_c": 8, "n_b": 2, "variant": "plain"}},
+            "optimizer": {"name": "Adam", "args": {"lr": 1e-3}},
+            "lr_scheduler": {"name": "ExponentialLR", "args": {"gamma": 0.95}},
+            "trainer": {
+                "output_path": str(tmp_path),
+                "monitor": "off",
+                "tensorboard": False,
+                "iteration_based_train": {
+                    "enabled": True, "iterations": 10, "save_period": 100,
+                    "train_log_step": 5, "valid_log_step": 10, "valid_step": 100,
+                    "lr_change_rate": 100,
+                },
+            },
+            "train_dataloader": {"dataset": {"scale": 2}},
+        }
+        tr = Trainer(RunConfig(cfg, runid="p1"), train_loader=loader, seed=0)
+        exits = []
+        tr._exit_now = lambda: exits.append(True)  # stub the re-kill
+        tr._preempted = False
+
+        tr._on_sigterm(signal.SIGTERM, None)
+        assert tr._preempted and not exits  # first TERM: defer to the loop
+
+        tr._on_sigterm(signal.SIGTERM, None)
+        assert exits == [True]  # second TERM: immediate exit path taken
+
     def test_handler_restored_after_train(self, loader, tmp_path):
         prev = signal.getsignal(signal.SIGTERM)
         cfg = {
