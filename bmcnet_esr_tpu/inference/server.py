@@ -60,8 +60,15 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes:
     return buf
 
 
+_MAX_FRAME = 64 << 20  # generous bound: the largest legal frame is one
+# PRED (kh*kw*c f32 ~ a few MB); a hostile/corrupt length field must not
+# drive a multi-GB allocation or an IndexError on an empty payload
+
+
 def _read_frame(sock: socket.socket) -> Tuple[int, bytes]:
     (length,) = _U32.unpack(_recv_exact(sock, 4))
+    if not 1 <= length <= _MAX_FRAME:
+        raise ValueError(f"bad frame length {length}")
     payload = _recv_exact(sock, length)
     return payload[0], payload[1:]
 
@@ -176,7 +183,9 @@ class EventSRServer:
     def _read_client(self, sock: socket.socket) -> None:
         try:
             opcode, body = _read_frame(sock)
-        except (ConnectionError, OSError):
+        except (ConnectionError, OSError, ValueError):
+            # a malformed frame (bad length word) is indistinguishable from a
+            # desynced byte stream — drop the connection, never the server
             self._drop(sock)
             return
         try:
@@ -228,7 +237,10 @@ class EventSRServer:
             for slot in windows:
                 sock = self._slot_owner.get(slot)
                 if sock is not None:
-                    sock.sendall(_frame(ERROR, str(exc).encode()))
+                    try:
+                        sock.sendall(_frame(ERROR, str(exc).encode()))
+                    except OSError:
+                        self._drop(sock)
             return
         self.ticks += 1
         for slot in windows:

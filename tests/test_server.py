@@ -105,6 +105,29 @@ class TestServer:
             client.push(np.zeros((4, WINDOW * 2), np.float32))
         client.close()
 
+    def test_malformed_frames_dont_kill_the_daemon(self, server):
+        """A zero-length frame word once raised IndexError past the narrow
+        except clause and killed the server thread; a huge length field would
+        drive a multi-GB recv.  Both must only cost the sender its
+        connection — the daemon keeps serving other clients."""
+        import socket as socket_mod
+        import struct
+
+        for bad in (struct.pack("<I", 0), struct.pack("<I", 0xFFFFFFFF)):
+            s = socket_mod.create_connection(server.address)
+            s.sendall(bad)
+            # server drops the desynced connection
+            s.settimeout(5.0)
+            assert s.recv(1) == b""
+            s.close()
+
+        # daemon is still alive and serving
+        client = EventSRClient(*server.address)
+        client.attach()
+        assert client.push(np.zeros((4, 4), np.float32)) is None
+        client.detach()
+        client.close()
+
     def test_cli_wiring(self, monkeypatch):
         """cli.serve builds the server from a checkpoint + flags."""
         import os
