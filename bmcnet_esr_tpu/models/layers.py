@@ -59,6 +59,12 @@ def _prec(dtype) -> jax.lax.Precision:
 
 FORCE_HIGHEST_PRECISION = False
 
+# Route int8-mode 1x1 convs through the fused Pallas quantized matmul
+# (ops/pallas/qmm.py) instead of leaving them bf16.  Set BEFORE constructing
+# the model (it decides which module class the 1x1 sites get — parameter
+# names/shapes are identical either way, so checkpoints are unaffected).
+QUANT_1X1_PALLAS = False
+
 
 def _conv(nf: int, kernel: int, dtype, name: str | None = None, quant: bool = False):
     # int8 mode quantizes only the FLOPs-dominant 3x3 convs (~85% of model
@@ -66,9 +72,12 @@ def _conv(nf: int, kernel: int, dtype, name: str | None = None, quant: bool = Fa
     # small to amortize the quantize/rescale passes (measured on v5e:
     # all-conv quantization is a net LOSS, 848 vs 932 fps bf16; extending
     # int8 to just the 1x1s under the calibrated-scale path is also a loss,
-    # 967 vs 1044 fps — the rescale epilogues outweigh the ~1/3 BIE-conv
-    # FLOPs they cover).
-    if quant and kernel >= 3:
+    # 967 vs 1044 fps — the rescale epilogues lower as separate HBM passes
+    # that outweigh the ~1/3 BIE-conv FLOPs they cover).  QUANT_1X1_PALLAS
+    # routes the 1x1s through the fused ops/pallas/qmm kernel instead, which
+    # does quantize -> int8 dot -> rescale in one VMEM pass (no extra HBM
+    # traffic — the route the XLA loss measurement motivated).
+    if quant and (kernel >= 3 or QUANT_1X1_PALLAS):
         return QuantConv(features=nf, kernel=kernel, dtype=dtype, name=name)
     return nn.Conv(
         features=nf,
@@ -129,8 +138,26 @@ class QuantConv(nn.Module):
                 init_fn=lambda: jnp.zeros((), jnp.float32),
                 reduce_fn=jnp.maximum,
             )
+        calibrating = self.is_mutable_collection("quant_stats") and not self.is_initializing()
         if self.has_variable("quant", "act_scale"):
             sx = self.get_variable("quant", "act_scale")  # static (calibrated)
+            if (
+                self.kernel == 1
+                and QUANT_1X1_PALLAS
+                and not calibrating
+                and not self.is_initializing()
+            ):
+                # fused quantize -> int8 MXU dot -> rescale, one VMEM pass
+                from bmcnet_esr_tpu.ops.pallas.qmm import quant_matmul, quantize_weights
+
+                wq, sw = quantize_weights(w.reshape(cin, self.features))
+                bq, hq, wsp, _ = x.shape
+                y = quant_matmul(
+                    x.reshape(-1, cin), wq, sw, sx, b,
+                    out_dtype=self.dtype,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                return y.reshape(bq, hq, wsp, self.features)
         else:
             sx = jnp.maximum(act_max, 1e-12) / 127.0  # dynamic
         xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)

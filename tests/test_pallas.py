@@ -38,3 +38,80 @@ def test_backend_switch():
     ev[..., 3, :] = rng.integers(0, 2, (2, 5, 64)) * 2 - 1
     a = np.asarray(batch_events_to_counts(jnp.asarray(ev), (8, 8), backend="xla"))
     assert a.shape == (2, 5, 8, 8, 2)
+
+
+class TestQuantMatmul:
+    """Fused W8A8 1x1-conv kernel (ops/pallas/qmm.py), interpret mode."""
+
+    @pytest.mark.parametrize("m,k", [(576, 128), (1000, 256)])  # incl. ragged M
+    def test_matches_reference_math(self, m, k):
+        import jax
+
+        from bmcnet_esr_tpu.ops.pallas.qmm import (
+            qmm_reference,
+            quant_matmul,
+            quantize_weights,
+        )
+
+        rng = np.random.default_rng(7)
+        n = 128
+        x = jnp.asarray(rng.normal(0, 2.0, (m, k)).astype(np.float32)).astype(jnp.bfloat16)
+        w = jnp.asarray(rng.normal(0, 0.1, (k, n)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(0, 0.5, n).astype(np.float32))
+        wq, sw = quantize_weights(w)
+        sx = jnp.float32(6.1 / 127.0)
+        want = np.asarray(qmm_reference(x, wq, sw, sx, bias)).astype(np.float32)
+        got = np.asarray(quant_matmul(x, wq, sw, sx, bias, interpret=True)).astype(np.float32)
+        # integer accumulation is exact; the final f32 rescale may fuse into
+        # an FMA on one path and not the other, flipping bf16 rounding ties
+        # by one ulp (~3 per 128k elements observed) — allow exactly that
+        np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
+        assert (got == want).mean() > 0.999
+
+    def test_quantconv_routes_1x1_through_kernel(self):
+        """With the flag on, a calibrated quant model runs its 1x1 convs
+        through the fused kernel: same param tree as the flag-off model, and
+        rollout outputs stay within the int8 serving drift bound of fp32."""
+        import jax
+
+        from bmcnet_esr_tpu.models import BMCNetPlain, calibrate_act_scales
+        from bmcnet_esr_tpu.models import layers as L
+
+        rng = np.random.default_rng(3)
+        h = w = 12
+        x = jnp.asarray(rng.normal(0, 1.0, (5, 1, 2, h, w, 2)).astype(np.float32))
+
+        f32 = BMCNetPlain(scale=2, n_c=8, n_b=2)
+        variables = f32.init(jax.random.key(0), x[0], *f32.init_state(1, h, w))
+
+        def rollout(model, v):
+            carry = tuple(model.init_state(1, h, w))
+            preds = []
+            for i in range(x.shape[0]):
+                outs = model.apply(v, x[i], *carry)
+                carry = tuple(outs)
+                preds.append(np.asarray(outs[-1], np.float32))
+            return np.stack(preds)
+
+        p32 = rollout(f32, variables)
+
+        L.QUANT_1X1_PALLAS = True
+        try:
+            q = BMCNetPlain(scale=2, n_c=8, n_b=2, dtype=jnp.bfloat16, quant=True)
+            # identical param tree: checkpoints load unchanged
+            assert jax.tree.structure(q.init(
+                jax.random.key(0), x[0], *q.init_state(1, h, w)
+            )) == jax.tree.structure(variables)
+            vq = calibrate_act_scales(
+                q, variables, x, tuple(q.init_state(1, h, w)), max_steps=4
+            )
+            # calibration must now cover the 1x1 sites too
+            flat = jax.tree_util.tree_flatten_with_path(vq["quant"])[0]
+            assert len(flat) > 0
+            pq = rollout(q, vq)
+        finally:
+            L.QUANT_1X1_PALLAS = False
+
+        scale = max(float(np.abs(p32).max()), 1.0)
+        rel_rmse = float(np.sqrt(np.mean((pq - p32) ** 2))) / scale
+        assert rel_rmse < 0.05, rel_rmse
