@@ -32,7 +32,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from bmcnet_esr_tpu.ops.batch import batch_events_to_counts
+from bmcnet_esr_tpu.ops.batch import batch_events_to_counts  # export side only
 
 Array = jax.Array
 
@@ -170,8 +170,15 @@ class ExportedStream:
     def push(self, events: np.ndarray) -> Optional[np.ndarray]:
         ev = jnp.asarray(self._pad(events))
         if self._carry is None:
+            # first window: rasterize via the exported step itself (its
+            # ``frame`` output) so the consumer needs NO package ops — the
+            # step's carry/pred outputs are discarded, the stream starts
+            # from the init carry exactly like StreamingSR
             self._carry = self._init_carry()
-            self._prev_frame = batch_events_to_counts(ev, self._res)
+            zero_prev = jnp.zeros((self._batch, *self._res, 2), jnp.float32)
+            _, self._prev_frame, _ = self._call(
+                self._variables, self._carry, zero_prev, ev
+            )
             self.windows_seen = 1
             return None
         self._carry, self._prev_frame, pred = self._call(
