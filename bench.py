@@ -26,6 +26,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "aux"}.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -36,6 +37,42 @@ sys.path.insert(0, _REPO)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache"))
 
 import numpy as np
+
+
+def _wait_for_chip(max_wait_s: float = 7200.0, probe_timeout_s: float = 120.0) -> None:
+    """Block until the tunneled TPU answers a trivial program (or give up).
+
+    The axon attachment can go down for hours; during an outage ANY process
+    that initializes the plugin hangs silently before printing a byte
+    (CLAUDE.md).  Probing from a killable child keeps this process clean:
+    the first in-process jax import only happens after a probe succeeds, so
+    an outage costs bounded retries instead of an unbounded hang.
+    """
+    probe = (
+        "import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); "
+        "print(float((x @ x).sum()))"
+    )
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        try:
+            subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=probe_timeout_s,
+                check=True,
+                capture_output=True,
+            )
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if time.monotonic() >= deadline:
+                print(
+                    "bench: chip probe failed for "
+                    f"{max_wait_s:.0f}s — proceeding anyway",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                return
+            print("bench: chip not answering, retrying in 5 min", file=sys.stderr, flush=True)
+            time.sleep(300)
 
 B = 8          # batched independent streams per chip
 H, W = 45, 80  # NFS down8 input resolution
@@ -221,6 +258,7 @@ def bench_torch_cpu(budget_s: float = 60.0):
 
 
 def main():
+    _wait_for_chip()
     fps_tpu = bench_tpu()
     fps_int8 = _rollout_fps(B, "int8")
     b1_ms = bench_b1_latency()
