@@ -32,8 +32,23 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=1, help="parallel stream lanes")
     p.add_argument(
         "--dtype", type=str, default="float32", choices=["float32", "bfloat16", "int8"],
-        help="serving compute mode (docs/DESIGN.md §4); int8 uses dynamic "
-        "activation scales — calibrate ahead of export for static scales",
+        help="serving compute mode (docs/DESIGN.md §4); int8 uses per-lane "
+        "dynamic activation scales unless --calib_h5 bakes static ones "
+        "into the bundle (the fast path: no per-call max pass)",
+    )
+    p.add_argument(
+        "--calib_h5", type=str, default=None,
+        help="int8 only: h5 file (packager schema) whose first windows "
+        "calibrate static activation scales baked into the bundle "
+        "(recommended: +6%% over dynamic on v5e)",
+    )
+    p.add_argument(
+        "--calib_group", type=str, default="ori",
+        help="event-group prefix inside --calib_h5 (e.g. ori, down8)",
+    )
+    p.add_argument(
+        "--calib_windows", type=int, default=16,
+        help="windows of --window events used for calibration",
     )
     p.add_argument(
         "--platforms", type=str, default=None,
@@ -49,6 +64,13 @@ def main(argv=None):
         args.model_path, scale=args.scale, n_c=args.n_c, n_b=args.n_b,
         variant=args.variant, dtype=args.dtype,
     )
+    if args.dtype == "int8" and args.calib_h5:
+        from bmcnet_esr_tpu.models.quant import calibrate_from_h5
+
+        variables = calibrate_from_h5(
+            model, variables, args.calib_h5, args.calib_group,
+            (args.height, args.width), args.window, args.calib_windows,
+        )
     out = export_serving_bundle(
         model,
         variables,

@@ -13,6 +13,8 @@ serving daemon — its eval loop is file-at-a-time (`infer_BMCNet.py`).
 import argparse
 import logging
 
+import jax
+
 from bmcnet_esr_tpu.inference.engine import load_model_for_inference
 from bmcnet_esr_tpu.inference.server import EventSRServer
 from bmcnet_esr_tpu.utils.cache import enable_compilation_cache
@@ -38,8 +40,23 @@ def main(argv=None):
     p.add_argument(
         "--dtype", type=str, default="float32",
         choices=["float32", "bfloat16", "int8"],
-        help="serving compute mode (docs/DESIGN.md §4); int8 calibrates "
-        "activation scales online from the first windows",
+        help="serving compute mode (docs/DESIGN.md §4); int8 uses per-lane "
+        "dynamic activation scales unless --calib_h5 bakes static ones "
+        "(the fast path: no per-tick max pass)",
+    )
+    p.add_argument(
+        "--calib_h5", type=str, default=None,
+        help="int8 only: h5 file (packager schema) whose first windows "
+        "calibrate static activation scales at startup (recommended: "
+        "+6%% over dynamic on v5e)",
+    )
+    p.add_argument(
+        "--calib_group", type=str, default="ori",
+        help="event-group prefix inside --calib_h5 (e.g. ori, down8)",
+    )
+    p.add_argument(
+        "--calib_windows", type=int, default=16,
+        help="windows of --window events used for calibration",
     )
     args = p.parse_args(argv)
 
@@ -50,6 +67,24 @@ def main(argv=None):
     model, variables = load_model_for_inference(
         args.model_path, args.scale, args.n_c, args.n_b, args.variant, args.dtype
     )
+    if args.dtype == "int8" and args.calib_h5:
+        # static scales: the serving fast path (no per-tick max pass);
+        # correctness never depends on them — scales are per-lane either
+        # way, so pooled streams always equal their solo rollouts
+        from bmcnet_esr_tpu.models.quant import calibrate_from_h5
+
+        variables = calibrate_from_h5(
+            model, variables, args.calib_h5, args.calib_group,
+            (h, w), args.window, args.calib_windows,
+        )
+        n_sites = len(jax.tree_util.tree_leaves(variables.get("quant", {})))
+        log.info("int8: calibrated %d static activation scales from %s",
+                 n_sites, args.calib_h5)
+    elif args.dtype == "int8":
+        log.info(
+            "int8: dynamic per-lane activation scales (pass --calib_h5 to "
+            "bake static scales and drop the per-tick max pass)"
+        )
     server = EventSRServer(
         model, variables, (h, w),
         slots=args.slots, window_size=args.window,

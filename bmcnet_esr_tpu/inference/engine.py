@@ -131,6 +131,11 @@ class InferenceEngine:
 
             self.variables = replicate_tree(variables, mesh)
         self._step_cache: Dict[Tuple, Any] = {}
+        # int8: True once THIS engine derived the static scales (they are
+        # then re-derived per file/group so every lane's scale comes from its
+        # own stream's first chunk — exact batched == solo); user-supplied
+        # 'quant' collections are respected and never overwritten
+        self._auto_quant = False
         self.params_m = (
             sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables)) / 1e6
         )
@@ -168,17 +173,22 @@ class InferenceEngine:
         )
 
     def _maybe_calibrate(self, inp_dev, inp_res, batch: int) -> None:
-        """int8 static-scale calibration (one-time, before the first compile).
+        """int8 static-scale calibration (per rollout, before its compile).
 
-        When the model is quantized and ``variables`` carry no ``quant``
-        collection yet, run ~16 recurrent steps over the first chunk's
-        windows recording per-conv activation maxima
+        When the model is quantized, run ~16 recurrent steps over the first
+        chunk's windows recording per-conv PER-LANE activation maxima
         (models/quant.calibrate_act_scales) and extend ``self.variables``
         with the static scales — removing the per-call max pass from the
-        rollout hot loop (v5e bench: 990 dynamic → 1051 static fps).
+        rollout hot loop (v5e bench: 990 dynamic → 1051 static fps).  Scales
+        are re-derived for every file/group this engine rolls out, so lane i
+        always carries the scale its own solo calibration would produce
+        (exact batched == solo, whatever the group composition); a
+        caller-supplied ``quant`` collection is honored and never replaced.
         """
-        if not getattr(self.model, "quant", False) or "quant" in self.variables:
+        if not getattr(self.model, "quant", False):
             return
+        if "quant" in self.variables and not self._auto_quant:
+            return  # user-supplied static scales
         from bmcnet_esr_tpu.models.quant import calibrate_act_scales
 
         @jax.jit
@@ -188,7 +198,9 @@ class InferenceEngine:
 
         pairs = make_pairs(*inp_dev)
         carry = tuple(self.model.init_state(batch, *inp_res))
-        self.variables = calibrate_act_scales(self.model, self.variables, pairs, carry)
+        base = {k: v for k, v in self.variables.items() if k != "quant"}
+        self.variables = calibrate_act_scales(self.model, base, pairs, carry)
+        self._auto_quant = True
 
     # -- compiled chunk step ------------------------------------------------
 

@@ -32,6 +32,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from bmcnet_esr_tpu.inference.streaming import pad_window
 from bmcnet_esr_tpu.ops.batch import batch_events_to_counts  # export side only
 
 Array = jax.Array
@@ -109,6 +110,8 @@ def export_serving_bundle(
         "n_b": int(model.n_b),
         "variant": type(model).__name__,
         "quant": bool(getattr(model, "quant", False)),
+        # static scales baked in (calibrated) vs dynamic per-call scales
+        "quant_static": "quant" in variables,
         "platforms": list(exported.platforms),
     }
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
@@ -154,18 +157,11 @@ class ExportedStream:
         events = np.asarray(events, np.float32)
         if events.ndim == 2:
             events = events[None]
-        b, _, n = events.shape
-        if b != self._batch:
-            raise ValueError(f"bundle serves batch {self._batch}, got {b} streams")
-        if n > self._window:
-            raise ValueError(f"window of {n} events exceeds window_size {self._window}")
-        out = np.zeros((b, 4, self._window), np.float32)
-        out[:, :, :n] = events
-        if n:
-            ts = out[:, 2, :n]
-            t0, t1 = ts[:, :1], ts[:, n - 1 : n]
-            out[:, 2, :n] = (ts - t0) / (t1 - t0 + 1e-6)
-        return out
+        if events.shape[0] != self._batch:
+            raise ValueError(
+                f"bundle serves batch {self._batch}, got {events.shape[0]} streams"
+            )
+        return pad_window(events, self._window)
 
     def push(self, events: np.ndarray) -> Optional[np.ndarray]:
         ev = jnp.asarray(self._pad(events))

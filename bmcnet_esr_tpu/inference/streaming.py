@@ -25,6 +25,35 @@ from bmcnet_esr_tpu.ops.batch import batch_events_to_counts
 Array = jax.Array
 
 
+def pad_window(events: np.ndarray, window_size: int) -> np.ndarray:
+    """Zero-pad an event window to ``window_size`` and normalize its
+    timestamps to [0, 1] (``(ts - t0) / (t1 - t0 + 1e-6)``, the offline
+    pipeline's ``base_dataset.py:24-31`` semantics; zero-polarity padding
+    adds nothing to the rasterized counts).
+
+    Accepts ``[4, n]`` or batched ``[B, 4, n]`` and preserves the layout.
+    THE padding/normalization for every serving surface — StreamingSR,
+    StreamPool, and ExportedStream all call this one function, so their
+    window semantics can never drift apart.
+    """
+    events = np.asarray(events, np.float32)
+    batched = events.ndim == 3
+    if not batched:
+        events = events[None]
+    b, _, n = events.shape
+    if n > window_size:
+        raise ValueError(
+            f"window of {n} events exceeds window_size {window_size}"
+        )
+    out = np.zeros((b, 4, window_size), np.float32)
+    out[:, :, :n] = events
+    if n:
+        ts = out[:, 2, :n]
+        t0, t1 = ts[:, :1], ts[:, n - 1 : n]
+        out[:, 2, :n] = (ts - t0) / (t1 - t0 + 1e-6)
+    return out if batched else out[0]
+
+
 class StreamingSR:
     """Stateful stride-1 super-resolution over a live event stream.
 
@@ -69,24 +98,11 @@ class StreamingSR:
         self._prev_frame = None
         self.windows_seen = 0
 
-    def _pad(self, events: np.ndarray) -> np.ndarray:
-        n = events.shape[1]
-        if n > self.window_size:
-            raise ValueError(
-                f"window of {n} events exceeds window_size {self.window_size}"
-            )
-        out = np.zeros((4, self.window_size), np.float32)
-        out[:, :n] = events
-        if n:  # normalize ts within the window
-            ts = out[2, :n]
-            out[2, :n] = (ts - ts[0]) / (ts[-1] - ts[0] + 1e-6)
-        return out
-
     def push(self, events: np.ndarray) -> Optional[np.ndarray]:
         """Feed one event window ``[4, n]`` (x, y, t, p); returns the HR
         prediction ``[kH, kW, 2]`` once two windows have been seen, else
         ``None``."""
-        ev = jnp.asarray(self._pad(np.asarray(events, np.float32)))
+        ev = jnp.asarray(pad_window(events, self.window_size))
         if self._carry is None:
             h, w = self.inp_resolution
             self._carry = tuple(self.model.init_state(1, h, w))
@@ -126,11 +142,11 @@ class StreamPool:
     >>> preds = pool.push({a: ev_a, b: ev_b})   # {slot: HR image} once a
     ...                                          # slot has seen >= 2 windows
 
-    int8 serving note: pass variables carrying *calibrated* static scales
-    (:func:`bmcnet_esr_tpu.models.calibrate_act_scales`) — with dynamic
-    scales the per-tensor activation max couples the streams sharing a tick,
-    so lanes would no longer equal their solo rollouts (tested in
-    ``tests/test_streampool.py``).
+    int8 serving note: activation scales are per-LANE (models/layers.py
+    ``QuantConv``), so lanes equal their solo rollouts exactly in both scale
+    modes; calibrated static scales
+    (:func:`bmcnet_esr_tpu.models.calibrate_act_scales`) additionally remove
+    the per-call max pass from the tick (the serving fast path).
     """
 
     def __init__(
@@ -223,19 +239,6 @@ class StreamPool:
             raise ValueError(f"slot {slot} is not attached")
         self._active[slot] = False
 
-    def _pad(self, events: np.ndarray) -> np.ndarray:
-        n = events.shape[1]
-        if n > self.window_size:
-            raise ValueError(
-                f"window of {n} events exceeds window_size {self.window_size}"
-            )
-        out = np.zeros((4, self.window_size), np.float32)
-        out[:, :n] = events
-        if n:
-            ts = out[2, :n]
-            out[2, :n] = (ts - ts[0]) / (ts[-1] - ts[0] + 1e-6)
-        return out
-
     def push(self, windows: dict) -> dict:
         """Advance one tick: ``{slot: events [4, n]}`` in, ``{slot: HR
         prediction [kH, kW, 2]}`` out for every pushed slot that has already
@@ -246,7 +249,7 @@ class StreamPool:
         for slot, ev in windows.items():
             if not self._active[slot]:
                 raise ValueError(f"slot {slot} is not attached")
-            events[slot] = self._pad(np.asarray(ev, np.float32))
+            events[slot] = pad_window(ev, self.window_size)
             update[slot] = True
             first[slot] = self._seen[slot] == 0
         ev, up, fi = jnp.asarray(events), jnp.asarray(update), jnp.asarray(first)

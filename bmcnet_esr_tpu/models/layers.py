@@ -78,7 +78,13 @@ def _conv(nf: int, kernel: int, dtype, name: str | None = None, quant: bool = Fa
     # does quantize -> int8 dot -> rescale in one VMEM pass (no extra HBM
     # traffic — the route the XLA loss measurement motivated).
     if quant and (kernel >= 3 or QUANT_1X1_PALLAS):
-        return QuantConv(features=nf, kernel=kernel, dtype=dtype, name=name)
+        # the flag is captured HERE, at construction: a later flip of the
+        # global must not silently re-route an already-built model onto the
+        # XLA int8 1x1 path (a measured net loss, see above)
+        return QuantConv(
+            features=nf, kernel=kernel, dtype=dtype, name=name,
+            pallas_1x1=bool(QUANT_1X1_PALLAS and kernel == 1),
+        )
     return nn.Conv(
         features=nf,
         kernel_size=(kernel, kernel),
@@ -101,14 +107,20 @@ class QuantConv(nn.Module):
 
     * weights: symmetric per-output-channel int8 (scale = max|W|/127 over
       HWI) — loop-invariant, so XLA hoists it out of the rollout scan;
-    * activations: symmetric per-tensor int8.  Two scale sources:
-      (a) *dynamic* (default): scale = max|x|/127 recomputed every call —
-      no calibration, no new checkpoint format (990 vs 932 fps bf16 on
-      v5e bench shapes); (b) *static*: if the variables carry a ``quant``
-      collection (from :func:`bmcnet_esr_tpu.models.quant.calibrate_act_scales`)
-      the per-layer recorded scale is used and the max pass disappears from
+    * activations: symmetric per-LANE (batch-entry) int8 — each lane's
+      scale comes from its own activations only, so independent streams
+      batched together compute exactly what their solo rollouts would
+      (the serving invariant: batched == solo, int8 included).  Two scale
+      sources: (a) *dynamic* (default): scale = per-lane max|x|/127
+      recomputed every call — no calibration, no new checkpoint format
+      (990 vs 932 fps bf16 on v5e bench shapes); (b) *static*: if the
+      variables carry a ``quant`` collection (from
+      :func:`bmcnet_esr_tpu.models.quant.calibrate_act_scales`) the
+      per-layer recorded scales are used and the max pass disappears from
       the hot loop (1051 fps measured — +12.8% over bf16).  A calibration
-      pass (``mutable=["quant_stats"]``) sows per-layer max|x|;
+      pass (``mutable=["quant_stats"]``) sows per-layer per-lane max|x|;
+      scales calibrated at one lane count broadcast to any other (a ``[1]``
+      scale serves every lane of a pool);
     * accumulation in int32 on the MXU int8 path (measured 187 vs 137
       TFLOP/s bf16 at serving shapes on v5e, tools/perf_probe.py), then one
       fp32 rescale + bias.
@@ -120,6 +132,9 @@ class QuantConv(nn.Module):
     features: int
     kernel: int
     dtype: Any = jnp.bfloat16
+    # captured from QUANT_1X1_PALLAS at construction time (_conv): flipping
+    # the global later must not re-route an already-built model
+    pallas_1x1: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -130,36 +145,38 @@ class QuantConv(nn.Module):
         b = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
 
         xf = x.astype(jnp.float32)
-        act_max = jnp.max(jnp.abs(xf))
-        if self.is_mutable_collection("quant_stats") and not self.is_initializing():
-            # calibration pass: record the running per-layer activation max
+        # per-LANE max: lane i's scale depends on lane i only, so batched
+        # streams equal their solo rollouts exactly (CLAUDE.md invariant)
+        act_max = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)  # [B,1,1,1]
+        calibrating = self.is_mutable_collection("quant_stats") and not self.is_initializing()
+        if calibrating:
+            # calibration pass: record the running per-layer per-lane max
             self.sow(
                 "quant_stats", "act_max", act_max,
-                init_fn=lambda: jnp.zeros((), jnp.float32),
+                init_fn=lambda: jnp.zeros_like(act_max),
                 reduce_fn=jnp.maximum,
             )
-        calibrating = self.is_mutable_collection("quant_stats") and not self.is_initializing()
         if self.has_variable("quant", "act_scale"):
-            sx = self.get_variable("quant", "act_scale")  # static (calibrated)
-            if (
-                self.kernel == 1
-                and QUANT_1X1_PALLAS
-                and not calibrating
-                and not self.is_initializing()
-            ):
+            # static (calibrated) scales: scalar (legacy), [1,1,1,1], or
+            # per-lane [B,1,1,1] — a single-lane calibration broadcasts
+            sx = jnp.asarray(
+                self.get_variable("quant", "act_scale"), jnp.float32
+            ).reshape(-1, 1, 1, 1)
+            if self.pallas_1x1 and not calibrating and not self.is_initializing():
                 # fused quantize -> int8 MXU dot -> rescale, one VMEM pass
                 from bmcnet_esr_tpu.ops.pallas.qmm import quant_matmul, quantize_weights
 
                 wq, sw = quantize_weights(w.reshape(cin, self.features))
                 bq, hq, wsp, _ = x.shape
                 y = quant_matmul(
-                    x.reshape(-1, cin), wq, sw, sx, b,
+                    x.reshape(bq, hq * wsp, cin), wq, sw,
+                    jnp.broadcast_to(sx.reshape(-1), (bq,)), b,
                     out_dtype=self.dtype,
                     interpret=jax.default_backend() != "tpu",
                 )
                 return y.reshape(bq, hq, wsp, self.features)
         else:
-            sx = jnp.maximum(act_max, 1e-12) / 127.0  # dynamic
+            sx = jnp.maximum(act_max, 1e-12) / 127.0  # dynamic, per-lane
         xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
 
         sw = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0  # [O]

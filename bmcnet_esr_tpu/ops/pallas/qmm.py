@@ -7,7 +7,7 @@ bandwidth-bound [M=B*H*W, 128] activation tensor those round trips cost
 more than the int8 MXU saves.  This kernel performs the whole chain in ONE
 VMEM pass per tile:
 
-    bf16 x tile  ->  quantize (static per-tensor scale, SMEM)
+    bf16 x tile  ->  quantize (static per-lane scale, SMEM)
                  ->  int8 x int8 dot on the MXU (int32 accumulate)
                  ->  fp32 rescale (per-output-channel) + bias
                  ->  bf16 out tile
@@ -17,14 +17,17 @@ int8, HALF the bf16 weight bytes) while the MXU runs at int8 rate.
 
 Weights arrive pre-quantized (``quantize_weights``) — symmetric
 per-output-channel int8, computed once outside the rollout scan (XLA hoists
-the loop-invariant).  Activations use the *calibrated static* scale from
-:func:`bmcnet_esr_tpu.models.quant.calibrate_act_scales`; the dynamic-scale
-mode stays on the XLA path (a per-call global max over a tiled grid needs a
-second pass — exactly the HBM round trip this kernel exists to avoid).
+the loop-invariant).  Activations use the *calibrated static* scales from
+:func:`bmcnet_esr_tpu.models.quant.calibrate_act_scales` — one scale per
+batch lane, so independent streams batched together stay independent
+(batched == solo, the serving invariant); the grid iterates (lane, M-tile)
+and each program reads its lane's scalar from SMEM.  The dynamic-scale mode
+stays on the XLA path (a per-call max over a tiled grid needs a second
+pass — exactly the HBM round trip this kernel exists to avoid).
 
-Grid: 1-D over M tiles (``TILE_M`` rows, multiple of 32 for int8 sublane
-tiling); K and N stay whole per program (K <= 256, N = n_c = 128 here — one
-MXU tile wide, a few hundred KB of VMEM).
+Grid: 2-D over (lanes, M tiles) (``TILE_M`` rows, multiple of 32 for int8
+sublane tiling); K and N stay whole per program (K <= 256, N = n_c = 128
+here — one MXU tile wide, a few hundred KB of VMEM).
 """
 
 from __future__ import annotations
@@ -60,9 +63,9 @@ def quantize_weights(w: Array) -> Tuple[Array, Array]:
 
 
 def _qmm_kernel(sx_ref, x_ref, wq_ref, sw_ref, b_ref, o_ref):
-    sx = sx_ref[0, 0]
+    sx = sx_ref[0, 0]  # this lane's static activation scale
     xq = jnp.clip(
-        jnp.round(x_ref[:].astype(jnp.float32) / sx), -127, 127
+        jnp.round(x_ref[0].astype(jnp.float32) / sx), -127, 127
     ).astype(jnp.int8)
     acc = jax.lax.dot_general(
         xq,
@@ -71,7 +74,7 @@ def _qmm_kernel(sx_ref, x_ref, wq_ref, sw_ref, b_ref, o_ref):
         preferred_element_type=jnp.int32,
     )
     y = acc.astype(jnp.float32) * (sx * sw_ref[0, :])[None, :] + b_ref[0, :][None, :]
-    o_ref[:] = y.astype(o_ref.dtype)
+    o_ref[0] = y.astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -87,44 +90,57 @@ def quant_matmul(
     tile_m: int = TILE_M,
     interpret: bool = False,
 ) -> Array:
-    """``y[M, N] = dequant(quant(x[M, K]) @ wq[K, N]) + bias`` in one pass.
+    """``y[B, M, N] = dequant(quant(x[B, M, K]) @ wq[K, N]) + bias``, fused.
 
-    ``sx`` is the static per-tensor activation scale (scalar); ``sw`` the
-    per-output-channel weight scales ``[N]``.
+    ``sx`` holds the static per-LANE activation scales — a scalar, ``[1]``
+    (broadcast over lanes), or ``[B]``; ``sw`` the per-output-channel weight
+    scales ``[N]``.  A 2-D ``x [M, K]`` is treated as a single lane.
     """
-    m, k = x.shape
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    lanes, m, k = x.shape
     k2, n = wq.shape
     assert k == k2, (x.shape, wq.shape)
-    grid = (pl.cdiv(m, tile_m),)
-    return pl.pallas_call(
+    sx_l = jnp.broadcast_to(
+        jnp.asarray(sx, jnp.float32).reshape(-1), (lanes,)
+    ).reshape(lanes, 1)
+    grid = (lanes, pl.cdiv(m, tile_m))
+    out = pl.pallas_call(
         _qmm_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile_m, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tile_m, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_m, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        out_specs=pl.BlockSpec(
+            (1, tile_m, n), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((lanes, m, n), out_dtype),
         interpret=interpret,
     )(
-        jnp.asarray(sx, jnp.float32).reshape(1, 1),
+        sx_l,
         x,
         wq,
         jnp.asarray(sw, jnp.float32).reshape(1, n),
         jnp.asarray(bias, jnp.float32).reshape(1, n),
     )
+    return out[0] if squeeze else out
 
 
 def qmm_reference(
     x: Array, wq: Array, sw: Array, sx: Array, bias: Array, out_dtype=jnp.bfloat16
 ) -> Array:
     """XLA reference of the exact kernel math (for parity tests)."""
+    sx = jnp.asarray(sx, jnp.float32)
+    if sx.ndim:  # per-lane scales broadcast over the trailing (M, K) axes
+        sx = sx.reshape(sx.shape + (1,) * (x.ndim - sx.ndim))
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
-    acc = jax.lax.dot_general(
-        xq, wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    acc = jnp.einsum(
+        "...mk,kn->...mn", xq, wq, preferred_element_type=jnp.int32
     )
-    y = acc.astype(jnp.float32) * (sx * sw)[None, :] + bias[None, :]
+    y = acc.astype(jnp.float32) * (sx * sw) + bias
     return y.astype(out_dtype)

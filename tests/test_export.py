@@ -149,6 +149,65 @@ class TestServingBundle:
                     err_msg=f"window {i}",
                 )
 
+    def test_int8_batched_lanes_equal_solo_bundle(self, tmp_path):
+        """Dynamic int8 bundles with batch > 1: activation scales are
+        per-lane (QuantConv), so each exported lane computes exactly what a
+        batch=1 bundle would on the same stream — lanes never couple."""
+        model = BMCNetPlain(scale=2, n_c=8, n_b=2, dtype=jnp.bfloat16, quant=True)
+        variables = init_variables(model)
+        b2 = ExportedStream(export_serving_bundle(
+            model, variables, str(tmp_path / "qb2"), RES,
+            window_size=WINDOW, batch=2,
+        ))
+        b1 = ExportedStream(export_serving_bundle(
+            model, variables, str(tmp_path / "qb1"), RES,
+            window_size=WINDOW, batch=1,
+        ))
+        wins = make_windows(3, batch=2, seed=31)
+        for ev in wins:
+            # lane magnitudes differ wildly (lane 1 piles every event on one
+            # pixel -> huge count): a shared per-tensor max would visibly
+            # distort lane 0's quantization
+            ev[1, 0, :] = 3
+            ev[1, 1, :] = 4
+        batched = [b2.push(ev) for ev in wins]
+        for lane in range(2):
+            b1.reset()
+            solo = [b1.push(ev[lane]) for ev in wins]
+            for got, want in zip(batched[1:], solo[1:]):
+                np.testing.assert_array_equal(got[lane], want[0])
+
+    def test_cli_int8_calibrates_static_scales(self, tmp_path):
+        """CLI --dtype int8 --calib_h5 bakes static scales into the bundle
+        and meta records them."""
+        import json
+        import os as _os
+
+        from bmcnet_esr_tpu.cli.export import main
+        from bmcnet_esr_tpu.data.packager import write_synthetic_fixture
+
+        golden = _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)), "goldens", "plain_small.npz"
+        )
+        out = str(tmp_path / "bundle_q")
+        h5 = str(tmp_path / "calib.h5")
+        write_synthetic_fixture(
+            h5, sensor_resolution=RES, prefixes=("ori",),
+            events_per_scale={"ori": WINDOW * 6}, seed=5,
+        )
+        main([
+            "--model_path", golden, "--output_path", out,
+            "--variant", "plain", "--scale", "2", "--n_c", "8", "--n_b", "2",
+            "--height", str(RES[0]), "--width", str(RES[1]),
+            "--window", str(WINDOW), "--dtype", "int8", "--batch", "2",
+            "--calib_h5", h5, "--calib_windows", "3",
+        ])
+        with open(_os.path.join(out, "meta.json")) as f:
+            meta = json.load(f)
+        assert meta["quant"] is True and meta["quant_static"] is True
+        with np.load(_os.path.join(out, "variables.npz")) as z:
+            assert any(k.startswith("quant") for k in z.files)
+
     def test_cli_export_from_golden_checkpoint(self, tmp_path, capsys):
         """CLI drives checkpoint-load -> export; bundle loads and serves."""
         import os as _os

@@ -76,7 +76,7 @@ class TestEngine:
         resq = engq.infer_file(fixture_h5, output_dir=None)
         assert "quant" in engq.variables  # calibration happened exactly once
         scales = jax.tree.leaves(engq.variables["quant"])
-        assert scales and all(float(s) > 0 for s in scales)
+        assert scales and all(np.asarray(s).min() > 0 for s in scales)
         res32 = make_engine().infer_file(fixture_h5, output_dir=None)
         assert np.isfinite(resq["esr_mse"])
         assert resq["esr_mse"] == pytest.approx(res32["esr_mse"], rel=5e-2)
@@ -238,6 +238,33 @@ class TestBatchedStreams:
             assert b["esr_mse"] == pytest.approx(s["esr_mse"], rel=1e-5)
             assert b["bicubic_mse"] == pytest.approx(s["bicubic_mse"], rel=1e-5)
             assert b["macs"] == pytest.approx(s["macs"], rel=1e-6)
+
+    def test_int8_batch_equals_per_file(self, three_files):
+        """int8 batched tracks solo tightly: activation scales are per-lane
+        and re-derived per file/group from each stream's own first chunk, so
+        the batched rollout quantizes stream i exactly as its solo run does.
+        Per-lane PREDICTIONS are bit-exact (TestInt8LaneIndependence, bundle
+        tests); the scalar MSE metric reduces over [B,...] vs [1,...] arrays
+        whose fp32 summation order differs, hence ~1e-9 relative wobble —
+        same reason the fp32 test above uses rel=1e-5."""
+        def engine():
+            model = BMCNetPlain(scale=2, n_c=8, n_b=2, dtype=jnp.bfloat16, quant=True)
+            h = w = 16
+            dummy = jnp.zeros((1, 2, h, w, 2))
+            variables = model.init(
+                jax.random.key(2), dummy, *model.init_state(1, h, w)
+            )
+            cfg = DatasetConfig(
+                scale=2, ori_scale="down2", window=128, sliding_window=64,
+                sequence=SequenceConfig(4, 2, 1),
+            )
+            return InferenceEngine(model, variables, cfg, chunk_size=8, visualize=False)
+
+        solo = [engine().infer_file(p) for p in three_files]
+        batched = engine().infer_file_batch(three_files)
+        for s, b in zip(solo, batched):
+            assert b["esr_mse"] == pytest.approx(s["esr_mse"], rel=1e-7)
+            assert b["bicubic_mse"] == pytest.approx(s["bicubic_mse"], rel=1e-6)
 
     def test_datalist_batched_mode(self, three_files, tmp_path):
         eng = make_engine(chunk_size=8)

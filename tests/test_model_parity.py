@@ -189,9 +189,9 @@ class TestInt8Serving:
         # x_seq items are [B, T=2, H, W, C] — exactly the engine pair layout
         cal = calibrate_act_scales(q, variables, x_seq, carry, max_steps=4)
         assert "quant" in cal
-        # every QuantConv got a positive scale
+        # every QuantConv got positive per-lane scales
         scales = jax.tree.leaves(cal["quant"])
-        assert scales and all(float(sv) > 0 for sv in scales)
+        assert scales and all(np.all(np.asarray(sv) > 0) for sv in scales)
 
         p32, _ = jax_rollout_plain(f32, variables, x_seq)
         pq, _ = jax_rollout_plain(q, cal, x_seq)
@@ -214,6 +214,79 @@ class TestInt8Serving:
         scale = max(float(np.abs(p32).max()), 1.0)
         rel_rmse = float(np.sqrt(np.mean((pq.astype(np.float32) - p32) ** 2))) / scale
         assert rel_rmse < 0.05, rel_rmse
+
+
+class TestInt8LaneIndependence:
+    """Per-lane activation scales: batched int8 == solo int8 EXACTLY.
+
+    Scales are per batch entry (max over that lane's activations only), so a
+    stream's quantization never depends on what its batch-mates contain —
+    the unconditional CLAUDE.md invariant 'batched/sharded inference streams
+    equal solo rollouts exactly' holds for int8 like every other mode."""
+
+    def _model_and_vars(self):
+        m = BMCNetPlain(scale=2, n_c=8, n_b=2, dtype=jnp.bfloat16, quant=True)
+        h = w = 12
+        x0 = jnp.zeros((1, 2, h, w, 2))
+        v = m.init(jax.random.key(1), x0, *m.init_state(1, h, w))
+        return m, v, h, w
+
+    def _rollout(self, m, v, x_seq, batch):
+        h, w = x_seq.shape[-3], x_seq.shape[-2]
+        carry = tuple(m.init_state(batch, h, w))
+        preds = []
+        for i in range(x_seq.shape[0]):
+            outs = m.apply(v, x_seq[i], *carry)
+            carry = tuple(outs)
+            preds.append(np.asarray(outs[-1], np.float32))
+        return np.stack(preds)  # [S, B, kh, kw, 2]
+
+    def test_dynamic_scales_batched_equals_solo(self):
+        m, v, h, w = self._model_and_vars()
+        rng = np.random.default_rng(11)
+        # two streams with very different magnitudes: a shared per-tensor
+        # max would visibly distort the small-magnitude stream
+        xb = np.stack(
+            [
+                rng.normal(0, 0.05, (3, 2, h, w, 2)),
+                rng.normal(0, 5.0, (3, 2, h, w, 2)),
+            ],
+            axis=1,
+        ).astype(np.float32)  # [S, B=2, 2, H, W, 2]
+        batched = self._rollout(m, v, jnp.asarray(xb), 2)
+        for lane in range(2):
+            solo = self._rollout(m, v, jnp.asarray(xb[:, lane : lane + 1]), 1)
+            np.testing.assert_array_equal(batched[:, lane], solo[:, 0])
+
+    def test_static_per_lane_calibration_batched_equals_solo(self):
+        from bmcnet_esr_tpu.models import calibrate_act_scales
+
+        m, v, h, w = self._model_and_vars()
+        rng = np.random.default_rng(12)
+        xb = np.stack(
+            [
+                rng.normal(0, 0.05, (4, 2, h, w, 2)),
+                rng.normal(0, 5.0, (4, 2, h, w, 2)),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        xj = jnp.asarray(xb)
+        cal_b = calibrate_act_scales(m, v, xj[:2], tuple(m.init_state(2, h, w)))
+        batched = self._rollout(m, cal_b, xj, 2)
+        for lane in range(2):
+            solo_x = xj[:, lane : lane + 1]
+            cal_s = calibrate_act_scales(
+                m, v, solo_x[:2], tuple(m.init_state(1, h, w))
+            )
+            # lane i's calibrated scale equals its solo calibration
+            for bs, ss in zip(
+                jax.tree.leaves(cal_b["quant"]), jax.tree.leaves(cal_s["quant"])
+            ):
+                np.testing.assert_array_equal(
+                    np.asarray(bs)[lane], np.asarray(ss)[0]
+                )
+            solo = self._rollout(m, cal_s, solo_x, 1)
+            np.testing.assert_array_equal(batched[:, lane], solo[:, 0])
 
 
 class TestBf16Drift:
