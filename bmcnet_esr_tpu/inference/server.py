@@ -24,7 +24,13 @@ response   0x81    ATTACHED ``u32 slot``
 
 Python client included (:class:`EventSRClient`).  The server loop is a
 single ``selectors`` thread — JAX dispatch stays single-threaded, and slow
-clients never stall the device (a tick runs with whatever arrived).
+clients never stall the device (a tick runs with whatever arrived).  Client
+sockets are non-blocking on the server side: partial frames accumulate in a
+per-connection read buffer, replies drain through a write buffer under
+``EVENT_WRITE`` (a client that stops reading is dropped once its buffered
+replies exceed ``_MAX_WBUF``), and each slot's pending-window queue is
+capped at ``_MAX_QUEUE`` (further pushes get an ERROR reply) so no single
+connection can wedge or OOM the daemon.
 """
 
 from __future__ import annotations
@@ -63,14 +69,31 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes:
 _MAX_FRAME = 64 << 20  # generous bound: the largest legal frame is one
 # PRED (kh*kw*c f32 ~ a few MB); a hostile/corrupt length field must not
 # drive a multi-GB allocation or an IndexError on an empty payload
+_RECV_CHUNK = 1 << 18  # bytes per non-blocking recv on the server side
+_MAX_WBUF = 64 << 20  # buffered unsent replies before a non-reading client
+# is dropped — backpressure must never block the single server thread
+_MAX_QUEUE = 32  # pending windows per slot; the device consumes one per
+# tick, so anything deeper means the client is pushing without reading
 
 
 def _read_frame(sock: socket.socket) -> Tuple[int, bytes]:
+    """Blocking whole-frame read — CLIENT side only (the server parses
+    frames incrementally from per-connection buffers)."""
     (length,) = _U32.unpack(_recv_exact(sock, 4))
     if not 1 <= length <= _MAX_FRAME:
         raise ValueError(f"bad frame length {length}")
     payload = _recv_exact(sock, length)
     return payload[0], payload[1:]
+
+
+class _Conn:
+    """Per-client-socket I/O state: partial-frame read + unsent-reply buffers."""
+
+    __slots__ = ("rbuf", "wbuf")
+
+    def __init__(self) -> None:
+        self.rbuf = bytearray()
+        self.wbuf = bytearray()
 
 
 class EventSRServer:
@@ -105,6 +128,7 @@ class EventSRServer:
         self._sel.register(self._listener, selectors.EVENT_READ, "accept")
         self._slot_owner: Dict[int, socket.socket] = {}
         self._conn_slots: Dict[socket.socket, set] = {}
+        self._bufs: Dict[socket.socket, _Conn] = {}
         # slot -> queued event windows (FIFO; one consumed per tick)
         self._pending: Dict[int, list] = {}
         self._stop = threading.Event()
@@ -121,7 +145,8 @@ class EventSRServer:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=10)
-            self._thread = None
+            if not self._thread.is_alive():
+                self._thread = None
 
     # -- loop --------------------------------------------------------------
 
@@ -135,11 +160,15 @@ class EventSRServer:
                         0.0,
                         self.batch_window_ms / 1e3 - (time.monotonic() - first_pending),
                     )
-                for key, _ in self._sel.select(timeout):
+                for key, mask in self._sel.select(timeout):
                     if key.data == "accept":
                         self._accept()
-                    else:
-                        self._read_client(key.fileobj)
+                        continue
+                    sock = key.fileobj
+                    if mask & selectors.EVENT_WRITE:
+                        self._flush(sock)
+                    if mask & selectors.EVENT_READ and sock in self._bufs:
+                        self._read_client(sock)
                 if self._pending:
                     if first_pending is None:
                         first_pending = time.monotonic()
@@ -162,9 +191,10 @@ class EventSRServer:
 
     def _accept(self) -> None:
         conn, _ = self._listener.accept()
-        conn.setblocking(True)  # frames are read whole per READ event
+        conn.setblocking(False)  # never let one peer's pace stall the loop
         self._sel.register(conn, selectors.EVENT_READ, "client")
         self._conn_slots[conn] = set()
+        self._bufs[conn] = _Conn()
 
     def _drop(self, sock: socket.socket) -> None:
         for slot in self._conn_slots.pop(sock, ()):
@@ -174,26 +204,102 @@ class EventSRServer:
                 self.pool.detach(slot)
             except ValueError:
                 pass
+        self._bufs.pop(sock, None)
         try:
             self._sel.unregister(sock)
         except KeyError:
             pass
         sock.close()
 
-    def _read_client(self, sock: socket.socket) -> None:
+    # -- buffered, non-blocking I/O -----------------------------------------
+
+    def _send(self, sock: socket.socket, data: bytes) -> None:
+        conn = self._bufs.get(sock)
+        if conn is None:
+            return
+        conn.wbuf += data
+        self._flush(sock)
+
+    def _flush(self, sock: socket.socket) -> None:
+        conn = self._bufs.get(sock)
+        if conn is None:
+            return
         try:
-            opcode, body = _read_frame(sock)
-        except (ConnectionError, OSError, ValueError):
-            # a malformed frame (bad length word) is indistinguishable from a
-            # desynced byte stream — drop the connection, never the server
+            while conn.wbuf:
+                sent = sock.send(conn.wbuf)
+                del conn.wbuf[:sent]
+        except (BlockingIOError, InterruptedError):
+            pass
+        except OSError:
             self._drop(sock)
             return
+        if len(conn.wbuf) > _MAX_WBUF:
+            # the peer stopped reading; buffering more would grow unbounded
+            self._drop(sock)
+            return
+        want = selectors.EVENT_READ | (
+            selectors.EVENT_WRITE if conn.wbuf else 0
+        )
+        try:
+            self._sel.modify(sock, want, "client")
+        except KeyError:
+            pass
+
+    @staticmethod
+    def _parse_frames(conn: _Conn) -> list:
+        """Pop every complete frame from ``conn.rbuf``; raises ``ValueError``
+        on a corrupt length word (the stream is desynced beyond repair)."""
+        frames, off = [], 0
+        buf = conn.rbuf
+        while len(buf) - off >= 4:
+            (length,) = _U32.unpack_from(buf, off)
+            if not 1 <= length <= _MAX_FRAME:
+                raise ValueError(f"bad frame length {length}")
+            if len(buf) - off - 4 < length:
+                break  # partial frame — wait for more bytes
+            payload = bytes(buf[off + 4 : off + 4 + length])
+            frames.append((payload[0], payload[1:]))
+            off += 4 + length
+        del buf[:off]
+        return frames
+
+    def _read_client(self, sock: socket.socket) -> None:
+        conn = self._bufs.get(sock)
+        if conn is None:
+            return
+        try:
+            while True:
+                chunk = sock.recv(_RECV_CHUNK)
+                if not chunk:
+                    self._drop(sock)
+                    return
+                conn.rbuf += chunk
+                if len(chunk) < _RECV_CHUNK:
+                    break
+        except (BlockingIOError, InterruptedError):
+            pass
+        except OSError:
+            self._drop(sock)
+            return
+        try:
+            frames = self._parse_frames(conn)
+        except ValueError:
+            # a corrupt length word is indistinguishable from a desynced
+            # byte stream — drop the connection, never the server
+            self._drop(sock)
+            return
+        for opcode, body in frames:
+            if sock not in self._bufs:  # dropped while handling an earlier frame
+                return
+            self._handle(sock, opcode, body)
+
+    def _handle(self, sock: socket.socket, opcode: int, body: bytes) -> None:
         try:
             if opcode == ATTACH:
                 slot = self.pool.attach()
                 self._slot_owner[slot] = sock
                 self._conn_slots[sock].add(slot)
-                sock.sendall(_frame(ATTACHED, _U32.pack(slot)))
+                self._send(sock, _frame(ATTACHED, _U32.pack(slot)))
             elif opcode == DETACH:
                 (slot,) = _U32.unpack(body[:4])
                 if self._slot_owner.get(slot) is not sock:
@@ -202,7 +308,7 @@ class EventSRServer:
                 del self._slot_owner[slot]
                 self._conn_slots[sock].discard(slot)
                 self._pending.pop(slot, None)
-                sock.sendall(_frame(DETACHED))
+                self._send(sock, _frame(DETACHED))
             elif opcode == PUSH:
                 slot, n = struct.unpack_from("<II", body)
                 if self._slot_owner.get(slot) is not sock:
@@ -213,17 +319,18 @@ class EventSRServer:
                         f"window of {n} events exceeds window_size "
                         f"{self.pool.window_size}"
                     )
+                queue = self._pending.setdefault(slot, [])
+                if len(queue) >= _MAX_QUEUE:
+                    raise ValueError(
+                        f"slot {slot} queue full "
+                        f"({_MAX_QUEUE} windows pending)"
+                    )
                 ev = np.frombuffer(body, np.float32, 4 * n, offset=8)
-                self._pending.setdefault(slot, []).append(
-                    ev.reshape(4, n).copy()
-                )
+                queue.append(ev.reshape(4, n).copy())
             else:
                 raise ValueError(f"unknown opcode {opcode:#x}")
         except Exception as exc:  # noqa: BLE001 — protocol error reply
-            try:
-                sock.sendall(_frame(ERROR, str(exc).encode()))
-            except OSError:
-                self._drop(sock)
+            self._send(sock, _frame(ERROR, str(exc).encode()))
 
     def _tick(self) -> None:
         windows = {}
@@ -237,25 +344,19 @@ class EventSRServer:
             for slot in windows:
                 sock = self._slot_owner.get(slot)
                 if sock is not None:
-                    try:
-                        sock.sendall(_frame(ERROR, str(exc).encode()))
-                    except OSError:
-                        self._drop(sock)
+                    self._send(sock, _frame(ERROR, str(exc).encode()))
             return
         self.ticks += 1
         for slot in windows:
             sock = self._slot_owner.get(slot)
             if sock is None:
                 continue
-            try:
-                if slot in preds:
-                    p = np.ascontiguousarray(preds[slot], np.float32)
-                    head = struct.pack("<III", *p.shape)
-                    sock.sendall(_frame(PRED, head + p.tobytes()))
-                else:
-                    sock.sendall(_frame(PENDING))
-            except OSError:
-                self._drop(sock)
+            if slot in preds:
+                p = np.ascontiguousarray(preds[slot], np.float32)
+                head = struct.pack("<III", *p.shape)
+                self._send(sock, _frame(PRED, head + p.tobytes()))
+            else:
+                self._send(sock, _frame(PENDING))
 
 
 class EventSRClient:

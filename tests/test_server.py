@@ -128,6 +128,54 @@ class TestServer:
         client.detach()
         client.close()
 
+    def test_stalled_partial_frame_doesnt_block_others(self, server):
+        """A peer that sends half a frame and then goes silent must not
+        stall the selector loop: reads are non-blocking and partial frames
+        wait in the per-connection buffer while other clients are served."""
+        import socket as socket_mod
+        import struct
+
+        staller = socket_mod.create_connection(server.address)
+        # valid length word for a 9-byte payload... which never arrives
+        staller.sendall(struct.pack("<I", 9) + b"\x03")
+
+        client = EventSRClient(*server.address)
+        client.attach()
+        assert client.push(np.zeros((4, 4), np.float32)) is None
+        pred = client.push(np.zeros((4, 4), np.float32))
+        assert pred is not None and pred.shape == (32, 32, 2)
+        client.detach()
+        client.close()
+        staller.close()
+
+    def test_push_queue_cap(self, server, monkeypatch):
+        """A client that floods PUSH frames without reading replies gets
+        ERROR replies past the per-slot queue cap instead of growing server
+        memory without bound."""
+        from bmcnet_esr_tpu.inference import server as server_mod
+
+        monkeypatch.setattr(server_mod, "_MAX_QUEUE", 2)
+        client = EventSRClient(*server.address)
+        client.attach()
+        ev = np.zeros((4, 4), np.float32)
+        import struct
+
+        body = struct.pack("<II", client.slot, ev.shape[1]) + ev.tobytes()
+        frame = server_mod._frame(server_mod.PUSH, body)
+        client._sock.sendall(frame * 16)  # burst, no reads in between
+        # drain replies: every queued window gets PENDING/PRED, the overflow
+        # gets ERROR("queue full"); the connection survives
+        saw_error = False
+        client._sock.settimeout(30.0)
+        for _ in range(16):
+            opcode, payload = server_mod._read_frame(client._sock)
+            if opcode == server_mod.ERROR:
+                assert b"queue full" in payload
+                saw_error = True
+        assert saw_error
+        client.detach()
+        client.close()
+
     def test_cli_wiring(self, monkeypatch):
         """cli.serve builds the server from a checkpoint + flags."""
         import os
@@ -147,6 +195,47 @@ class TestServer:
             "--n_c", "8", "--n_b", "2", "--resolution", "16x16", "--port", "0",
         ])
         assert launched["addr"][1] > 0
+
+    def test_cli_int8_startup_calibration(self, monkeypatch, tmp_path):
+        """--dtype int8 with --calib_h5 starts the server with a calibrated
+        static 'quant' collection in its pool variables (the fast path);
+        without it the pool serves dynamic per-lane scales."""
+        import os
+
+        from bmcnet_esr_tpu.cli import serve as serve_cli
+        from bmcnet_esr_tpu.data.packager import write_synthetic_fixture
+
+        ckpt = os.path.join(
+            os.path.dirname(__file__), "goldens", "plain_small.npz"
+        )
+        base = [
+            "--model_path", ckpt, "--variant", "plain", "--scale", "2",
+            "--n_c", "8", "--n_b", "2", "--resolution", "16x16", "--port", "0",
+            "--window", "64", "--dtype", "int8",
+        ]
+        launched0 = {}
+        monkeypatch.setattr(
+            serve_cli.EventSRServer, "serve_forever",
+            lambda self: launched0.setdefault("pool", self.pool),
+        )
+        serve_cli.main(base)
+        assert "quant" not in launched0["pool"].variables  # dynamic per-lane
+
+        h5 = str(tmp_path / "calib.h5")
+        write_synthetic_fixture(
+            h5, sensor_resolution=(16, 16), prefixes=("ori",),
+            events_per_scale={"ori": 64 * 8}, seed=7,
+        )
+        launched = {}
+        monkeypatch.setattr(
+            serve_cli.EventSRServer, "serve_forever",
+            lambda self: launched.setdefault("pool", self.pool),
+        )
+        serve_cli.main(base + ["--calib_h5", h5, "--calib_windows", "4"])
+        pool = launched["pool"]
+        assert "quant" in pool.variables
+        scales = jax.tree_util.tree_leaves(pool.variables["quant"])
+        assert scales and all(np.asarray(s).min() > 0 for s in scales)
 
     def test_disconnect_releases_slots(self, server):
         clients = [EventSRClient(*server.address) for _ in range(4)]
