@@ -208,6 +208,13 @@ class Trainer:
                 f"{jax.device_count()} available devices"
             )
         use_dp = cfg["trainer"].get("data_parallel", True) and jax.device_count() > 1
+        if n_slices > 1 and not use_dp:
+            # never silently train single-device under a multi-slice recipe
+            raise ValueError(
+                "dcn_slices > 1 requires data parallelism (data_parallel: "
+                "true and more than one device): the hierarchical "
+                "(dcn_data, data) mesh shards the batch over both axes"
+            )
         use_mesh = use_dp or n_model > 1
         if use_mesh:
             batch_size = self.train_loader.batch_size  # LOCAL batch per host
@@ -228,7 +235,10 @@ class Trainer:
                 if batch_size % n_dev != 0:
                     # shrink the data axis to the largest divisor of the batch
                     n_dev = max(d for d in range(1, n_dev + 1) if batch_size % d == 0)
-                if n_dev == 1 and n_model == 1:
+                if n_dev == 1 and n_model == 1 and n_slices == 1:
+                    # (with dcn_slices > 1 this falls through to the mesh
+                    # build, which raises on the 1-device data axis — a
+                    # multi-slice recipe must never silently degrade)
                     self.logger.warning(
                         "batch size does not shard across the available devices; "
                         "running single-device"

@@ -291,6 +291,59 @@ def test_trainer_model_parallel_config(setup, tmp_path):
     assert np.isfinite(result["train_loss"])
 
 
+def test_trainer_dcn_slices_never_silently_degrades(setup, tmp_path):
+    """A multi-slice recipe that can't form its mesh must raise, not fall
+    through to single-device training (operator believes DCN is active)."""
+    from bmcnet_esr_tpu.training.config import RunConfig
+    from bmcnet_esr_tpu.training.trainer import Trainer
+
+    loader, *_ = setup
+
+    def cfg(**trainer_overrides):
+        base = {
+            "experiment": "dcn_guard",
+            "model": {"args": {"n_c": 8, "n_b": 2, "variant": "plain"}},
+            "optimizer": {"name": "Adam", "args": {"lr": 1e-3}},
+            "trainer": {
+                "output_path": str(tmp_path),
+                "monitor": "off",
+                "tensorboard": False,
+                "dcn_slices": 2,
+                "iteration_based_train": {
+                    "enabled": True, "iterations": 1, "save_period": 10,
+                    "train_log_step": 1, "valid_log_step": 1, "valid_step": 10,
+                    "lr_change_rate": 4,
+                },
+                **trainer_overrides,
+            },
+            "train_dataloader": {"batch_size": 8, "dataset": {"scale": 2}},
+        }
+        return RunConfig(base, runid="dcn_guard0")
+
+    # data_parallel explicitly off: the hierarchical mesh can't shard a batch
+    with pytest.raises(ValueError, match="requires data parallelism"):
+        Trainer(cfg(data_parallel=False), train_loader=loader,
+                valid_loader=None, seed=0)
+
+    # batch indivisible by any >1 device count: the data axis would shrink
+    # to 1; with dcn_slices set this must raise instead of warning
+    odd_loader, *_ = setup
+    odd_loader = _ReBatch(odd_loader, 1)
+    with pytest.raises(ValueError, match="dcn_slices"):
+        Trainer(cfg(), train_loader=odd_loader, valid_loader=None, seed=0)
+
+
+class _ReBatch:
+    """Wrap a loader overriding batch_size (mesh-formation tests only)."""
+
+    def __init__(self, inner, batch_size):
+        self._inner = inner
+        self.batch_size = batch_size
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
 def test_trainer_model_parallel_resume(setup, tmp_path):
     """Orbax resume under the dp x tp mesh: restored (host) state re-places
     onto the channel shardings at the next step and training continues."""
