@@ -63,16 +63,20 @@ def _wait_for_chip(max_wait_s: float = 7200.0, probe_timeout_s: float = 120.0) -
             )
             return
         except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-            if time.monotonic() >= deadline:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                # exit, don't proceed: with the tunnel down the first
+                # in-process jax import hangs forever before printing a byte
+                # (CLAUDE.md) — a clear error beats a silent wedge
                 print(
-                    "bench: chip probe failed for "
-                    f"{max_wait_s:.0f}s — proceeding anyway",
+                    f"bench: chip probe failed for {max_wait_s:.0f}s — "
+                    "giving up (tunnel down)",
                     file=sys.stderr,
                     flush=True,
                 )
-                return
+                sys.exit(3)
             print("bench: chip not answering, retrying in 5 min", file=sys.stderr, flush=True)
-            time.sleep(300)
+            time.sleep(min(300, max(remaining, 1)))
 
 B = 8          # batched independent streams per chip
 H, W = 45, 80  # NFS down8 input resolution
