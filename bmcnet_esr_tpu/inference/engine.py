@@ -23,6 +23,7 @@ metrics come back in one transfer per chunk.  Behavioural parity:
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Any, Dict, List, Optional, Tuple
@@ -41,6 +42,14 @@ from bmcnet_esr_tpu.utils import MetricTracker, YamlResultLogger
 from bmcnet_esr_tpu.vis import EventVisualizer
 
 Array = jax.Array
+
+
+# module-level so the per-rollout int8 recalibration reuses ONE jit cache
+# across files/groups instead of re-tracing a fresh closure each time
+@functools.partial(jax.jit, static_argnums=2)
+def _calib_pairs(inp_xy, inp_p, inp_res):
+    frames = batch_counts_from_compact(inp_xy, inp_p, inp_res)
+    return jnp.stack([frames[:-1], frames[1:]], axis=2)  # [S, B, 2, H, W, 2]
 
 
 def load_model_for_inference(
@@ -191,12 +200,7 @@ class InferenceEngine:
             return  # user-supplied static scales
         from bmcnet_esr_tpu.models.quant import calibrate_act_scales
 
-        @jax.jit
-        def make_pairs(inp_xy, inp_p):
-            frames = batch_counts_from_compact(inp_xy, inp_p, inp_res)
-            return jnp.stack([frames[:-1], frames[1:]], axis=2)  # [S,B,2,H,W,2]
-
-        pairs = make_pairs(*inp_dev)
+        pairs = _calib_pairs(*inp_dev, tuple(inp_res))
         carry = tuple(self.model.init_state(batch, *inp_res))
         base = {k: v for k, v in self.variables.items() if k != "quant"}
         self.variables = calibrate_act_scales(self.model, base, pairs, carry)

@@ -267,12 +267,13 @@ class EventSRServer:
         conn = self._bufs.get(sock)
         if conn is None:
             return
+        eof = False
         try:
             while True:
                 chunk = sock.recv(_RECV_CHUNK)
                 if not chunk:
-                    self._drop(sock)
-                    return
+                    eof = True  # handle already-buffered frames FIRST: a
+                    break  # peer may send DETACH and close() in one write
                 conn.rbuf += chunk
                 if len(chunk) < _RECV_CHUNK:
                     break
@@ -292,6 +293,8 @@ class EventSRServer:
             if sock not in self._bufs:  # dropped while handling an earlier frame
                 return
             self._handle(sock, opcode, body)
+        if eof:
+            self._drop(sock)
 
     def _handle(self, sock: socket.socket, opcode: int, body: bytes) -> None:
         try:

@@ -18,12 +18,21 @@ this is a TPU-native capability beyond parity).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+
+# module-level so repeated calibrations (the engine re-derives scales per
+# rollout group) hit the SAME jit cache instead of re-tracing a fresh closure
+@functools.partial(jax.jit, static_argnums=0)
+def _calib_step(model, v, pair, carry):
+    outs, upd = model.apply(v, pair, *carry, mutable=["quant_stats"])
+    return tuple(outs), upd["quant_stats"]
 
 
 def _stats_to_scales(node: Any) -> Any:
@@ -60,16 +69,11 @@ def calibrate_act_scales(
     if not getattr(model, "quant", False):
         return variables
 
-    @jax.jit
-    def step(v, pair, carry):
-        outs, upd = model.apply(v, pair, *carry, mutable=["quant_stats"])
-        return tuple(outs), upd["quant_stats"]
-
     stats = None
     carry = tuple(carry)
     n = min(int(pairs.shape[0]), max_steps)
     for i in range(n):
-        outs, upd = step(variables, pairs[i], carry)
+        outs, upd = _calib_step(model, variables, pairs[i], carry)
         carry = outs
         stats = upd if stats is None else jax.tree.map(jnp.maximum, stats, upd)
 
@@ -100,6 +104,7 @@ def calibrate_from_h5(
     import h5py
     import numpy as np
 
+    from bmcnet_esr_tpu.inference.streaming import pad_window
     from bmcnet_esr_tpu.ops.batch import batch_events_to_counts
 
     h, w = int(resolution[0]), int(resolution[1])
@@ -116,15 +121,20 @@ def calibrate_from_h5(
             f"{path}:{prefix}_events has {len(xs)} events — need at least "
             f"2 windows of {window} for calibration"
         )
-    ev = np.zeros((count, 1, 4, window), np.float32)
-    for i in range(count):
+    # every window goes through THE serving pad/ts-normalize helper, so
+    # calibration frames are byte-identical to what StreamingSR/StreamPool
+    # would rasterize for the same events; absolute f64 stamps are shifted
+    # to window-relative BEFORE the f32 cast (epoch-scale magnitudes would
+    # otherwise swallow the deltas — harmless for counts, fatal for voxels)
+    def _win(i):
         sl = slice(i * window, (i + 1) * window)
-        t = ts[sl]
-        ev[i, 0, 0] = xs[sl]
-        ev[i, 0, 1] = ys[sl]
-        ev[i, 0, 2] = (t - t[0]) / (t[-1] - t[0] + 1e-6)  # StreamingSR._pad
-        ev[i, 0, 3] = ps[sl]
+        t = (ts[sl] - ts[sl][0] if len(ts[sl]) else ts[sl]).astype(np.float32)
+        return pad_window(np.stack([xs[sl], ys[sl], t, ps[sl]]), window)[None]
+
+    ev = np.stack([_win(i) for i in range(count)])  # [S+1, 1, 4, window]
     frames = batch_events_to_counts(jnp.asarray(ev), (h, w))  # [S+1, 1, H, W, 2]
     pairs = jnp.stack([frames[:-1], frames[1:]], axis=2)  # [S, 1, 2, H, W, 2]
     carry = tuple(model.init_state(1, h, w))
-    return calibrate_act_scales(model, variables, pairs, carry)
+    return calibrate_act_scales(
+        model, variables, pairs, carry, max_steps=int(pairs.shape[0])
+    )

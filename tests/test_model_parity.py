@@ -216,6 +216,46 @@ class TestInt8Serving:
         assert rel_rmse < 0.05, rel_rmse
 
 
+class TestCalibrateFromH5:
+    def test_n_windows_beyond_default_max_steps_are_used(self, tmp_path):
+        """--calib_windows larger than calibrate_act_scales' default
+        max_steps must calibrate over ALL requested windows: a burst living
+        only in windows 17+ has to show up in the scales."""
+        import h5py
+
+        from bmcnet_esr_tpu.models.quant import calibrate_from_h5
+
+        window, h, w = 32, 12, 12
+        n = 21 * window
+        rng = np.random.default_rng(0)
+        xs = rng.integers(0, w, n).astype(np.int16)
+        ys = rng.integers(0, h, n).astype(np.int16)
+        ts = np.sort(rng.random(n))
+        ps = rng.choice([-1.0, 1.0], n)
+        # windows 17+: every event piles on one pixel -> count = window,
+        # an activation burst absent from the first 17 windows
+        xs[17 * window :] = 3
+        ys[17 * window :] = 4
+        path = str(tmp_path / "calib.h5")
+        with h5py.File(path, "w") as f:
+            g = f.create_group("ori_events")
+            g["xs"], g["ys"], g["ts"], g["ps"] = xs, ys, ts, ps
+
+        m = BMCNetPlain(scale=2, n_c=8, n_b=2, dtype=jnp.bfloat16, quant=True)
+        v = m.init(
+            jax.random.key(0), jnp.zeros((1, 2, h, w, 2)), *m.init_state(1, h, w)
+        )
+        few = calibrate_from_h5(m, dict(v), path, "ori", (h, w), window, 16)
+        full = calibrate_from_h5(m, dict(v), path, "ori", (h, w), window, 20)
+        grew = [
+            float(np.asarray(a).max()) > 1.5 * float(np.asarray(f).max())
+            for f, a in zip(
+                jax.tree.leaves(few["quant"]), jax.tree.leaves(full["quant"])
+            )
+        ]
+        assert any(grew), "burst windows beyond 16 did not affect the scales"
+
+
 class TestInt8LaneIndependence:
     """Per-lane activation scales: batched int8 == solo int8 EXACTLY.
 

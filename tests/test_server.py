@@ -148,6 +148,40 @@ class TestServer:
         client.close()
         staller.close()
 
+    def test_frame_arriving_with_fin_is_handled(self, server):
+        """A peer that sends its final frame and close()s in one write: the
+        data and the FIN usually land in the same READ event on loopback —
+        EOF must drop the connection only AFTER buffered frames are parsed
+        and handled, never discard them."""
+        import socket as socket_mod
+        import time as time_mod
+
+        from bmcnet_esr_tpu.inference import server as server_mod
+
+        handled = []
+        orig = server._handle
+
+        def spy(sock, opcode, body):
+            handled.append(opcode)
+            return orig(sock, opcode, body)
+
+        server._handle = spy
+        try:
+            raw = socket_mod.create_connection(server.address)
+            raw.sendall(server_mod._frame(server_mod.ATTACH, b""))
+            raw.close()  # FIN right behind the frame
+            deadline = time_mod.time() + 10
+            while time_mod.time() < deadline and server_mod.ATTACH not in handled:
+                time_mod.sleep(0.02)
+            assert server_mod.ATTACH in handled
+            # ...and the post-handling drop released the slot again
+            deadline = time_mod.time() + 10
+            while time_mod.time() < deadline and server._slot_owner:
+                time_mod.sleep(0.02)
+            assert not server._slot_owner
+        finally:
+            server._handle = orig
+
     def test_push_queue_cap(self, server, monkeypatch):
         """A client that floods PUSH frames without reading replies gets
         ERROR replies past the per-slot queue cap instead of growing server
