@@ -105,9 +105,19 @@ def _rollout_fps(batch: int, dtype_name: str = "bfloat16", chunk: int = CHUNK) -
     from bmcnet_esr_tpu.models import BMCNet
     from bmcnet_esr_tpu.ops.batch import batch_events_to_counts
 
-    if dtype_name == "int8":
-        # W8A8 dynamic quantization: bf16 non-conv ops, int8 MXU convs
-        model = BMCNet(scale=SCALE, n_c=128, n_b=5, dtype=jnp.bfloat16, quant=True)
+    if dtype_name.startswith("int8"):
+        # W8A8 dynamic quantization: bf16 non-conv ops, int8 MXU convs.
+        # "int8_p1x1" additionally routes the 1x1 convs through the fused
+        # Pallas quantize->int8 dot->rescale kernel (ops/pallas/qmm.py) —
+        # the flag is captured at model construction
+        from bmcnet_esr_tpu.models import layers as _layers
+
+        flag = _layers.QUANT_1X1_PALLAS
+        _layers.QUANT_1X1_PALLAS = dtype_name == "int8_p1x1"
+        try:
+            model = BMCNet(scale=SCALE, n_c=128, n_b=5, dtype=jnp.bfloat16, quant=True)
+        finally:
+            _layers.QUANT_1X1_PALLAS = flag
     else:
         dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
         model = BMCNet(scale=SCALE, n_c=128, n_b=5, dtype=dtype)
@@ -131,7 +141,7 @@ def _rollout_fps(batch: int, dtype_name: str = "bfloat16", chunk: int = CHUNK) -
     rng = np.random.default_rng(0)
     events = jnp.asarray(random_windows(chunk + 1, batch, H, W, N_EVENTS, rng))
 
-    if dtype_name == "int8":
+    if dtype_name.startswith("int8"):
         # static activation scales (engine does the same on its first chunk):
         # removes the per-call max pass from the scan body — v5e measured
         # 932 bf16 -> 990 dynamic int8 -> 1051 static int8 fps
@@ -265,6 +275,13 @@ def main():
     _wait_for_chip()
     fps_tpu = bench_tpu()
     fps_int8 = _rollout_fps(B, "int8")
+    try:
+        # fused Pallas W8A8 1x1 path (flag-gated, unmeasured on real chip
+        # until this probe lands a number) — never allowed to sink the bench
+        fps_int8_p1x1 = _rollout_fps(B, "int8_p1x1")
+    except Exception as exc:  # noqa: BLE001 — probe only
+        print(f"bench: int8_p1x1 probe failed: {exc!r}", file=sys.stderr, flush=True)
+        fps_int8_p1x1 = None
     b1_ms = bench_b1_latency()
     # true one-window-per-dispatch latency (reference's exact measurement
     # shape); on this attachment it is dominated by the ~33 ms tunnel
@@ -279,7 +296,10 @@ def main():
     # headline: fastest serving config (int8 W8A8 3x3 convs when it wins,
     # else bf16 — both carry the same tested <5e-2 rel-RMSE drift bound;
     # fp32 remains the checkpoint-parity path)
-    fps_best, mode = max((fps_tpu, "bfloat16"), (fps_int8, "int8"))
+    candidates = [(fps_tpu, "bfloat16"), (fps_int8, "int8")]
+    if fps_int8_p1x1:
+        candidates.append((fps_int8_p1x1, "int8+pallas1x1"))
+    fps_best, mode = max(candidates)
     vs = (fps_best / fps_torch) if fps_torch else None
     print(
         json.dumps(
@@ -298,6 +318,9 @@ def main():
                     "serving_mode": mode,
                     "fps_bf16_serving": round(fps_tpu, 2),
                     "fps_int8_serving": round(fps_int8, 2),
+                    "fps_int8_pallas1x1": (
+                        round(fps_int8_p1x1, 2) if fps_int8_p1x1 else None
+                    ),
                     "b1_ms_per_window": round(b1_ms, 3),
                     "b1_ms_single_dispatch": round(b1_ms_single, 2),
                     "train_iters_per_sec": round(train_ips, 2),
