@@ -148,6 +148,59 @@ class TestServer:
         client.close()
         staller.close()
 
+    def test_protocol_fuzz_random_bytes_never_kill_the_daemon(
+        self, server, model_vars
+    ):
+        """Seeded fuzz: hostile peers stream random garbage (random lengths,
+        random opcodes, truncated/oversized bodies, byte-dribbles) while a
+        well-behaved client keeps pushing — the daemon must survive every
+        connection and keep serving the good client correct predictions."""
+        import socket as socket_mod
+        import struct
+
+        from bmcnet_esr_tpu.inference import server as server_mod
+
+        rng = np.random.default_rng(1234)
+        client = EventSRClient(*server.address)
+        client.attach()
+        wins = make_windows(rng, 6)
+
+        def fuzz_once(i):
+            s = socket_mod.create_connection(server.address)
+            s.settimeout(5.0)
+            kind = i % 4
+            if kind == 0:  # pure random bytes
+                s.sendall(rng.bytes(int(rng.integers(1, 512))))
+            elif kind == 1:  # valid length word, random opcode + body
+                body = bytes([int(rng.integers(0, 256))]) + rng.bytes(
+                    int(rng.integers(0, 64))
+                )
+                s.sendall(struct.pack("<I", len(body)) + body)
+            elif kind == 2:  # well-formed PUSH header lying about its size
+                body = struct.pack("<II", 0, 10**6) + rng.bytes(16)
+                s.sendall(server_mod._frame(server_mod.PUSH, body))
+            else:  # byte-dribbled truncated frame, then abrupt close
+                frame = server_mod._frame(server_mod.ATTACH, b"")
+                for b in frame[: int(rng.integers(1, len(frame)))]:
+                    s.sendall(bytes([b]))
+            s.close()
+
+        preds = []
+        for i, ev in enumerate(wins):
+            fuzz_once(2 * i)
+            fuzz_once(2 * i + 1)
+            preds.append(client.push(ev))
+        assert all(p is not None and p.shape == (32, 32, 2) for p in preds[1:])
+        # solo StreamingSR agrees: fuzz never perturbed the good client
+        model, variables = model_vars
+        sr = StreamingSR(model, variables, RES, window_size=WINDOW)
+        for ev, got in zip(wins, preds):
+            want = sr.push(ev)
+            if want is not None:
+                np.testing.assert_array_equal(got, want)
+        client.detach()
+        client.close()
+
     def test_frame_arriving_with_fin_is_handled(self, server):
         """A peer that sends its final frame and close()s in one write: the
         data and the FIN usually land in the same READ event on loopback —
