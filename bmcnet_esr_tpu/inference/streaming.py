@@ -60,6 +60,14 @@ class StreamingSR:
     >>> stream = StreamingSR(model, variables, inp_resolution=(45, 80))
     >>> for events in camera:              # events: [4, n] (x, y, t, p)
     ...     hr = stream.push(events)       # HR count image after >= 2 windows
+
+    Spatial partitioning (``mesh=``): ONE stream's activations shard along H
+    across the mesh (``parallel.spatial_sharding``) — every conv runs on row
+    shards with GSPMD-inserted halo exchanges, the BIE attention's hw
+    contraction becomes an ICI ``psum`` — the latency/HBM scaling axis for
+    sensor resolutions that outgrow a single chip.  The reference has no
+    counterpart (single-GPU); parity with the unsharded rollout is pinned in
+    ``tests/test_parallel.py``.
     """
 
     def __init__(
@@ -68,11 +76,26 @@ class StreamingSR:
         variables,
         inp_resolution: Tuple[int, int],
         window_size: int = 2048,
+        mesh=None,
+        spatial_axis: str = "data",
     ):
         self.model = model
         self.variables = variables
         self.inp_resolution = tuple(inp_resolution)
         self.window_size = window_size
+        self.mesh = mesh
+        if mesh is not None:
+            from bmcnet_esr_tpu.parallel.mesh import replicated, spatial_sharding
+
+            n = mesh.shape[spatial_axis]
+            if self.inp_resolution[0] % n:
+                raise ValueError(
+                    f"input height {self.inp_resolution[0]} must divide by "
+                    f"the {n}-way '{spatial_axis}' mesh axis for spatial serving"
+                )
+            self._row = spatial_sharding(mesh, spatial_axis)
+            self._repl = replicated(mesh)
+            self.variables = jax.device_put(variables, self._repl)
         self._carry = None
         self._prev_frame = None
         self._step = self._build_step()
@@ -82,14 +105,25 @@ class StreamingSR:
         model = self.model
         res = self.inp_resolution
 
-        @jax.jit
         def step(variables, carry, prev_frame, events):
             frame = batch_events_to_counts(events[None], res)  # [1, H, W, 2]
             x = jnp.stack([prev_frame, frame], axis=1)  # [1, 2, H, W, 2]
             outs = model.apply(variables, x, *carry)
             return tuple(outs), frame, outs[-1]
 
-        return step
+        if self.mesh is None:
+            return jax.jit(step)
+        # spatial mode: pin NHWC tensors (carry states, frames, the HR
+        # prediction) to row shards; events + params replicate.  jit's
+        # in_shardings re-place host/default-device inputs automatically.
+        n_state = len(self.model.init_state(1, *res))
+        return jax.jit(
+            step,
+            in_shardings=(
+                self._repl, (self._row,) * n_state, self._row, self._repl
+            ),
+            out_shardings=((self._row,) * n_state, self._row, self._row),
+        )
 
     def reset(self) -> None:
         """Start a new stream (reference: ``init=True`` once per file,
@@ -107,6 +141,9 @@ class StreamingSR:
             h, w = self.inp_resolution
             self._carry = tuple(self.model.init_state(1, h, w))
             self._prev_frame = batch_events_to_counts(ev[None], self.inp_resolution)
+            if self.mesh is not None:
+                self._carry = jax.device_put(self._carry, self._row)
+                self._prev_frame = jax.device_put(self._prev_frame, self._row)
             self.windows_seen = 1
             return None
         self._carry, self._prev_frame, pred = self._step(

@@ -7,6 +7,7 @@ from bmcnet_esr_tpu.parallel.mesh import (
     replicated,
     data_sharding,
     channel_sharding,
+    spatial_sharding,
     shard_batch,
     replicate_tree,
     shard_tree_channels,
@@ -20,6 +21,7 @@ __all__ = [
     "replicated",
     "data_sharding",
     "channel_sharding",
+    "spatial_sharding",
     "shard_batch",
     "replicate_tree",
     "shard_tree_channels",

@@ -95,6 +95,19 @@ def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
+def spatial_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Row (H-axis) sharding of NHWC activations: ``P(None, axis, None, None)``.
+
+    Spatial partitioning for serving ONE large-resolution stream across the
+    mesh: every conv/LN/attention in the model runs on H-shards while GSPMD
+    inserts the halo exchanges (3x3 convs) and ``psum``s (the BIE attention's
+    hw contraction) that keep the math equal to the single-device program —
+    the latency/HBM axis for sensor resolutions that outgrow one chip.
+    No counterpart in the reference (single-GPU, SURVEY.md §2.2).
+    """
+    return NamedSharding(mesh, P(None, axis, None, None))
+
+
 def shard_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
     """Place a host batch dict on the mesh, sharded along the batch dim.
 

@@ -577,3 +577,76 @@ def test_trainer_dcn_slices_rejects_model_parallel(setup, tmp_path):
     }
     with pytest.raises(ValueError, match="cannot combine"):
         Trainer(RunConfig(cfg, runid="b0"), train_loader=loader, seed=0)
+
+
+class TestSpatialServing:
+    """Spatial partitioning: ONE stream's activations H-sharded over the
+    mesh (parallel.spatial_sharding + StreamingSR(mesh=)) must reproduce the
+    single-device rollout — GSPMD's halo exchanges (3x3 convs) and psums
+    (the BIE attention's hw contraction) are layout, not semantics."""
+
+    def _windows(self, count, h, w, n=96, seed=0):
+        rng = np.random.default_rng(seed)
+        out = []
+        for _ in range(count):
+            ev = np.zeros((4, n), np.float32)
+            ev[0] = rng.integers(0, w, n)
+            ev[1] = rng.integers(0, h, n)
+            ev[2] = np.sort(rng.random(n))
+            ev[3] = rng.integers(0, 2, n) * 2 - 1
+            out.append(ev)
+        return out
+
+    @pytest.mark.parametrize("variant", ["plain", "full"])
+    def test_spatial_stream_matches_solo(self, variant):
+        from bmcnet_esr_tpu.inference.streaming import StreamingSR
+
+        h, w, window = 16, 16, 96
+        if variant == "plain":
+            model = BMCNetPlain(scale=2, n_c=8, n_b=2)
+        else:
+            model = BMCNet(scale=2, n_c=8, n_b=2)
+        dummy = jnp.zeros((1, 2, h, w, 2))
+        variables = model.init(
+            jax.random.key(5), dummy, *model.init_state(1, h, w)
+        )
+        mesh = make_mesh(8)
+        solo = StreamingSR(model, variables, (h, w), window_size=window)
+        spat = StreamingSR(model, variables, (h, w), window_size=window, mesh=mesh)
+        for i, ev in enumerate(self._windows(4, h, w, seed=7)):
+            want = solo.push(ev)
+            got = spat.push(ev)
+            assert (want is None) == (got is None)
+            if want is not None:
+                np.testing.assert_allclose(got, want, atol=1e-5, err_msg=f"window {i}")
+
+    def test_spatial_activations_actually_sharded(self):
+        """The jitted step's HR output is row-sharded across all 8 devices —
+        spatial mode really distributes the work, it doesn't just replicate."""
+        from bmcnet_esr_tpu.inference.streaming import StreamingSR
+
+        h, w, window = 16, 16, 96
+        model = BMCNetPlain(scale=2, n_c=8, n_b=2)
+        dummy = jnp.zeros((1, 2, h, w, 2))
+        variables = model.init(jax.random.key(5), dummy, *model.init_state(1, h, w))
+        mesh = make_mesh(8)
+        spat = StreamingSR(model, variables, (h, w), window_size=window, mesh=mesh)
+        wins = self._windows(2, h, w, seed=9)
+        spat.push(wins[0])
+        spat.push(wins[1])
+        pred_sh = spat._prev_frame.sharding  # row-sharded frame
+        assert len(pred_sh.device_set) == 8
+        assert not pred_sh.is_fully_replicated
+        for st in spat._carry:
+            assert len(st.sharding.device_set) == 8
+            assert not st.sharding.is_fully_replicated
+
+    def test_spatial_height_must_divide(self):
+        from bmcnet_esr_tpu.inference.streaming import StreamingSR
+
+        model = BMCNetPlain(scale=2, n_c=8, n_b=2)
+        h, w = 12, 16  # 12 % 8 != 0
+        dummy = jnp.zeros((1, 2, h, w, 2))
+        variables = model.init(jax.random.key(1), dummy, *model.init_state(1, h, w))
+        with pytest.raises(ValueError, match="must divide"):
+            StreamingSR(model, variables, (h, w), window_size=64, mesh=make_mesh(8))
