@@ -31,6 +31,15 @@ per-connection read buffer, replies drain through a write buffer under
 replies exceed ``_MAX_WBUF``), and each slot's pending-window queue is
 capped at ``_MAX_QUEUE`` (further pushes get an ERROR reply) so no single
 connection can wedge or OOM the daemon.
+
+Device ticks are **pipelined**: a tick is *dispatched*
+(:meth:`StreamPool.push_async` — JAX enqueues the step and returns) and its
+predictions fetched on a later loop pass once the device reports them ready,
+so socket reads, frame parsing and the next tick's batching window all
+overlap the device compute instead of serializing behind a blocking
+``np.asarray``.  Up to ``_MAX_INFLIGHT`` ticks ride the device queue;
+replies are sent in dispatch order (per-slot FIFO is preserved — a slot
+carries at most one window per tick).
 """
 
 from __future__ import annotations
@@ -74,6 +83,9 @@ _MAX_WBUF = 64 << 20  # buffered unsent replies before a non-reading client
 # is dropped — backpressure must never block the single server thread
 _MAX_QUEUE = 32  # pending windows per slot; the device consumes one per
 # tick, so anything deeper means the client is pushing without reading
+_MAX_INFLIGHT = 2  # device ticks dispatched but not yet fetched: one
+# computing + one queued behind it keeps the device busy back-to-back while
+# the loop services sockets; deeper pipelines only add reply latency
 
 
 def _read_frame(sock: socket.socket) -> Tuple[int, bytes]:
@@ -151,14 +163,23 @@ class EventSRServer:
     # -- loop --------------------------------------------------------------
 
     def serve_forever(self) -> None:
+        from collections import deque
+
         first_pending: Optional[float] = None
+        inflight: deque = deque()  # dispatched ticks awaiting their fetch
         try:
             while not self._stop.is_set():
                 timeout = 0.05
+                if inflight:
+                    timeout = 0.001  # poll device completion promptly
                 if first_pending is not None:
-                    timeout = max(
-                        0.0,
-                        self.batch_window_ms / 1e3 - (time.monotonic() - first_pending),
+                    timeout = min(
+                        timeout,
+                        max(
+                            0.0,
+                            self.batch_window_ms / 1e3
+                            - (time.monotonic() - first_pending),
+                        ),
                     )
                 for key, mask in self._sel.select(timeout):
                     if key.data == "accept":
@@ -169,6 +190,7 @@ class EventSRServer:
                         self._flush(sock)
                     if mask & selectors.EVENT_READ and sock in self._bufs:
                         self._read_client(sock)
+                due = False
                 if self._pending:
                     if first_pending is None:
                         first_pending = time.monotonic()
@@ -178,16 +200,40 @@ class EventSRServer:
                     overdue = (
                         time.monotonic() - first_pending
                     ) * 1e3 >= self.batch_window_ms
-                    if ready or overdue:
-                        self._tick()
-                        first_pending = time.monotonic() if self._pending else None
+                    due = ready or overdue
                 else:
                     first_pending = None
+                # fetch completed ticks (FIFO — reply order == dispatch
+                # order); when the pipeline is full and another tick is due,
+                # block on the head fetch so the device never idles waiting
+                # on the batching window
+                while inflight and (
+                    self._tick_ready(inflight[0])
+                    or (due and len(inflight) >= _MAX_INFLIGHT)
+                ):
+                    self._complete_tick(*inflight.popleft())
+                if due and len(inflight) < _MAX_INFLIGHT:
+                    tick = self._dispatch_tick()
+                    if tick is not None:
+                        inflight.append(tick)
+                    first_pending = time.monotonic() if self._pending else None
         finally:
+            # never abandon dispatched work: clients blocked on a reply get
+            # it (or the connection close below) before the loop exits
+            while inflight:
+                self._complete_tick(*inflight.popleft())
             for sock in list(self._conn_slots):
                 self._drop(sock)
             self._sel.close()
             self._listener.close()
+
+    @staticmethod
+    def _tick_ready(tick) -> bool:
+        preds = tick[2]
+        is_ready = getattr(preds, "is_ready", None)
+        # a backend without completion polling degrades to blocking fetches
+        # (exactly the pre-pipelining behavior)
+        return bool(is_ready()) if callable(is_ready) else True
 
     def _accept(self) -> None:
         conn, _ = self._listener.accept()
@@ -335,26 +381,41 @@ class EventSRServer:
         except Exception as exc:  # noqa: BLE001 — protocol error reply
             self._send(sock, _frame(ERROR, str(exc).encode()))
 
-    def _tick(self) -> None:
+    def _dispatch_tick(self):
+        """Pop one window per pending slot and enqueue the device step;
+        returns ``(ticked_slots, out_slots, preds_device)`` for the later
+        fetch, or ``None`` if the dispatch itself failed (every pusher got
+        an ERROR reply)."""
         windows = {}
         for slot, queue in list(self._pending.items()):
             windows[slot] = queue.pop(0)
             if not queue:
                 del self._pending[slot]
+        # capture owners NOW: a slot detached and re-attached by another
+        # client while this tick is in flight must not receive its reply
+        owners = {slot: self._slot_owner.get(slot) for slot in windows}
         try:
-            preds = self.pool.push(windows)
+            out_slots, preds = self.pool.push_async(windows)
         except Exception as exc:  # noqa: BLE001 — report to every pusher
-            for slot in windows:
-                sock = self._slot_owner.get(slot)
+            for sock in owners.values():
                 if sock is not None:
+                    self._send(sock, _frame(ERROR, str(exc).encode()))
+            return None
+        return owners, set(out_slots), preds
+
+    def _complete_tick(self, owners, out_slots, preds_dev) -> None:
+        try:
+            preds = np.asarray(preds_dev)  # the (possibly blocking) fetch
+        except Exception as exc:  # noqa: BLE001 — report to every pusher
+            for sock in owners.values():
+                if sock is not None and sock in self._bufs:
                     self._send(sock, _frame(ERROR, str(exc).encode()))
             return
         self.ticks += 1
-        for slot in windows:
-            sock = self._slot_owner.get(slot)
-            if sock is None:
-                continue
-            if slot in preds:
+        for slot, sock in owners.items():
+            if sock is None or sock not in self._bufs:
+                continue  # pusher disconnected while the tick was in flight
+            if slot in out_slots:
                 p = np.ascontiguousarray(preds[slot], np.float32)
                 head = struct.pack("<III", *p.shape)
                 self._send(sock, _frame(PRED, head + p.tobytes()))

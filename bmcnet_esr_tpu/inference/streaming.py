@@ -276,10 +276,15 @@ class StreamPool:
             raise ValueError(f"slot {slot} is not attached")
         self._active[slot] = False
 
-    def push(self, windows: dict) -> dict:
-        """Advance one tick: ``{slot: events [4, n]}`` in, ``{slot: HR
-        prediction [kH, kW, 2]}`` out for every pushed slot that has already
-        seen a window (slots absent from ``windows`` idle in place)."""
+    def push_async(self, windows: dict):
+        """Dispatch one tick without waiting for the device: ``{slot: events
+        [4, n]}`` in, ``(out_slots, preds_device)`` back as soon as the step
+        is *enqueued*.  ``preds_device`` is the on-device ``[slots, kH, kW,
+        2]`` prediction stack (``preds_device.is_ready()`` polls completion;
+        ``np.asarray`` fetches).  Host-side slot state advances immediately,
+        so further ticks may be dispatched while earlier ones still compute —
+        the pipelining hook :class:`~bmcnet_esr_tpu.inference.server.
+        EventSRServer` uses to overlap device compute with socket I/O."""
         events = np.zeros((self.slots, 4, self.window_size), np.float32)
         update = np.zeros(self.slots, bool)
         first = np.zeros(self.slots, bool)
@@ -298,6 +303,13 @@ class StreamPool:
             self.variables, self._carry, self._prev, ev, up, fi
         )
         out_slots = [s for s in windows if not first[s]]
-        preds = np.asarray(preds)
         self._seen[update] += 1
+        return out_slots, preds
+
+    def push(self, windows: dict) -> dict:
+        """Advance one tick: ``{slot: events [4, n]}`` in, ``{slot: HR
+        prediction [kH, kW, 2]}`` out for every pushed slot that has already
+        seen a window (slots absent from ``windows`` idle in place)."""
+        out_slots, preds = self.push_async(windows)
+        preds = np.asarray(preds)
         return {s: preds[s] for s in out_slots}

@@ -324,6 +324,153 @@ class TestServer:
         scales = jax.tree_util.tree_leaves(pool.variables["quant"])
         assert scales and all(np.asarray(s).min() > 0 for s in scales)
 
+    def test_ticks_pipeline_behind_a_slow_device(self, server, model_vars):
+        """Tick N+1 must be DISPATCHED while tick N still computes (the
+        selector thread no longer blocks on np.asarray for the whole device
+        step), and replies must still match solo rollouts exactly."""
+        import time as time_mod
+
+        pool = server.pool
+        orig = pool.push_async
+        dispatch_times, fetch_times = [], []
+        delay = 0.25
+
+        class SlowPreds:
+            """Device-array stand-in whose results 'arrive' after a delay."""
+
+            def __init__(self, arr):
+                self.arr = arr
+                self.t0 = time_mod.monotonic()
+
+            def is_ready(self):
+                return time_mod.monotonic() - self.t0 >= delay
+
+            def __array__(self, dtype=None, copy=None):
+                while not self.is_ready():
+                    time_mod.sleep(0.005)
+                fetch_times.append(time_mod.monotonic())
+                a = np.asarray(self.arr)
+                return a.astype(dtype) if dtype is not None else a
+
+        def slow_push_async(windows):
+            out_slots, preds = orig(windows)
+            dispatch_times.append(time_mod.monotonic())
+            return out_slots, SlowPreds(np.asarray(preds))
+
+        pool.push_async = slow_push_async
+        try:
+            rng = np.random.default_rng(7)
+            streams = [make_windows(rng, 3) for _ in range(2)]
+            results = [None] * 2
+            errors = []
+
+            def run(i):
+                try:
+                    c = EventSRClient(*server.address)
+                    c.attach()
+                    results[i] = [c.push(w) for w in streams[i]]
+                    c.detach()
+                    c.close()
+                except Exception as exc:  # noqa: BLE001
+                    errors.append((i, exc))
+
+            threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=120)
+            assert not errors, errors
+        finally:
+            pool.push_async = orig
+
+        model, variables = model_vars
+        for i in range(2):
+            solo = StreamingSR(model, variables, RES, window_size=WINDOW)
+            want = [solo.push(w) for w in streams[i]]
+            for got, exp in zip(results[i], want):
+                if exp is None:
+                    assert got is None
+                else:
+                    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-6)
+
+        # the overlap actually happened: some tick was dispatched before the
+        # previous tick's results were fetched
+        overlapped = any(
+            d2 < f1 for d2, f1 in zip(dispatch_times[1:], fetch_times)
+        )
+        assert overlapped, (dispatch_times, fetch_times)
+
+    def test_reattached_slot_never_receives_a_stale_inflight_reply(
+        self, server
+    ):
+        """A slot detached and re-attached by a NEW client while the old
+        owner's tick is still in flight must not deliver the old tick's
+        reply to the new owner (owners are captured at dispatch)."""
+        import socket as socket_mod
+        import struct
+        import time as time_mod
+
+        from bmcnet_esr_tpu.inference import server as server_mod
+
+        pool = server.pool
+        orig = pool.push_async
+        delay = 0.3
+
+        class SlowPreds:
+            def __init__(self, arr):
+                self.arr = arr
+                self.t0 = time_mod.monotonic()
+
+            def is_ready(self):
+                return time_mod.monotonic() - self.t0 >= delay
+
+            def __array__(self, dtype=None, copy=None):
+                while not self.is_ready():
+                    time_mod.sleep(0.005)
+                a = np.asarray(self.arr)
+                return a.astype(dtype) if dtype is not None else a
+
+        def slow_push_async(windows):
+            out_slots, preds = orig(windows)
+            return out_slots, SlowPreds(np.asarray(preds))
+
+        pool.push_async = slow_push_async
+        try:
+            ev = np.zeros((4, 4), np.float32)
+
+            # old owner: attach, push one window, then vanish while the tick
+            # is still in flight (no reply read, abrupt close)
+            raw = socket_mod.create_connection(server.address)
+            raw.sendall(server_mod._frame(server_mod.ATTACH))
+            opcode, payload = server_mod._read_frame(raw)
+            assert opcode == server_mod.ATTACHED
+            (slot,) = struct.unpack("<I", payload)
+            body = struct.pack("<II", slot, ev.shape[1]) + ev.tobytes()
+            raw.sendall(server_mod._frame(server_mod.PUSH, body))
+            time_mod.sleep(0.05)  # let the tick dispatch
+            raw.close()
+
+            # wait until the server reaped the dead connection (the loop
+            # keeps servicing sockets even while the tick is in flight —
+            # that IS the pipelining under test), then grab the same slot
+            deadline = time_mod.monotonic() + 10
+            while slot in server._slot_owner:
+                assert time_mod.monotonic() < deadline
+                time_mod.sleep(0.02)
+            client = EventSRClient(*server.address)
+            got = client.attach()
+            assert got == slot  # same slot recycled
+            # first push of the NEW stream must be PENDING — if the old
+            # tick's stale reply leaked here, this would be a PRED/PENDING
+            # mixup and the assertion below would see a non-None first reply
+            assert client.push(ev) is None
+            pred = client.push(ev)
+            assert pred is not None and pred.shape == (32, 32, 2)
+            client.detach()
+            client.close()
+        finally:
+            pool.push_async = orig
+
     def test_disconnect_releases_slots(self, server):
         clients = [EventSRClient(*server.address) for _ in range(4)]
         for c in clients:
