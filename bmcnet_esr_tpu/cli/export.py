@@ -31,7 +31,7 @@ def main(argv=None):
     p.add_argument("--window", type=int, default=2048, help="events per window")
     p.add_argument("--batch", type=int, default=1, help="parallel stream lanes")
     p.add_argument(
-        "--dtype", type=str, default="float32", choices=["float32", "bfloat16", "int8"],
+        "--dtype", type=str, default="float32", choices=["float32", "bfloat16", "int8", "int8_pconv", "int8_p1x1", "int8_pall"],
         help="serving compute mode (docs/DESIGN.md §4); int8 uses per-lane "
         "dynamic activation scales unless --calib_h5 bakes static ones "
         "into the bundle (the fast path: no per-call max pass)",
@@ -64,7 +64,7 @@ def main(argv=None):
         args.model_path, scale=args.scale, n_c=args.n_c, n_b=args.n_b,
         variant=args.variant, dtype=args.dtype,
     )
-    if args.dtype == "int8" and args.calib_h5:
+    if args.dtype.startswith("int8") and args.calib_h5:
         from bmcnet_esr_tpu.models.quant import calibrate_from_h5
 
         variables = calibrate_from_h5(

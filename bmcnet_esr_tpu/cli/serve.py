@@ -39,7 +39,7 @@ def main(argv=None):
     p.add_argument("--batch_window_ms", type=float, default=2.0)
     p.add_argument(
         "--dtype", type=str, default="float32",
-        choices=["float32", "bfloat16", "int8"],
+        choices=["float32", "bfloat16", "int8", "int8_pconv", "int8_p1x1", "int8_pall"],
         help="serving compute mode (docs/DESIGN.md §4); int8 uses per-lane "
         "dynamic activation scales unless --calib_h5 bakes static ones "
         "(the fast path: no per-tick max pass)",
@@ -67,7 +67,7 @@ def main(argv=None):
     model, variables = load_model_for_inference(
         args.model_path, args.scale, args.n_c, args.n_b, args.variant, args.dtype
     )
-    if args.dtype == "int8" and args.calib_h5:
+    if args.dtype.startswith("int8") and args.calib_h5:
         # static scales: the serving fast path (no per-tick max pass);
         # correctness never depends on them — scales are per-lane either
         # way, so pooled streams always equal their solo rollouts
@@ -80,7 +80,7 @@ def main(argv=None):
         n_sites = len(jax.tree_util.tree_leaves(variables.get("quant", {})))
         log.info("int8: calibrated %d static activation scales from %s",
                  n_sites, args.calib_h5)
-    elif args.dtype == "int8":
+    elif args.dtype.startswith("int8"):
         log.info(
             "int8: dynamic per-lane activation scales (pass --calib_h5 to "
             "bake static scales and drop the per-tick max pass)"

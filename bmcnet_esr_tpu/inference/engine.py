@@ -72,8 +72,13 @@ def load_model_for_inference(
     at bench shapes, same coarse drift bound.
     """
     cls = BMCNetPlain if variant == "plain" else BMCNet
-    quant = dtype == "int8"
-    mdtype = jnp.bfloat16 if dtype in ("bfloat16", "int8") else jnp.float32
+    # "int8_pconv" / "int8_p1x1" / "int8_pall" select the fused Pallas
+    # routes (models/layers.QUANT_MODES); plain "int8" is the XLA route
+    quant = {
+        "int8": True, "int8_pconv": "pconv",
+        "int8_p1x1": "p1x1", "int8_pall": "pall",
+    }.get(dtype, False)
+    mdtype = jnp.bfloat16 if (dtype == "bfloat16" or quant) else jnp.float32
     model = cls(scale=scale, n_c=n_c, n_b=n_b, dtype=mdtype, quant=quant)
     if checkpoint_path.endswith(".pth"):
         variables = load_torch_checkpoint(checkpoint_path)

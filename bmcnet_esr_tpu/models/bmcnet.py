@@ -48,7 +48,7 @@ class Backbone(nn.Module):
     scale: int
     repeat: int = 3
     dtype: Any = jnp.float32
-    quant: bool = False
+    quant: Any = False  # quant MODE: False | True/"xla" | "p1x1" | "pconv" | "pall" (layers.QUANT_MODES)
 
     def setup(self):
         q = self.quant
@@ -109,7 +109,7 @@ class BMCNet(nn.Module):
     n_b: int = 5
     repeat: int = 3
     dtype: Any = jnp.float32
-    quant: bool = False
+    quant: Any = False  # quant MODE: False | True/"xla" | "p1x1" | "pconv" | "pall" (layers.QUANT_MODES)
 
     def setup(self):
         self.neuro = Backbone(
@@ -171,7 +171,7 @@ class PlainBackbone(nn.Module):
     scale: int
     repeat: int = 3
     dtype: Any = jnp.float32
-    quant: bool = False
+    quant: Any = False  # quant MODE: False | True/"xla" | "p1x1" | "pconv" | "pall" (layers.QUANT_MODES)
 
     def setup(self):
         q = self.quant
@@ -210,7 +210,7 @@ class BMCNetPlain(nn.Module):
     n_b: int = 5
     repeat: int = 3
     dtype: Any = jnp.float32
-    quant: bool = False
+    quant: Any = False  # quant MODE: False | True/"xla" | "p1x1" | "pconv" | "pall" (layers.QUANT_MODES)
 
     def setup(self):
         self.neuro = PlainBackbone(

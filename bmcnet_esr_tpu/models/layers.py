@@ -59,14 +59,33 @@ def _prec(dtype) -> jax.lax.Precision:
 
 FORCE_HIGHEST_PRECISION = False
 
-# Route int8-mode 1x1 convs through the fused Pallas quantized matmul
-# (ops/pallas/qmm.py) instead of leaving them bf16.  Set BEFORE constructing
-# the model (it decides which module class the 1x1 sites get — parameter
-# names/shapes are identical either way, so checkpoints are unaffected).
+# The ``quant`` attribute threaded through every model module is a MODE, not
+# just a switch:
+#   False          — plain bf16/fp32 convs
+#   True / "xla"   — W8A8 3x3 convs on the XLA int8 path (1x1 stays bf16)
+#   "p1x1"         — additionally route 1x1 convs through the fused Pallas
+#                    quantized matmul (ops/pallas/qmm.py)
+#   "pconv"        — route the 3x3 convs through the fused Pallas
+#                    quantize+conv kernel (ops/pallas/qconv.py): profiling
+#                    shows XLA's separate per-conv activation-quantize pass
+#                    costs more than the int8 convs themselves (38% of the
+#                    serving step, tools/profile_rollout.py); the kernel
+#                    folds quantize -> 3x3 conv -> rescale into one VMEM pass
+#   "pall"         — both Pallas routes
+# Checkpoints are unaffected by the mode (identical parameter tree).  The
+# mode lives on the module (NOT a global): flax ``setup`` re-runs on every
+# apply, so a global flag flipped after construction would silently
+# re-route the model.
+QUANT_MODES = (True, "xla", "p1x1", "pconv", "pall")
+
+# Deprecated global switches (or-ed in for backward compatibility; prefer
+# the ``quant`` mode string — these must stay set for the model's whole
+# lifetime to have effect, since setup re-runs per apply).
 QUANT_1X1_PALLAS = False
+QUANT_3X3_PALLAS = False
 
 
-def _conv(nf: int, kernel: int, dtype, name: str | None = None, quant: bool = False):
+def _conv(nf: int, kernel: int, dtype, name: str | None = None, quant: Any = False):
     # int8 mode quantizes only the FLOPs-dominant 3x3 convs (~85% of model
     # FLOPs); 1x1 convs stay on the bf16 MXU path — their compute is too
     # small to amortize the quantize/rescale passes (measured on v5e:
@@ -77,13 +96,14 @@ def _conv(nf: int, kernel: int, dtype, name: str | None = None, quant: bool = Fa
     # routes the 1x1s through the fused ops/pallas/qmm kernel instead, which
     # does quantize -> int8 dot -> rescale in one VMEM pass (no extra HBM
     # traffic — the route the XLA loss measurement motivated).
-    if quant and (kernel >= 3 or QUANT_1X1_PALLAS):
-        # the flag is captured HERE, at construction: a later flip of the
-        # global must not silently re-route an already-built model onto the
-        # XLA int8 1x1 path (a measured net loss, see above)
+    mode = quant if isinstance(quant, str) else ("xla" if quant else "")
+    p1 = mode in ("p1x1", "pall") or QUANT_1X1_PALLAS
+    p3 = mode in ("pconv", "pall") or QUANT_3X3_PALLAS
+    if mode and (kernel >= 3 or p1):
         return QuantConv(
             features=nf, kernel=kernel, dtype=dtype, name=name,
-            pallas_1x1=bool(QUANT_1X1_PALLAS and kernel == 1),
+            pallas_1x1=bool(p1 and kernel == 1),
+            pallas_3x3=bool(p3 and kernel == 3),
         )
     return nn.Conv(
         features=nf,
@@ -132,9 +152,10 @@ class QuantConv(nn.Module):
     features: int
     kernel: int
     dtype: Any = jnp.bfloat16
-    # captured from QUANT_1X1_PALLAS at construction time (_conv): flipping
-    # the global later must not re-route an already-built model
+    # derived from the model's `quant` MODE in _conv (layers.QUANT_MODES);
+    # module fields so the route survives flax re-running setup per apply
     pallas_1x1: bool = False
+    pallas_3x3: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -162,6 +183,30 @@ class QuantConv(nn.Module):
             sx = jnp.asarray(
                 self.get_variable("quant", "act_scale"), jnp.float32
             ).reshape(-1, 1, 1, 1)
+            if (
+                self.pallas_3x3
+                and self.kernel == 3
+                and not calibrating
+                and not self.is_initializing()
+            ):
+                from bmcnet_esr_tpu.ops.pallas.qconv import (
+                    fits_vmem,
+                    quant_conv3x3,
+                    quantize_weights3x3,
+                )
+
+                bq, hq, wsp, _ = x.shape
+                if fits_vmem(hq, wsp, cin, self.features):
+                    # fused quantize -> 9 shifted int8 dots -> rescale, one
+                    # VMEM pass per lane: removes XLA's separate per-conv
+                    # activation-quantize HBM round trip (38% of the int8
+                    # serving step, ops/pallas/qconv.py docstring)
+                    wq3, sw3 = quantize_weights3x3(w)
+                    return quant_conv3x3(
+                        x, wq3, sw3, sx.reshape(-1), b,
+                        out_dtype=self.dtype,
+                        interpret=jax.default_backend() != "tpu",
+                    )
             if self.pallas_1x1 and not calibrating and not self.is_initializing():
                 # fused quantize -> int8 MXU dot -> rescale, one VMEM pass
                 from bmcnet_esr_tpu.ops.pallas.qmm import quant_matmul, quantize_weights
@@ -229,7 +274,7 @@ class ResidualBlock(nn.Module):
 
     nf: int
     dtype: Any = jnp.float32
-    quant: bool = False
+    quant: Any = False  # quant MODE: False | True/"xla" | "p1x1" | "pconv" | "pall" (layers.QUANT_MODES)
 
     def setup(self):
         self.conv1 = _conv(self.nf, 3, self.dtype, quant=self.quant)
@@ -249,7 +294,7 @@ class BIE(nn.Module):
 
     nf: int
     dtype: Any = jnp.float32
-    quant: bool = False
+    quant: Any = False  # quant MODE: False | True/"xla" | "p1x1" | "pconv" | "pall" (layers.QUANT_MODES)
 
     def setup(self):
         q = self.quant
@@ -306,7 +351,7 @@ class ParallelBlk(nn.Module):
 
     nf: int
     dtype: Any = jnp.float32
-    quant: bool = False
+    quant: Any = False  # quant MODE: False | True/"xla" | "p1x1" | "pconv" | "pall" (layers.QUANT_MODES)
 
     def setup(self):
         q = self.quant

@@ -63,7 +63,9 @@ def quantize_weights(w: Array) -> Tuple[Array, Array]:
 
 
 def _qmm_kernel(sx_ref, x_ref, wq_ref, sw_ref, b_ref, o_ref):
-    sx = sx_ref[0, 0]  # this lane's static activation scale
+    sx = sx_ref[pl.program_id(0)]  # this lane's static activation scale
+    # (sx lives whole in SMEM: blocked SMEM specs hit the 8x128 divisibility
+    # rule on real TPUs even though interpret mode accepts them)
     xq = jnp.clip(
         jnp.round(x_ref[0].astype(jnp.float32) / sx), -127, 127
     ).astype(jnp.int8)
@@ -102,15 +104,13 @@ def quant_matmul(
     lanes, m, k = x.shape
     k2, n = wq.shape
     assert k == k2, (x.shape, wq.shape)
-    sx_l = jnp.broadcast_to(
-        jnp.asarray(sx, jnp.float32).reshape(-1), (lanes,)
-    ).reshape(lanes, 1)
+    sx_l = jnp.broadcast_to(jnp.asarray(sx, jnp.float32).reshape(-1), (lanes,))
     grid = (lanes, pl.cdiv(m, tile_m))
     out = pl.pallas_call(
         _qmm_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tile_m, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),

@@ -75,7 +75,6 @@ class TestQuantMatmul:
         import jax
 
         from bmcnet_esr_tpu.models import BMCNetPlain, calibrate_act_scales
-        from bmcnet_esr_tpu.models import layers as L
 
         rng = np.random.default_rng(3)
         h = w = 12
@@ -95,23 +94,125 @@ class TestQuantMatmul:
 
         p32 = rollout(f32, variables)
 
-        L.QUANT_1X1_PALLAS = True
+        q = BMCNetPlain(scale=2, n_c=8, n_b=2, dtype=jnp.bfloat16, quant="p1x1")
+        # identical param tree: checkpoints load unchanged
+        assert jax.tree.structure(q.init(
+            jax.random.key(0), x[0], *q.init_state(1, h, w)
+        )) == jax.tree.structure(variables)
+        vq = calibrate_act_scales(
+            q, variables, x, tuple(q.init_state(1, h, w)), max_steps=4
+        )
+        # calibration must now cover the 1x1 sites too
+        flat = jax.tree_util.tree_flatten_with_path(vq["quant"])[0]
+        assert len(flat) > 0
+        pq = rollout(q, vq)
+
+        scale = max(float(np.abs(p32).max()), 1.0)
+        rel_rmse = float(np.sqrt(np.mean((pq - p32) ** 2))) / scale
+        assert rel_rmse < 0.05, rel_rmse
+
+
+class TestQuantConv3x3:
+    """Fused quantize+3x3-conv kernel (ops/pallas/qconv.py), interpret mode."""
+
+    @pytest.mark.parametrize("b,h,w,cin,cout", [
+        (2, 12, 16, 8, 16),
+        (1, 45, 80, 6, 128),   # serving fusion-head shape (odd cin)
+        (3, 9, 11, 16, 8),     # odd spatial dims
+    ])
+    def test_matches_reference_math(self, b, h, w, cin, cout):
+        from bmcnet_esr_tpu.ops.pallas.qconv import (
+            qconv3x3_reference,
+            quant_conv3x3,
+            quantize_weights3x3,
+        )
+
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(0, 2.0, (b, h, w, cin)).astype(np.float32)).astype(jnp.bfloat16)
+        wf = jnp.asarray(rng.normal(0, 0.1, (3, 3, cin, cout)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(0, 0.5, cout).astype(np.float32))
+        wq, sw = quantize_weights3x3(wf)
+        sx = jnp.asarray(rng.uniform(3.0, 9.0, b).astype(np.float32)) / 127.0  # per lane
+        want = np.asarray(qconv3x3_reference(x, wq, sw, sx, bias)).astype(np.float32)
+        got = np.asarray(quant_conv3x3(x, wq, sw, sx, bias, interpret=True)).astype(np.float32)
+        # int32 accumulation is exact on both paths; only the final f32
+        # rescale/bf16 rounding can differ by fusion order — see qmm note
+        np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
+        assert (got == want).mean() > 0.999
+
+    def test_zero_padding_matches_same_conv(self):
+        """The kernel's in-VMEM zero pad must equal SAME padding of the
+        quantized input (zeros quantize to zero on both paths) — checked at
+        the borders specifically."""
+        from bmcnet_esr_tpu.ops.pallas.qconv import (
+            qconv3x3_reference,
+            quant_conv3x3,
+            quantize_weights3x3,
+        )
+
+        rng = np.random.default_rng(5)
+        b, h, w, c = 1, 6, 7, 8
+        x = jnp.asarray(rng.normal(0, 1.0, (b, h, w, c)).astype(np.float32))
+        wf = jnp.asarray(rng.normal(0, 0.2, (3, 3, c, c)).astype(np.float32))
+        bias = jnp.zeros(c, jnp.float32)
+        wq, sw = quantize_weights3x3(wf)
+        sx = jnp.float32(4.0 / 127.0)
+        want = np.asarray(qconv3x3_reference(x, wq, sw, sx, bias, out_dtype=jnp.float32))
+        got = np.asarray(quant_conv3x3(x, wq, sw, sx, bias, out_dtype=jnp.float32, interpret=True))
+        np.testing.assert_allclose(got[:, 0], want[:, 0], rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(got[:, -1], want[:, -1], rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(got[:, :, 0], want[:, :, 0], rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(got[:, :, -1], want[:, :, -1], rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def test_quantconv_routes_3x3_through_kernel(self):
+        """With quant mode "pconv", a calibrated quant model runs its 3x3
+        convs through the fused kernel: identical param tree, rollout within
+        the int8 drift bound of fp32, and the route is actually taken."""
+        import jax
+
+        from bmcnet_esr_tpu.models import BMCNetPlain, calibrate_act_scales
+        from bmcnet_esr_tpu.ops.pallas import qconv as qconv_mod
+
+        rng = np.random.default_rng(3)
+        h = w = 16  # w % 8 == 0: the fused 3x3 kernel requires a free row flatten
+        x = jnp.asarray(rng.normal(0, 1.0, (5, 1, 2, h, w, 2)).astype(np.float32))
+
+        f32 = BMCNetPlain(scale=2, n_c=8, n_b=2)
+        variables = f32.init(jax.random.key(0), x[0], *f32.init_state(1, h, w))
+
+        def rollout(model, v):
+            carry = tuple(model.init_state(1, h, w))
+            preds = []
+            for i in range(x.shape[0]):
+                outs = model.apply(v, x[i], *carry)
+                carry = tuple(outs)
+                preds.append(np.asarray(outs[-1], np.float32))
+            return np.stack(preds)
+
+        p32 = rollout(f32, variables)
+
+        calls = []
+        orig = qconv_mod.quant_conv3x3
+
+        def spy(*args, **kwargs):
+            calls.append(args[0].shape)
+            return orig(*args, **kwargs)
+
+        qconv_mod.quant_conv3x3 = spy
         try:
-            q = BMCNetPlain(scale=2, n_c=8, n_b=2, dtype=jnp.bfloat16, quant=True)
-            # identical param tree: checkpoints load unchanged
+            q = BMCNetPlain(scale=2, n_c=8, n_b=2, dtype=jnp.bfloat16, quant="pconv")
             assert jax.tree.structure(q.init(
                 jax.random.key(0), x[0], *q.init_state(1, h, w)
             )) == jax.tree.structure(variables)
             vq = calibrate_act_scales(
                 q, variables, x, tuple(q.init_state(1, h, w)), max_steps=4
             )
-            # calibration must now cover the 1x1 sites too
-            flat = jax.tree_util.tree_flatten_with_path(vq["quant"])[0]
-            assert len(flat) > 0
             pq = rollout(q, vq)
         finally:
-            L.QUANT_1X1_PALLAS = False
+            qconv_mod.quant_conv3x3 = orig
 
+        assert calls, "fused 3x3 kernel was never invoked"
         scale = max(float(np.abs(p32).max()), 1.0)
         rel_rmse = float(np.sqrt(np.mean((pq - p32) ** 2))) / scale
         assert rel_rmse < 0.05, rel_rmse
