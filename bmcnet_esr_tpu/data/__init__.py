@@ -8,8 +8,16 @@ from bmcnet_esr_tpu.data.h5dataset import (
     resolve_scale_layout,
 )
 from bmcnet_esr_tpu.data.pipeline import SequenceLoader, concatenate_datasets, load_datalist
+from bmcnet_esr_tpu.data.simulator import (
+    EventSimulator,
+    SimulatorConfig,
+    simulate_multiscale,
+)
 
 __all__ = [
+    "EventSimulator",
+    "SimulatorConfig",
+    "simulate_multiscale",
     "MultiScaleEventPackager",
     "SCALE_PREFIXES",
     "DatasetConfig",
