@@ -258,6 +258,61 @@ class TestMultiScale:
         assert item["gt_events"].shape[1] == 128 * 4  # scale^2 * window
 
 
+class TestLearning:
+    def test_training_learns_from_simulated_video(self, tmp_path):
+        """The fully self-contained loop: video -> simulated events -> h5 ->
+        BPTT training, no external tool or dataset anywhere.  Unlike the
+        random-event fixtures, the GT here carries real cross-scale structure
+        (the same scene simulated at two resolutions), so a falling loss
+        means the model is actually learning the LR->HR mapping."""
+        import jax
+        import jax.numpy as jnp
+
+        from bmcnet_esr_tpu.data import DatasetConfig, SequenceLoader
+        from bmcnet_esr_tpu.data.h5dataset import SequenceConfig
+        from bmcnet_esr_tpu.models import BMCNetPlain
+        from bmcnet_esr_tpu.training.optim import adam_torch
+        from bmcnet_esr_tpu.training.train_step import init_train_state, make_train_step
+
+        frames = (moving_gradient(48, 32, 48, seed=12) * 255).astype(np.uint8)
+        ts = np.arange(48) / 240.0
+        h5 = str(tmp_path / "train.h5")
+        simulate_multiscale(
+            frames, ts, scales=(1, 2), prefixes=("ori", "down2"),
+            config=SimulatorConfig(
+                contrast_threshold=0.12, threshold_sigma=0.03,
+                noise_rate_hz=10.0, seed=13,
+            ),
+            out_h5=h5,
+        )
+        cfg = DatasetConfig(
+            scale=2, ori_scale="down2", window=96, sliding_window=0,
+            need_gt_events=True,
+            sequence=SequenceConfig(sequence_length=3, seqn=2, step_size=3),
+        )
+        loader = SequenceLoader(
+            [h5], cfg, batch_size=2, shuffle=True, drop_last=True,
+            num_workers=1, seed=0,
+        )
+        model = BMCNetPlain(scale=2, n_c=8, n_b=2)
+        tx = adam_torch(1e-3)
+        h, w = loader.inp_resolution
+        dummy = jnp.zeros((2, 2, h, w, 2))
+        params = model.init(jax.random.key(0), dummy, *model.init_state(2, h, w))
+        state = init_train_state(params, tx)
+        step = make_train_step(model, tx, loader.inp_resolution, loader.gt_resolution)
+
+        losses = []
+        for _ in range(4):
+            for batch in loader:
+                state, m = step(state, batch)
+                losses.append(float(m["train_loss"]))
+        assert np.isfinite(losses).all()
+        first = np.mean(losses[:4])
+        last = np.mean(losses[-4:])
+        assert last < first * 0.8, (first, last)
+
+
 class TestCLI:
     def test_cli_npy_to_h5(self, tmp_path):
         from bmcnet_esr_tpu.cli.simulate import main
