@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import re
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -328,10 +329,10 @@ def write_voltmeter_txt(events: np.ndarray, path: str) -> str:
     ``skiprows=1`` and maps 0 -> -1)."""
     x, y, t, p = events[:, 0], events[:, 1], events[:, 2], events[:, 3]
     p01 = (p > 0).astype(np.int64)
-    with open(path, "w") as f:
-        f.write("# t x y p\n")
-        for row in zip(t, x.astype(np.int64), y.astype(np.int64), p01):
-            f.write(f"{row[0]:.9f} {row[1]} {row[2]} {row[3]}\n")
+    # one vectorized savetxt, not a per-event f.write loop: NFS-scale
+    # sequences carry tens of millions of events per run
+    cols = np.column_stack((t, x.astype(np.int64), y.astype(np.int64), p01))
+    np.savetxt(path, cols, fmt="%.9f %d %d %d", header="t x y p", comments="# ")
     return path
 
 
@@ -375,13 +376,43 @@ def simulate_multiscale(
         for prefix, ev in streams.items():
             write_voltmeter_txt(ev, os.path.join(txt_dir, f"{prefix}.txt"))
     if out_h5 is not None:
-        h, w = frames.shape[1], frames.shape[2]
+        # The declared sensor_resolution is the resolution of the grid the
+        # `ori` PREFIX was simulated on, not the raw video: prefix
+        # relabeling (e.g. --scales 2,4,8,16 --prefixes ori,down2,down4,
+        # down8, the reference's directory->prefix quirk) shifts every
+        # group down one octave, and the dataset layer derives each
+        # prefix's resolution as sensor_resolution / downN
+        # (h5dataset.resolve_scale_layout).  Anchor on `ori` when present,
+        # else back out the virtual ori grid from the first downN prefix.
+        raw_h, raw_w = frames.shape[1], frames.shape[2]
+        if "ori" in prefixes:
+            anchor = prefixes.index("ori")
+            anchor_n = 1
+        else:
+            anchor = 0
+            m = re.fullmatch(r"down(\d+)", prefixes[0])
+            if m is None:
+                raise ValueError(f"cannot infer sensor resolution from prefix {prefixes[0]!r}")
+            anchor_n = int(m.group(1))
+        sensor_h = raw_h // int(scales[anchor]) * anchor_n
+        sensor_w = raw_w // int(scales[anchor]) * anchor_n
+        for s, prefix in zip(scales, prefixes):
+            m = re.fullmatch(r"down(\d+)", prefix)
+            n = int(m.group(1)) if m else 1
+            if (raw_h // int(s), raw_w // int(s)) != (sensor_h // n, sensor_w // n):
+                raise ValueError(
+                    f"prefix {prefix!r} at scale {s} is inconsistent with "
+                    f"sensor_resolution ({sensor_h}, {sensor_w}); the dataset "
+                    "layer derives per-prefix grids as sensor/downN"
+                )
         with MultiScaleEventPackager(out_h5) as pk:
-            pk.set_sensor_resolution((h, w))
+            pk.set_sensor_resolution((sensor_h, sensor_w))
             for prefix, ev in streams.items():
                 pk.append_events(prefix, ev[:, 0], ev[:, 1], ev[:, 2], ev[:, 3])
             if store_frames:
-                for img, t in zip(frames, np.asarray(timestamps, np.float64)):
+                # stored ori_images must live on the declared ori grid
+                imgs = downscale_frames(frames, raw_h // sensor_h)
+                for img, t in zip(imgs, np.asarray(timestamps, np.float64)):
                     u8 = img if img.dtype == np.uint8 else np.clip(img * 255, 0, 255).astype(np.uint8)
                     pk.append_image("ori", u8, float(t))
                 for prefix in prefixes:

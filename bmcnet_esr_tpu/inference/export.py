@@ -109,7 +109,11 @@ def export_serving_bundle(
         "n_c": int(model.n_c),
         "n_b": int(model.n_b),
         "variant": type(model).__name__,
-        "quant": bool(getattr(model, "quant", False)),
+        # the mode string matters for audit: an int8_pconv bundle's lowered
+        # program contains the Pallas kernel, a plain int8 one does not
+        "quant": (lambda q: q if isinstance(q, bool) else str(q))(
+            getattr(model, "quant", False)
+        ),
         # static scales baked in (calibrated) vs dynamic per-call scales
         "quant_static": "quant" in variables,
         "platforms": list(exported.platforms),

@@ -86,6 +86,9 @@ _MAX_QUEUE = 32  # pending windows per slot; the device consumes one per
 _MAX_INFLIGHT = 2  # device ticks dispatched but not yet fetched: one
 # computing + one queued behind it keeps the device busy back-to-back while
 # the loop services sockets; deeper pipelines only add reply latency
+_DRAIN_TIMEOUT_S = 10.0  # shutdown budget for in-flight device ticks: a
+# hung backend (e.g. the TPU tunnel dropping mid-tick) must not wedge the
+# exit path — after this, remaining ticks are abandoned and clients see EOF
 
 
 def _read_frame(sock: socket.socket) -> Tuple[int, bytes]:
@@ -218,10 +221,21 @@ class EventSRServer:
                         inflight.append(tick)
                     first_pending = time.monotonic() if self._pending else None
         finally:
-            # never abandon dispatched work: clients blocked on a reply get
-            # it (or the connection close below) before the loop exits
+            # drain dispatched work so clients blocked on a reply get it —
+            # but bounded: a backend that never answers (tunnel down
+            # mid-tick) must not wedge this block with the listener still
+            # open, so unready ticks are abandoned at the deadline and the
+            # closes below give those clients EOF instead of a hang.
+            # Backends without completion polling keep the pre-pipelining
+            # blocking fetch (_tick_ready degrades to True).
+            deadline = time.monotonic() + _DRAIN_TIMEOUT_S
             while inflight:
-                self._complete_tick(*inflight.popleft())
+                if self._tick_ready(inflight[0]):
+                    self._complete_tick(*inflight.popleft())
+                elif time.monotonic() >= deadline:
+                    break
+                else:
+                    time.sleep(0.01)
             for sock in list(self._conn_slots):
                 self._drop(sock)
             self._sel.close()

@@ -97,6 +97,11 @@ def _conv(nf: int, kernel: int, dtype, name: str | None = None, quant: Any = Fal
     # does quantize -> int8 dot -> rescale in one VMEM pass (no extra HBM
     # traffic — the route the XLA loss measurement motivated).
     mode = quant if isinstance(quant, str) else ("xla" if quant else "")
+    if mode and mode not in QUANT_MODES:
+        # an unknown string must not silently route to the plain XLA path —
+        # that is exactly the misroute class the mode-on-module design exists
+        # to prevent (a benchmark would measure the wrong kernel)
+        raise ValueError(f"unknown quant mode {quant!r}; expected one of {QUANT_MODES}")
     p1 = mode in ("p1x1", "pall") or QUANT_1X1_PALLAS
     p3 = mode in ("pconv", "pall") or QUANT_3X3_PALLAS
     if mode and (kernel >= 3 or p1):

@@ -234,6 +234,40 @@ class TestMultiScale:
         np.testing.assert_array_equal(back[:, 3], streams["ori"][:, 3])
         np.testing.assert_allclose(back[:, 2], streams["ori"][:, 2], atol=1e-8)
 
+    def test_relabeled_prefixes_declare_the_ori_group_grid(self, tmp_path):
+        """The documented CLI invocation relabels one octave down
+        (--scales 2,4 --prefixes ori,down2): sensor_resolution must be the
+        grid the `ori` PREFIX was simulated on (raw/2), not the raw video —
+        the dataset layer derives every prefix's grid as sensor/downN."""
+        import h5py
+
+        frames = (moving_gradient(7, 32, 48, seed=3) * 255).astype(np.uint8)
+        ts = np.arange(7) / 120.0
+        h5 = str(tmp_path / "relab.h5")
+        streams = simulate_multiscale(
+            frames, ts, scales=(2, 4), prefixes=("ori", "down2"),
+            config=SimulatorConfig(contrast_threshold=0.2, seed=9),
+            out_h5=h5, store_frames=True,
+        )
+        with h5py.File(h5, "r") as f:
+            assert list(f.attrs["sensor_resolution"]) == [16, 24]
+            # events actually fit the declared grids
+            assert f["ori_events/xs"][:].max() < 24
+            assert f["ori_events/ys"][:].max() < 16
+            assert f["down2_events/xs"][:].max() < 12
+            # stored frames live on the declared ori grid
+            assert f["ori_images/image000000000"].shape == (16, 24)
+        assert len(streams["ori"]) > len(streams["down2"])
+
+        # a scale/prefix combination the layout math cannot represent raises
+        # instead of writing a silently-corrupt file
+        with pytest.raises(ValueError, match="inconsistent"):
+            simulate_multiscale(
+                frames, ts, scales=(2, 3), prefixes=("ori", "down2"),
+                config=SimulatorConfig(contrast_threshold=0.2, seed=9),
+                out_h5=str(tmp_path / "bad.h5"),
+            )
+
     def test_simulated_h5_feeds_the_dataset(self, tmp_path):
         from bmcnet_esr_tpu.data import DatasetConfig, EventH5Dataset
         from bmcnet_esr_tpu.data.h5dataset import SequenceConfig

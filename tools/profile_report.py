@@ -28,10 +28,6 @@ def main():
 
     data, _ = rtd.xspace_to_tool_data([xspace], "framework_op_stats", {})
     rows = json.loads(data) if isinstance(data, (str, bytes)) else data
-    # gviz json: two tables (by-program, by-category); take the first
-    if isinstance(rows, dict) and "gviz" in str(type(rows)):
-        pass
-    print(type(rows))
     if isinstance(rows, (str, bytes)):
         rows = json.loads(rows)
     # the tool returns gviz DataTable json; extract cols/rows generically
