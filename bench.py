@@ -9,7 +9,7 @@ voxel frame.
 Baseline for ``vs_baseline``: the same architecture/rollout in PyTorch
 (reference implementation semantics) on this host's CPU — the only
 torch baseline measurable in this environment (no CUDA here).  The metric
-string carries that caveat.  ``aux`` adds the other two axes:
+string carries that caveat.  ``aux`` adds the other axes:
 
 * ``b1_ms_per_window`` — the reference's own eval metric (ms per forward at
   batch 1, stateful stride-1 rollout; ``infer_BMCNet.py:54-68``), measured
@@ -18,16 +18,37 @@ string carries that caveat.  ``aux`` adds the other two axes:
 * ``train_iters_per_sec`` — full NFS training recipe shapes (full BMCNet x4,
   batch 2, 9-window clips, 2048-event windows, BPTT + Adam(amsgrad), one
   XLA program per iteration).
-* ``gpu_ceiling_note`` — context anchoring vs_baseline's torch-CPU basis to
-  a GPU estimate from exact per-window FLOPs (docs/DESIGN.md §8).
+* ``fps_int8_p1x1`` / ``fps_int8_pconv`` / ``fps_int8_pall`` — the Pallas
+  fused-quant routes, captured so the int8 routing decision record
+  (docs/DESIGN.md §6) rests on driver-captured numbers.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "aux"}.
+FAILURE MODES ARE BOUNDED (round-2 lesson: a down tunnel must never turn
+the round's perf budget into rc=124 with no artifact):
+
+* The parent process NEVER imports jax.  Chip probing, TPU measurement,
+  and the CPU fallback all run in killable child processes.
+* The TPU child checkpoints each metric to a state file the moment it is
+  measured; if the child hangs (axon wedges silently, CLAUDE.md) or
+  exceeds its budget, the parent kills it and reports the partials.
+* If the chip never answers the probe, the same rollout is measured with
+  JAX on host CPU (a real execution of this framework's hot path) so the
+  emitted line still carries a machine-verified number, flagged
+  ``status: "chip_unavailable"``.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "aux"} —
+always, on every path.
+
+Budgets (override via env):
+  BENCH_PROBE_BUDGET_S   total chip-probe window       (default 1200)
+  BENCH_TPU_BUDGET_S     TPU child wall-clock cap      (default 3900)
+  BENCH_STALL_S          kill child if no new metric   (default 1500)
 """
 
 import json
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
@@ -38,45 +59,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cac
 
 import numpy as np
 
-
-def _wait_for_chip(max_wait_s: float = 7200.0, probe_timeout_s: float = 120.0) -> None:
-    """Block until the tunneled TPU answers a trivial program (or give up).
-
-    The axon attachment can go down for hours; during an outage ANY process
-    that initializes the plugin hangs silently before printing a byte
-    (CLAUDE.md).  Probing from a killable child keeps this process clean:
-    the first in-process jax import only happens after a probe succeeds, so
-    an outage costs bounded retries instead of an unbounded hang.
-    """
-    probe = (
-        "import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); "
-        "print(float((x @ x).sum()))"
-    )
-    deadline = time.monotonic() + max_wait_s
-    while True:
-        try:
-            subprocess.run(
-                [sys.executable, "-c", probe],
-                timeout=probe_timeout_s,
-                check=True,
-                capture_output=True,
-            )
-            return
-        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-            remaining = deadline - time.monotonic()
-            if remaining <= 0:
-                # exit, don't proceed: with the tunnel down the first
-                # in-process jax import hangs forever before printing a byte
-                # (CLAUDE.md) — a clear error beats a silent wedge
-                print(
-                    f"bench: chip probe failed for {max_wait_s:.0f}s — "
-                    "giving up (tunnel down)",
-                    file=sys.stderr,
-                    flush=True,
-                )
-                sys.exit(3)
-            print("bench: chip not answering, retrying in 5 min", file=sys.stderr, flush=True)
-            time.sleep(min(300, max(remaining, 1)))
+PROBE_BUDGET_S = float(os.environ.get("BENCH_PROBE_BUDGET_S", 1200))
+TPU_BUDGET_S = float(os.environ.get("BENCH_TPU_BUDGET_S", 3900))
+STALL_S = float(os.environ.get("BENCH_STALL_S", 1500))
 
 B = 8          # batched independent streams per chip
 H, W = 45, 80  # NFS down8 input resolution
@@ -87,6 +72,10 @@ CHUNK = 512    # windows per scan chunk (amortizes ~33 ms per-dispatch overhead;
 CHUNK_B1 = 256 # batch-1 latency chunk (64 -> 1.96 ms/window, 256 -> 1.62)
 N_CHUNKS_TIMED = 3
 
+
+# --------------------------------------------------------------------------
+# measurement bodies (run inside child processes; see __main__ dispatch)
+# --------------------------------------------------------------------------
 
 def random_windows(count, batch, h, w, n, rng):
     ev = np.zeros((count, batch, 4, n), np.float32)
@@ -177,21 +166,6 @@ def _rollout_fps(batch: int, dtype_name: str = "bfloat16", chunk: int = CHUNK) -
     return chunk * batch / dt
 
 
-def bench_tpu(dtype_name: str = "bfloat16"):
-    """Throughput of the serving path (bf16 compute, fp32 params)."""
-    import jax
-    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    return _rollout_fps(B, dtype_name)
-
-
-def bench_b1_latency(dtype_name: str = "bfloat16") -> float:
-    """ms per window at batch 1 — the reference's eval metric
-    (infer_BMCNet.py:54-68), amortized over a scan chunk."""
-    fps = _rollout_fps(1, dtype_name, chunk=CHUNK_B1)
-    return 1000.0 / fps
-
-
 def bench_train_iters_per_sec(n_iters_timed: int = 8, dtype_name: str = "float32") -> float:
     """Optimizer iterations/sec at the full NFS recipe shapes (batch 2,
     9-window clips, 2048-event windows, full BMCNet x4, BPTT + Adam).
@@ -275,73 +249,270 @@ def bench_torch_cpu(budget_s: float = 60.0):
     return n / dt
 
 
-def main():
-    _wait_for_chip()
-    fps_tpu = bench_tpu()
-    fps_int8 = _rollout_fps(B, "int8")
+# --------------------------------------------------------------------------
+# child entry points
+# --------------------------------------------------------------------------
+
+def _write_state(state_file: str, aux: dict) -> None:
+    # atomic rewrite so the polling parent never reads a torn file
+    tmp = state_file + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(aux, f)
+    os.replace(tmp, state_file)
+
+
+def child_tpu(state_file: str, budget_s: float) -> None:
+    """Run the TPU measurements, checkpointing each metric as it lands.
+
+    Ordered so the headline + VERDICT-required aux come first; the optional
+    Pallas-route probes and extras run only while budget remains.
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    t_end = time.monotonic() + budget_s
+    aux: dict = {}
+
+    def record(name, fn, *, optional=False, reserve_s=120.0):
+        # `reserve_s` keeps headroom for the parent to collect partials
+        if optional and time.monotonic() + reserve_s > t_end:
+            aux[f"{name}_skipped"] = "budget"
+            _write_state(state_file, aux)
+            return
+        try:
+            aux[name] = round(float(fn()), 3)
+        except Exception as e:  # a failed mode must not sink later metrics
+            aux[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+        _write_state(state_file, aux)
+
+    # required set (VERDICT round-2 item 1): fp32/bf16/int8 fps,
+    # b1_ms_per_window, train_iters_per_sec
+    record("fps_bf16_serving", lambda: _rollout_fps(B, "bfloat16"))
+    record("fps_int8_serving", lambda: _rollout_fps(B, "int8"))
+    record("b1_ms_per_window", lambda: 1000.0 / _rollout_fps(1, "bfloat16", chunk=CHUNK_B1))
+    record("train_iters_per_sec", lambda: bench_train_iters_per_sec())
+    record("fps_fp32_serving", lambda: _rollout_fps(B, "float32"), optional=True)
     # int8's overhead-bound quantize passes amortize a little further at
     # B=16 (measured 1155 -> 1202 fps on v5e; B=32 regresses, and bf16 at
     # B=16 is WORSE than B=8 — only the int8 mode gets the wider candidate)
-    fps_int8_b16 = _rollout_fps(16, "int8")
-    # NOTE: the Pallas int8 probes were measured and LOST on v5e (p1x1:
-    # 914 fps vs 1155 XLA; pconv: see ops/pallas/qconv.py STATUS) — they
-    # stay available as quant modes for manual probes but are not
-    # candidates here.
-    b1_ms = bench_b1_latency()
+    record("fps_int8_b16", lambda: _rollout_fps(16, "int8"), optional=True)
+    record(
+        "train_iters_per_sec_bf16",
+        lambda: bench_train_iters_per_sec(dtype_name="bfloat16"),
+        optional=True,
+    )
+    # Pallas-route decision record (docs/DESIGN.md §6): driver-captured
+    # per-mode fps so the int8 default rests on artifact numbers
+    record("fps_int8_p1x1", lambda: _rollout_fps(B, "int8_p1x1"), optional=True)
+    record("fps_int8_pconv", lambda: _rollout_fps(B, "int8_pconv"), optional=True)
+    record("fps_int8_pall", lambda: _rollout_fps(B, "int8_pall"), optional=True)
     # true one-window-per-dispatch latency (reference's exact measurement
     # shape); on this attachment it is dominated by the ~33 ms tunnel
     # dispatch overhead — the amortized number above is the serving figure
-    b1_ms_single = 1000.0 / _rollout_fps(1, chunk=1)
-    train_ips = bench_train_iters_per_sec()
-    train_ips_bf16 = bench_train_iters_per_sec(dtype_name="bfloat16")
+    record(
+        "b1_ms_single_dispatch",
+        lambda: 1000.0 / _rollout_fps(1, "bfloat16", chunk=1),
+        optional=True,
+    )
+    aux["tpu_bench_complete"] = True
+    _write_state(state_file, aux)
+
+
+def child_cpu(state_file: str) -> None:
+    """Chip-unavailable fallback: the same rollout with JAX on host CPU.
+
+    A real execution of this framework's hot path (rasterize + model scan)
+    so the emitted line still carries a machine-verified number on the same
+    hardware as the torch baseline.  Launched by the parent with
+    JAX_PLATFORMS unset and the axon site dropped from PYTHONPATH — with
+    the plugin on the path, even CPU-pinned jobs hang while the tunnel is
+    down (CLAUDE.md).
+    """
+    import jax
+
+    jax.config.update("jax_platform_name", "cpu")
+    # fp32 on CPU: bf16 is emulated there, which would understate the
+    # framework vs the fp32 torch baseline on the same silicon
+    aux = {"fps_jax_cpu": round(float(_rollout_fps(1, "float32", chunk=8)), 3)}
+    _write_state(state_file, aux)
+
+
+# --------------------------------------------------------------------------
+# parent orchestration (never imports jax)
+# --------------------------------------------------------------------------
+
+def _wait_for_chip(budget_s: float, probe_timeout_s: float = 120.0) -> bool:
+    """Probe until the tunneled TPU answers a trivial program, bounded.
+
+    The axon attachment can go down for hours; during an outage ANY process
+    that initializes the plugin hangs silently before printing a byte
+    (CLAUDE.md).  Probing from a killable child keeps this process clean.
+    Returns False (instead of exiting) when the budget runs out so the
+    caller can emit the CPU-fallback line.
+    """
+    probe = (
+        "import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); "
+        "print(float((x @ x).sum()))"
+    )
+    deadline = time.monotonic() + budget_s
+    while True:
+        try:
+            subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=probe_timeout_s,
+                check=True,
+                capture_output=True,
+            )
+            return True
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                print(
+                    f"bench: chip probe failed for {budget_s:.0f}s — "
+                    "falling back to CPU-verified line",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                return False
+            print("bench: chip not answering, retrying in 60s", file=sys.stderr, flush=True)
+            time.sleep(min(60, max(remaining, 1)))
+
+
+def _run_child(mode: str, state_file: str, budget_s: float, stall_s: float, env=None) -> dict:
+    """Run a measurement child; kill it on stall/budget; return its partials."""
+    args = [sys.executable, os.path.abspath(__file__), mode, state_file, str(budget_s)]
+    proc = subprocess.Popen(args, env=env, cwd=_REPO)
+    t_end = time.monotonic() + budget_s
+    last_change = time.monotonic()
+    last_mtime = 0.0
+    while proc.poll() is None:
+        time.sleep(5)
+        try:
+            mtime = os.stat(state_file).st_mtime
+        except OSError:
+            mtime = 0.0
+        if mtime != last_mtime:
+            last_mtime, last_change = mtime, time.monotonic()
+        now = time.monotonic()
+        if now > t_end or now - last_change > stall_s:
+            why = "budget" if now > t_end else "stall"
+            print(f"bench: killing {mode} child ({why})", file=sys.stderr, flush=True)
+            proc.kill()
+            proc.wait()
+            break
+    try:
+        with open(state_file) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def _cpu_env() -> dict:
+    """Child env with the axon plugin fully out of the way (CLAUDE.md)."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join([_REPO] + parts)
+    return env
+
+
+def main():
+    t_start = time.monotonic()
+    chip_ok = _wait_for_chip(PROBE_BUDGET_S)
+
+    tmpdir = tempfile.mkdtemp(prefix="bench_state_")
+    aux: dict = {}
+    status = "ok"
+    if chip_ok:
+        aux = _run_child("--child-tpu", os.path.join(tmpdir, "tpu.json"), TPU_BUDGET_S, STALL_S)
+        if not aux.pop("tpu_bench_complete", False):
+            status = "partial" if any(k.startswith("fps") for k in aux) else "chip_unavailable"
+    else:
+        status = "chip_unavailable"
+    if status == "chip_unavailable":
+        aux.update(
+            _run_child(
+                "--child-cpu", os.path.join(tmpdir, "cpu.json"),
+                900.0, 900.0, env=_cpu_env(),
+            )
+        )
+
     try:
         fps_torch = bench_torch_cpu()
+        aux["torch_cpu_fps"] = round(fps_torch, 2)
     except Exception:
         fps_torch = None
+
     # headline: fastest serving config (int8 W8A8 3x3 convs when it wins,
     # else bf16 — both carry the same tested <5e-2 rel-RMSE drift bound;
     # fp32 remains the checkpoint-parity path)
     candidates = [
-        (fps_tpu, "bfloat16"),
-        (fps_int8, "int8"),
-        (fps_int8_b16, "int8@B16"),
+        (aux.get(k), label)
+        for k, label in [
+            ("fps_bf16_serving", "bfloat16"),
+            ("fps_int8_serving", "int8"),
+            ("fps_int8_b16", "int8@B16"),
+            ("fps_int8_p1x1", "int8+pallas1x1"),
+            ("fps_int8_pconv", "int8+pallas3x3"),
+            ("fps_int8_pall", "int8+pallas-all"),
+        ]
+        if aux.get(k)
     ]
-    fps_best, mode = max(candidates)
-    vs = (fps_best / fps_torch) if fps_torch else None
+    if candidates:
+        fps_best, mode = max(candidates)
+        metric = (
+            "x4 SR voxel-frames/sec/chip, full BMCNet (128ch/5blk), "
+            "stateful stride-1 rollout incl. on-device rasterization, "
+            "batched independent streams @45x80, fastest serving "
+            f"mode ({mode}, <5e-2 drift bound vs fp32 parity path); "
+            "vs_baseline = speedup over the reference torch impl on "
+            "this host's CPU"
+        )
+        unit = "frames/sec"
+    elif aux.get("fps_jax_cpu"):
+        fps_best, mode = aux["fps_jax_cpu"], "bf16-on-host-CPU"
+        metric = (
+            "TPU chip unavailable this run — x4 SR voxel-frames/sec of the "
+            "same rollout with JAX on host CPU (machine-verified fallback); "
+            "vs_baseline = speedup over the reference torch impl on the "
+            "same CPU"
+        )
+        unit = "frames/sec"
+    else:
+        fps_best, mode, metric, unit = None, None, (
+            "bench could not execute the rollout (chip down and CPU "
+            "fallback failed); see aux for partial diagnostics"
+        ), "frames/sec"
+        status = "failed"
+    vs = (fps_best / fps_torch) if (fps_best and fps_torch) else None
+    aux["status"] = status
+    aux["serving_mode"] = mode
+    aux["bench_wall_s"] = round(time.monotonic() - t_start, 1)
+    aux["gpu_ceiling_note"] = (
+        "no CUDA here; vs an ESTIMATED PyTorch-GPU ceiling from exact "
+        "per-window FLOPs (XLA cost analysis, docs/DESIGN.md #8) the TPU "
+        "serving number is ~4-7x"
+    )
     print(
         json.dumps(
             {
-                "metric": (
-                    "x4 SR voxel-frames/sec/chip, full BMCNet (128ch/5blk), "
-                    "stateful stride-1 rollout incl. on-device rasterization, "
-                    "batched independent streams @45x80, fastest serving "
-                    f"mode ({mode}, <5e-2 drift bound vs fp32 parity path); "
-                    "vs_baseline = speedup over the reference torch impl on "
-                    "this host's CPU"
-                ),
-                "value": round(fps_best, 2),
-                "unit": "frames/sec",
+                "metric": metric,
+                "value": round(fps_best, 2) if fps_best else None,
+                "unit": unit,
                 "vs_baseline": round(vs, 2) if vs else None,
-                "aux": {
-                    "serving_mode": mode,
-                    "fps_bf16_serving": round(fps_tpu, 2),
-                    "fps_int8_serving": round(fps_int8, 2),
-                    "fps_int8_b16": round(fps_int8_b16, 2),
-                    "b1_ms_per_window": round(b1_ms, 3),
-                    "b1_ms_single_dispatch": round(b1_ms_single, 2),
-                    "train_iters_per_sec": round(train_ips, 2),
-                    "train_iters_per_sec_bf16": round(train_ips_bf16, 2),
-                    "torch_cpu_fps": round(fps_torch, 2) if fps_torch else None,
-                    "gpu_ceiling_note": (
-                        "no CUDA here; vs an ESTIMATED PyTorch-GPU ceiling "
-                        "from exact per-window FLOPs (XLA cost analysis, "
-                        "docs/DESIGN.md #8) this is ~4-7x"
-                    ),
-                },
+                "aux": aux,
             }
-        )
+        ),
+        flush=True,
     )
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--child-tpu":
+        child_tpu(sys.argv[2], float(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--child-cpu":
+        child_cpu(sys.argv[2])
+    else:
+        main()

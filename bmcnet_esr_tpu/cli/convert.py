@@ -13,6 +13,13 @@ tied alias re-expanded so the torch implementation loads it unchanged):
         --from_ckpt runs/exp/save/iteration_100000 --variant full \
         --n_b 5 --out exported/bmcnet_x4.pth
 
+LPIPS bundle (``.pth`` pair -> one torch-free ``.npz`` the training-recipe
+LPIPS term loads without importing torch, ``training/losses.py``):
+
+    python -m bmcnet_esr_tpu.cli.convert \
+        --lpips_backbone alexnet_features.pth \
+        --lpips_lin weights/v0.1/alex.pth --net alex --out lpips_alex.npz
+
 Verifies tied aliases bit-match during dedupe and reports the unique
 parameter count; imported output loads via ``--model_path`` in the infer
 CLI or as initial weights for fine-tuning.
@@ -29,6 +36,13 @@ def main(argv=None):
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--pth", help="import: reference .pth checkpoint")
     src.add_argument("--from_ckpt", help="export: framework checkpoint (.npz or orbax dir)")
+    src.add_argument(
+        "--lpips_backbone",
+        help="convert an LPIPS .pth pair to one torch-free .npz bundle",
+    )
+    p.add_argument("--lpips_lin", help="LPIPS linear-head .pth (with --lpips_backbone)")
+    p.add_argument("--net", default="alex", choices=["alex", "vgg", "vgg16", "squeeze"])
+    p.add_argument("--version", default="0.1", choices=["0.0", "0.1"])
     p.add_argument("--out", required=True)
     p.add_argument("--variant", default="full", choices=["full", "plain"])
     p.add_argument("--scale", type=int, default=4)
@@ -37,6 +51,8 @@ def main(argv=None):
     p.add_argument("--npz", action="store_true", help="write a flat .npz instead of orbax")
     args = p.parse_args(argv)
 
+    if args.lpips_backbone:
+        return _export_lpips(args)
     if args.from_ckpt:
         return _export(args)
 
@@ -92,6 +108,28 @@ def _export(args):
     torch.save({k: torch.tensor(np.asarray(v)) for k, v in sd.items()}, out)
     n_unique = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(variables))
     print(f"exported {len(sd)} torch keys ({n_unique} unique params) -> {out}")
+
+
+def _export_lpips(args):
+    import jax
+    jax.config.update("jax_platform_name", "cpu")
+    import torch
+
+    from bmcnet_esr_tpu.losses.lpips import LPIPS
+
+    backbone_sd = {
+        k: v.numpy()
+        for k, v in torch.load(
+            args.lpips_backbone, map_location="cpu", weights_only=True
+        ).items()
+    }
+    lp = LPIPS.from_torch(
+        backbone_sd, args.lpips_lin, args.net, version=args.version,
+        lpips=args.lpips_lin is not None,
+    )
+    out = args.out if args.out.endswith(".npz") else args.out + ".npz"
+    lp.to_npz(out)
+    print(f"wrote torch-free LPIPS bundle ({args.net} v{args.version}): {out}")
 
 
 if __name__ == "__main__":

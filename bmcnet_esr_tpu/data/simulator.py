@@ -305,7 +305,15 @@ def downscale_frames(frames: np.ndarray, factor: int) -> np.ndarray:
     if factor == 1:
         return np.asarray(frames)
     h, w = frames.shape[1], frames.shape[2]
-    nh, nw = h // factor, w // factor
+    return resize_frames(frames, (h // factor, w // factor))
+
+
+def resize_frames(frames: np.ndarray, shape: Tuple[int, int]) -> np.ndarray:
+    """Bilinear-resize a frame stack to an explicit (H, W) grid (same
+    cv2-default semantics as :func:`downscale_frames`)."""
+    nh, nw = int(shape[0]), int(shape[1])
+    if (frames.shape[1], frames.shape[2]) == (nh, nw):
+        return np.asarray(frames)
     try:
         import cv2
 
@@ -399,7 +407,14 @@ def simulate_multiscale(
         for s, prefix in zip(scales, prefixes):
             m = re.fullmatch(r"down(\d+)", prefix)
             n = int(m.group(1)) if m else 1
-            if (raw_h // int(s), raw_w // int(s)) != (sensor_h // n, sensor_w // n):
+            # The dataset layer derives each prefix grid as round(sensor/n)
+            # (h5dataset.resolve_scale_layout) — compare the grid actually
+            # simulated (raw // s, floor, matching downscale_frames) against
+            # exactly that derivation, so a passing check guarantees the
+            # consumer sees the same grid the events were simulated on.
+            if (raw_h // int(s), raw_w // int(s)) != (
+                round(sensor_h / n), round(sensor_w / n)
+            ):
                 raise ValueError(
                     f"prefix {prefix!r} at scale {s} is inconsistent with "
                     f"sensor_resolution ({sensor_h}, {sensor_w}); the dataset "
@@ -410,8 +425,11 @@ def simulate_multiscale(
             for prefix, ev in streams.items():
                 pk.append_events(prefix, ev[:, 0], ev[:, 1], ev[:, 2], ev[:, 3])
             if store_frames:
-                # stored ori_images must live on the declared ori grid
-                imgs = downscale_frames(frames, raw_h // sensor_h)
+                # stored ori_images must live on the declared ori grid —
+                # resize to it explicitly rather than re-deriving a factor
+                # from raw_h // sensor_h (which disagrees for odd raw dims,
+                # e.g. raw 33 with declared 32)
+                imgs = resize_frames(frames, (sensor_h, sensor_w))
                 for img, t in zip(imgs, np.asarray(timestamps, np.float64)):
                     u8 = img if img.dtype == np.uint8 else np.clip(img * 255, 0, 255).astype(np.uint8)
                     pk.append_image("ori", u8, float(t))

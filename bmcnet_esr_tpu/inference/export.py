@@ -109,9 +109,12 @@ def export_serving_bundle(
         "n_c": int(model.n_c),
         "n_b": int(model.n_b),
         "variant": type(model).__name__,
-        # the mode string matters for audit: an int8_pconv bundle's lowered
-        # program contains the Pallas kernel, a plain int8 one does not
-        "quant": (lambda q: q if isinstance(q, bool) else str(q))(
+        # "quant" stays a strict bool (external tooling may schema-check it);
+        # the mode string matters for audit — an int8_pconv bundle's lowered
+        # program contains the Pallas kernel, a plain int8 one does not — so
+        # it ships as the separate "quant_mode" key
+        "quant": bool(getattr(model, "quant", False)),
+        "quant_mode": (lambda q: "xla" if q is True else str(q) if q else None)(
             getattr(model, "quant", False)
         ),
         # static scales baked in (calibrated) vs dynamic per-call scales

@@ -9,13 +9,19 @@ windows, and receive HR predictions.  Concurrent client pushes are
 all in ONE :meth:`StreamPool.push` device tick, so independent cameras share
 the chip at batched-throughput rates (B=8 is the v5e sweet spot, bench.py).
 
-Wire protocol (little-endian, each frame ``u32 length | u8 opcode | body``):
+Wire protocol (little-endian, each frame ``u32 length | u8 opcode | body``).
+A connection MUST open with HELLO carrying the protocol version byte
+(``PROTOCOL_VERSION``); the server answers HELLO_OK with its own version, or
+ERROR + close on a mismatch — so a client of a future incompatible build
+gets a clean version error instead of undefined decode behavior:
 
 =========  ======  =====================================================
-request    0x01    ATTACH
+request    0x00    HELLO   ``u8 version`` (must be the first frame)
+           0x01    ATTACH
            0x02    DETACH  ``u32 slot``
            0x03    PUSH    ``u32 slot, u32 n, f32[4*n]`` (x,y,t,p rows)
-response   0x81    ATTACHED ``u32 slot``
+response   0x80    HELLO_OK ``u8 version`` (the server's)
+           0x81    ATTACHED ``u32 slot``
            0x82    DETACHED
            0x83    PRED    ``u32 kh, u32 kw, u32 c, f32[kh*kw*c]``
            0x84    PENDING (stream's first window — no output yet)
@@ -57,8 +63,12 @@ from bmcnet_esr_tpu.inference.streaming import StreamPool
 
 _U32 = struct.Struct("<I")
 
-ATTACH, DETACH, PUSH = 0x01, 0x02, 0x03
-ATTACHED, DETACHED, PRED, PENDING, ERROR = 0x81, 0x82, 0x83, 0x84, 0x85
+PROTOCOL_VERSION = 1
+
+HELLO, ATTACH, DETACH, PUSH = 0x00, 0x01, 0x02, 0x03
+HELLO_OK, ATTACHED, DETACHED, PRED, PENDING, ERROR = (
+    0x80, 0x81, 0x82, 0x83, 0x84, 0x85,
+)
 
 
 def _frame(opcode: int, body: bytes = b"") -> bytes:
@@ -104,11 +114,12 @@ def _read_frame(sock: socket.socket) -> Tuple[int, bytes]:
 class _Conn:
     """Per-client-socket I/O state: partial-frame read + unsent-reply buffers."""
 
-    __slots__ = ("rbuf", "wbuf")
+    __slots__ = ("rbuf", "wbuf", "hello_done")
 
     def __init__(self) -> None:
         self.rbuf = bytearray()
         self.wbuf = bytearray()
+        self.hello_done = False  # version handshake completed
 
 
 class EventSRServer:
@@ -357,6 +368,24 @@ class EventSRServer:
             self._drop(sock)
 
     def _handle(self, sock: socket.socket, opcode: int, body: bytes) -> None:
+        conn = self._bufs.get(sock)
+        if conn is not None and not conn.hello_done:
+            # the FIRST frame must be a matching HELLO: anything else means
+            # the peer speaks a different protocol (or a future version) —
+            # reply with a clean version error and close, never decode
+            if opcode != HELLO or len(body) < 1 or body[0] != PROTOCOL_VERSION:
+                got = body[0] if (opcode == HELLO and body) else None
+                msg = (
+                    f"protocol version mismatch: server speaks v{PROTOCOL_VERSION}, "
+                    + (f"client sent v{got}" if got is not None
+                       else "connection must open with HELLO")
+                )
+                self._send(sock, _frame(ERROR, msg.encode()))
+                self._drop(sock)
+                return
+            conn.hello_done = True
+            self._send(sock, _frame(HELLO_OK, bytes([PROTOCOL_VERSION])))
+            return
         try:
             if opcode == ATTACH:
                 slot = self.pool.attach()
@@ -443,6 +472,11 @@ class EventSRClient:
     def __init__(self, host: str, port: int):
         self._sock = socket.create_connection((host, port))
         self.slot: Optional[int] = None
+        # version handshake first — a mismatched server replies ERROR here
+        self._sock.sendall(_frame(HELLO, bytes([PROTOCOL_VERSION])))
+        opcode, body = _read_frame(self._sock)
+        self._check(opcode, HELLO_OK, body)
+        self.server_version = body[0]
 
     def attach(self) -> int:
         self._sock.sendall(_frame(ATTACH))

@@ -291,6 +291,42 @@ class LPIPS:
         lins = load_lin_weights(lin_weights_path, net) if lin_weights_path else None
         return cls(convert_backbone_state_dict(backbone_state_dict, net), lins, net, **kwargs)
 
+    # -- torch-free weight bundles (tools/convert_lpips.py) -----------------
+    # Pre-converting the .pth pair to one .npz keeps torch OUT of training
+    # runtime: the LPIPS loss term in a recipe (training/losses.py) loads
+    # bundles without importing torch.
+
+    def to_npz(self, path: str) -> str:
+        data: Dict[str, np.ndarray] = {
+            "meta/net": np.asarray(self.net),
+            "meta/version": np.asarray(self.version),
+            "meta/lpips": np.asarray(int(self.lpips)),
+        }
+        for k, v in self.backbone.items():
+            data[f"backbone/{k}"] = np.asarray(v)
+        for i, lin in enumerate(self.lins or ()):
+            data[f"lin/{i}"] = np.asarray(lin)
+        np.savez_compressed(path, **data)
+        return path
+
+    @classmethod
+    def from_npz(cls, path: str, **kwargs) -> "LPIPS":
+        with np.load(path) as z:
+            net = str(z["meta/net"])
+            kwargs.setdefault("version", str(z["meta/version"]))
+            kwargs.setdefault("lpips", bool(int(z["meta/lpips"])))
+            backbone = {
+                k[len("backbone/"):]: jnp.asarray(z[k])
+                for k in z.files
+                if k.startswith("backbone/")
+            }
+            lin_keys = sorted(
+                (k for k in z.files if k.startswith("lin/")),
+                key=lambda k: int(k.split("/")[1]),
+            )
+            lins = [jnp.asarray(z[k]) for k in lin_keys] or None
+        return cls(backbone, lins, net, **kwargs)
+
     def __call__(
         self,
         in0: Array,

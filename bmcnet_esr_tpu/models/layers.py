@@ -78,12 +78,6 @@ FORCE_HIGHEST_PRECISION = False
 # re-route the model.
 QUANT_MODES = (True, "xla", "p1x1", "pconv", "pall")
 
-# Deprecated global switches (or-ed in for backward compatibility; prefer
-# the ``quant`` mode string — these must stay set for the model's whole
-# lifetime to have effect, since setup re-runs per apply).
-QUANT_1X1_PALLAS = False
-QUANT_3X3_PALLAS = False
-
 
 def _conv(nf: int, kernel: int, dtype, name: str | None = None, quant: Any = False):
     # int8 mode quantizes only the FLOPs-dominant 3x3 convs (~85% of model
@@ -92,7 +86,7 @@ def _conv(nf: int, kernel: int, dtype, name: str | None = None, quant: Any = Fal
     # all-conv quantization is a net LOSS, 848 vs 932 fps bf16; extending
     # int8 to just the 1x1s under the calibrated-scale path is also a loss,
     # 967 vs 1044 fps — the rescale epilogues lower as separate HBM passes
-    # that outweigh the ~1/3 BIE-conv FLOPs they cover).  QUANT_1X1_PALLAS
+    # that outweigh the ~1/3 BIE-conv FLOPs they cover).  Mode "p1x1"
     # routes the 1x1s through the fused ops/pallas/qmm kernel instead, which
     # does quantize -> int8 dot -> rescale in one VMEM pass (no extra HBM
     # traffic — the route the XLA loss measurement motivated).
@@ -102,8 +96,8 @@ def _conv(nf: int, kernel: int, dtype, name: str | None = None, quant: Any = Fal
         # that is exactly the misroute class the mode-on-module design exists
         # to prevent (a benchmark would measure the wrong kernel)
         raise ValueError(f"unknown quant mode {quant!r}; expected one of {QUANT_MODES}")
-    p1 = mode in ("p1x1", "pall") or QUANT_1X1_PALLAS
-    p3 = mode in ("pconv", "pall") or QUANT_3X3_PALLAS
+    p1 = mode in ("p1x1", "pall")
+    p3 = mode in ("pconv", "pall")
     if mode and (kernel >= 3 or p1):
         return QuantConv(
             features=nf, kernel=kernel, dtype=dtype, name=name,

@@ -49,15 +49,19 @@ def _rollout_losses(
     gt_resolution: Tuple[int, int],
     use_remat: bool,
     extra_losses: Tuple = (),
+    inp_events: Array | None = None,  # [B, L, 4, N] raw (for event-consuming terms)
 ) -> Tuple[Array, Array]:
     """Per-step PER-CLIP (MSE, total) over the recurrent unroll -> two
     ``[S, B]`` arrays (clip-resolved so a masked eval can exclude padding).
 
-    ``extra_losses``: tuples ``(name, weight, fn)`` with ``fn(pred_fit, gt)``
-    on NHWC images -> scalar; the per-step total is
-    ``mse + sum(w * fn(...))`` (the reference trains MSE-only,
+    ``extra_losses``: tuples ``(name, weight, fn)`` with
+    ``fn(pred_fit, gt, aux)`` on NHWC images -> scalar; the per-step total
+    is ``mse + sum(w * fn(...))`` (the reference trains MSE-only,
     ``train.py:647-649``; composition covers recipes like RGB recon + LPIPS,
-    BASELINE config #4).
+    BASELINE config #4).  ``aux`` carries the raw prediction, the previous
+    step's output, the input windows, the scan index, and (when
+    ``inp_events`` is given) the step's raw event window — the contract
+    ``bmcnet_esr_tpu.losses.terms`` documents.
     """
     b, l, h, w, _ = inp_frames.shape
     pairs = sliding_pairs(inp_frames, seqn)  # [B, S, seqn, H, W, 2]
@@ -65,11 +69,17 @@ def _rollout_losses(
     s = xs_seq.shape[0]
     # GT of the second window in each seqn-window (reference gt_cnt[:, 1])
     gts_seq = jnp.moveaxis(gt_frames[:, 1 : 1 + s], 1, 0)  # [S, B, kH, kW, 2]
+    xs = {"x": xs_seq, "gt": gts_seq, "step": jnp.arange(s)}
+    if inp_events is not None:
+        # the step's "current" window = the pair's second window (index 1,
+        # the one the GT aligns to — mirrors gts_seq above)
+        xs["events"] = jnp.moveaxis(inp_events[:, 1 : 1 + s], 1, 0)
 
     carry0 = tuple(model.init_state(b, h, w))
 
     def body(carry, inputs):
-        x, gt = inputs
+        x, gt = inputs["x"], inputs["gt"]
+        prev_pred = carry[-1]  # the recurrent output slot (both variants)
         outs = model.apply(params, x, *carry)
         pred = outs[-1]
         if pred.shape[1:3] != gt.shape[1:3]:
@@ -78,15 +88,53 @@ def _rollout_losses(
             pred_fit = pred
         mse = jnp.mean(jnp.square(pred_fit - gt), axis=(1, 2, 3))  # [B]
         total = mse
-        for _, weight, fn in extra_losses:
-            total = total + weight * fn(pred_fit, gt)  # scalar, broadcast
+        if extra_losses:
+            aux = {
+                "pred": pred,
+                "prev_pred": prev_pred,
+                "inp": x,
+                "step": inputs["step"],
+            }
+            if "events" in inputs:
+                aux["events"] = inputs["events"]
+            for _, weight, fn in extra_losses:
+                total = total + weight * fn(pred_fit, gt, aux)  # scalar, broadcast
         return tuple(outs), (mse, total)
 
     if use_remat:
         body = jax.checkpoint(body)
 
-    _, (mses, totals) = jax.lax.scan(body, carry0, (xs_seq, gts_seq))
+    _, (mses, totals) = jax.lax.scan(body, carry0, xs)
     return mses, totals
+
+
+def _normalized(extra_losses: Tuple) -> Tuple:
+    """Adapt legacy two-argument terms to the ``fn(pred, gt, aux)`` contract
+    (trace-time only; see ``training.losses.adapt_term``)."""
+    if not extra_losses:
+        return ()
+    from bmcnet_esr_tpu.training.losses import adapt_term
+
+    return tuple((n, w, adapt_term(fn)) for n, w, fn in extra_losses)
+
+
+def _events_for_terms(batch: Dict[str, Array], extra_losses: Tuple):
+    """Raw per-clip event windows when any term consumes ``aux['events']``.
+
+    The compact int16/int8 transfer drops timestamps, so event-consuming
+    terms (flow / brightness-constancy families) need the raw format —
+    ``compact_transfer: False`` in the dataloader block.
+    """
+    if not any(getattr(fn, "needs_events", False) for _, _, fn in extra_losses):
+        return None
+    if "inp_events" not in batch:
+        raise ValueError(
+            "an attached loss term consumes raw event windows (needs_events) "
+            "but the batch has no 'inp_events' — the compact transfer format "
+            "drops timestamps; set compact_transfer: False in the dataloader "
+            "config"
+        )
+    return batch["inp_events"]
 
 
 def sequence_loss(
@@ -102,11 +150,12 @@ def sequence_loss(
     """Total BPTT loss for one batch of clips; aux = reference log metrics.
     ``batch`` carries either raw ``{inp,gt}_events`` or the compact
     ``{inp,gt}_{xy,p}`` transfer format (``SequenceLoader(compact=True)``)."""
+    extra_losses = _normalized(extra_losses)
     inp_frames = counts_from_batch(batch, "inp", tuple(inp_resolution))
     gt_frames = counts_from_batch(batch, "gt", tuple(gt_resolution))
     mses, totals = _rollout_losses(
         model, params, inp_frames, gt_frames, seqn, tuple(gt_resolution), use_remat,
-        extra_losses,
+        extra_losses, inp_events=_events_for_terms(batch, extra_losses),
     )  # [S, B] each
     total = jnp.sum(jnp.mean(totals, axis=1))
     return total, {"mse_loss": jnp.mean(mses[-1]), "loss": total}
@@ -226,11 +275,13 @@ def make_eval_step(
     """
 
     def step(params, batch: Dict[str, Array]):
+        terms = _normalized(extra_losses)
         inp_frames = counts_from_batch(batch, "inp", tuple(inp_resolution))
         gt_frames = counts_from_batch(batch, "gt", tuple(gt_resolution))
         mses, totals = _rollout_losses(
             model, params, inp_frames, gt_frames, seqn, tuple(gt_resolution),
-            use_remat=False, extra_losses=extra_losses,
+            use_remat=False, extra_losses=terms,
+            inp_events=_events_for_terms(batch, terms),
         )  # [S, B]
         w = batch.get("clip_mask", jnp.ones(inp_frames.shape[0]))
         wsum = jnp.maximum(jnp.sum(w), 1.0)

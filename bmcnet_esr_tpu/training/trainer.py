@@ -94,6 +94,7 @@ class Trainer:
         valid_loader: Optional[SequenceLoader] = None,
         seed: int = 3407,
         logger: Optional[logging.Logger] = None,
+        extra_losses: tuple = (),
     ):
         self.run = run
         cfg = run.config
@@ -159,9 +160,33 @@ class Trainer:
             cfg.get("optimizer", {}), cfg.get("lr_scheduler", {}), tcfg
         )
 
-        from bmcnet_esr_tpu.training.losses import build_extra_losses
+        from bmcnet_esr_tpu.losses.terms import LossContext
+        from bmcnet_esr_tpu.training.losses import (
+            adapt_term,
+            build_extra_losses,
+            needs_events,
+        )
 
-        self.extra_losses = build_extra_losses(cfg.get("loss"))
+        # config `loss:` block terms + programmatic terms via the
+        # extra_losses= constructor argument: (name, weight, fn) tuples with
+        # fn(pred, gt, aux) (two-arg fns adapted) — the open extension point
+        # for losses no YAML spec covers
+        ctx = LossContext(
+            inp_resolution=tuple(self.inp_resolution),
+            gt_resolution=tuple(self.gt_resolution),
+            scale=scale,
+            seqn=self.seqn,
+        )
+        self.extra_losses = build_extra_losses(cfg.get("loss"), ctx) + tuple(
+            (n, float(w), adapt_term(fn)) for n, w, fn in extra_losses
+        )
+        if needs_events(self.extra_losses) and self.train_loader.compact:
+            raise ValueError(
+                "an attached loss term consumes raw event windows "
+                "(needs_events) but the train dataloader uses the compact "
+                "transfer format, which drops timestamps — set "
+                "compact_transfer: False in the train_dataloader block"
+            )
         if self.extra_losses:
             self.logger.info(
                 "extra loss terms: "

@@ -141,6 +141,7 @@ class TestServingBundle:
         live = StreamingSR(model, calibrated, RES, window_size=WINDOW)
         served = ExportedStream(out)
         assert served.meta["quant"] is True
+        assert served.meta["quant_mode"] == "xla"
         for i, ev in enumerate(make_windows(4, seed=12)):
             a, b = live.push(ev), served.push(ev)
             if a is not None:

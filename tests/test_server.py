@@ -41,6 +41,17 @@ def server(model_vars):
     srv.shutdown()
 
 
+def raw_hello(sock):
+    """Raw-socket version handshake (what EventSRClient does on connect)."""
+    from bmcnet_esr_tpu.inference import server as server_mod
+
+    sock.sendall(server_mod._frame(server_mod.HELLO,
+                                   bytes([server_mod.PROTOCOL_VERSION])))
+    opcode, body = server_mod._read_frame(sock)
+    assert opcode == server_mod.HELLO_OK
+    assert body[0] == server_mod.PROTOCOL_VERSION
+
+
 def make_windows(rng, count, n=48):
     out = []
     for _ in range(count):
@@ -103,6 +114,41 @@ class TestServer:
         # oversize window is rejected at tick time with an ERROR reply
         with pytest.raises(RuntimeError, match="exceeds window_size"):
             client.push(np.zeros((4, WINDOW * 2), np.float32))
+        client.close()
+
+    def test_version_mismatch_gets_clean_error(self, server):
+        """A client of a future incompatible build must get a clean version
+        ERROR and a close — never undefined decode behavior (VERDICT r2
+        weak #5)."""
+        import socket as socket_mod
+
+        from bmcnet_esr_tpu.inference import server as server_mod
+
+        # wrong version byte
+        s = socket_mod.create_connection(server.address)
+        s.settimeout(5.0)
+        s.sendall(server_mod._frame(server_mod.HELLO, bytes([99])))
+        opcode, body = server_mod._read_frame(s)
+        assert opcode == server_mod.ERROR
+        assert "version" in body.decode() and "v99" in body.decode()
+        assert s.recv(1) == b""  # server closed after the error
+        s.close()
+
+        # well-formed v1 frames but no HELLO first
+        s = socket_mod.create_connection(server.address)
+        s.settimeout(5.0)
+        s.sendall(server_mod._frame(server_mod.ATTACH))
+        opcode, body = server_mod._read_frame(s)
+        assert opcode == server_mod.ERROR and b"HELLO" in body
+        assert s.recv(1) == b""
+        s.close()
+
+        # daemon still serving handshaked clients
+        client = EventSRClient(*server.address)
+        assert client.server_version == server_mod.PROTOCOL_VERSION
+        client.attach()
+        assert client.push(np.zeros((4, 4), np.float32)) is None
+        client.detach()
         client.close()
 
     def test_malformed_frames_dont_kill_the_daemon(self, server):
@@ -168,7 +214,7 @@ class TestServer:
         def fuzz_once(i):
             s = socket_mod.create_connection(server.address)
             s.settimeout(5.0)
-            kind = i % 4
+            kind = i % 6
             if kind == 0:  # pure random bytes
                 s.sendall(rng.bytes(int(rng.integers(1, 512))))
             elif kind == 1:  # valid length word, random opcode + body
@@ -177,8 +223,14 @@ class TestServer:
                 )
                 s.sendall(struct.pack("<I", len(body)) + body)
             elif kind == 2:  # well-formed PUSH header lying about its size
+                raw_hello(s)
                 body = struct.pack("<II", 0, 10**6) + rng.bytes(16)
                 s.sendall(server_mod._frame(server_mod.PUSH, body))
+            elif kind == 3:  # well-formed-but-FUTURE-VERSION hello
+                v = int(rng.integers(server_mod.PROTOCOL_VERSION + 1, 256))
+                s.sendall(server_mod._frame(server_mod.HELLO, bytes([v])))
+            elif kind == 4:  # correct opcode stream but no HELLO first
+                s.sendall(server_mod._frame(server_mod.ATTACH, b""))
             else:  # byte-dribbled truncated frame, then abrupt close
                 frame = server_mod._frame(server_mod.ATTACH, b"")
                 for b in frame[: int(rng.integers(1, len(frame)))]:
@@ -221,6 +273,7 @@ class TestServer:
         server._handle = spy
         try:
             raw = socket_mod.create_connection(server.address)
+            raw_hello(raw)
             raw.sendall(server_mod._frame(server_mod.ATTACH, b""))
             raw.close()  # FIN right behind the frame
             deadline = time_mod.time() + 10
@@ -441,6 +494,7 @@ class TestServer:
             # old owner: attach, push one window, then vanish while the tick
             # is still in flight (no reply read, abrupt close)
             raw = socket_mod.create_connection(server.address)
+            raw_hello(raw)
             raw.sendall(server_mod._frame(server_mod.ATTACH))
             opcode, payload = server_mod._read_frame(raw)
             assert opcode == server_mod.ATTACHED
