@@ -383,7 +383,9 @@ def _wait_for_chip(budget_s: float, probe_timeout_s: float = 120.0) -> bool:
 def _run_child(mode: str, state_file: str, budget_s: float, stall_s: float, env=None) -> dict:
     """Run a measurement child; kill it on stall/budget; return its partials."""
     args = [sys.executable, os.path.abspath(__file__), mode, state_file, str(budget_s)]
-    proc = subprocess.Popen(args, env=env, cwd=_REPO)
+    # children report via the state file; their stdout goes to OUR stderr so
+    # stray library prints can never pollute the parent's single JSON line
+    proc = subprocess.Popen(args, env=env, cwd=_REPO, stdout=sys.stderr.fileno())
     t_end = time.monotonic() + budget_s
     last_change = time.monotonic()
     last_mtime = 0.0
@@ -427,6 +429,15 @@ def main():
     status = "ok"
     if chip_ok:
         aux = _run_child("--child-tpu", os.path.join(tmpdir, "tpu.json"), TPU_BUDGET_S, STALL_S)
+        if not aux and _wait_for_chip(min(PROBE_BUDGET_S, 600.0)):
+            # the tunnel can flap: answer one probe, then wedge the child at
+            # plugin init before ANY metric lands (observed).  If it answers
+            # again now, the child gets ONE bounded retry.
+            print("bench: empty first TPU attempt, chip answers — retrying once",
+                  file=sys.stderr, flush=True)
+            aux = _run_child(
+                "--child-tpu", os.path.join(tmpdir, "tpu2.json"), TPU_BUDGET_S, STALL_S
+            )
         if not aux.pop("tpu_bench_complete", False):
             status = "partial" if any(k.startswith("fps") for k in aux) else "chip_unavailable"
     else:

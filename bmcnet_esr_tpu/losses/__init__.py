@@ -29,6 +29,7 @@ from bmcnet_esr_tpu.losses.iwe import (
 )
 from bmcnet_esr_tpu.losses.flow import averaged_iwe, event_warping_loss
 from bmcnet_esr_tpu.losses.gradients import sobel
+from bmcnet_esr_tpu.losses.terms import LossContext
 from bmcnet_esr_tpu.losses.reconstruction import (
     BrightnessConstancy,
     generative_model_loss,
@@ -69,4 +70,5 @@ __all__ = [
     "generative_model_loss",
     "temporal_consistency_loss",
     "total_variation_loss",
+    "LossContext",
 ]

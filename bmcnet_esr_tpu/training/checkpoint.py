@@ -36,17 +36,28 @@ def save_checkpoint(
 ) -> str:
     name = "best" if best else f"iteration_{iteration}"
     path = os.path.join(os.path.abspath(ckpt_dir), name)
-    ckptr = _checkpointer()
-    if os.path.exists(path):
+    multiprocess = jax.process_count() > 1
+    if (not multiprocess or jax.process_index() == 0) and os.path.exists(path):
         import shutil
 
         shutil.rmtree(path)
+    if multiprocess:
+        # orbax saves are COLLECTIVE under jax.distributed: every process
+        # must call save on the SAME path or the coordination-service
+        # barrier inside deadlocks the cluster (measured: a host-0-only
+        # save hangs).  The barrier here keeps host 0's rmtree of a
+        # pre-existing dir ordered before anyone starts writing.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("ckpt_pre_save")
+    ckptr = _checkpointer()
     ckptr.save(path, jax.device_get(state))
     ckptr.wait_until_finished()
     payload = dict(meta or {})
     payload["iteration"] = iteration
-    with open(os.path.join(path, "trainer_meta.json"), "w") as f:
-        json.dump(payload, f)
+    if not multiprocess or jax.process_index() == 0:
+        with open(os.path.join(path, "trainer_meta.json"), "w") as f:
+            json.dump(payload, f)
     return path
 
 

@@ -162,6 +162,51 @@ class TestMultiProcessDataParallel:
         )
         np.testing.assert_allclose(results[0]["param_digest"], ref_digest, rtol=1e-5)
 
+    def test_full_trainer_runs_two_process(self, fixture_h5, tmp_path):
+        """The whole Trainer under a real 2-process cluster: per-process
+        loader sharding via build_loader, the multi-host mesh branch,
+        sharded validation, and the host-0-only checkpoint write."""
+        datalist = tmp_path / "list.txt"
+        datalist.write_text(fixture_h5 + "\n")
+        worker = os.path.join(_REPO, "tests", "multihost_trainer_worker.py")
+        port = _free_port()
+        env = _worker_env()
+        procs, outs = [], []
+        for pid in range(2):
+            out = str(tmp_path / f"tw{pid}.json")
+            outs.append(out)
+            procs.append(
+                subprocess.Popen(
+                    [
+                        sys.executable, worker, f"localhost:{port}", str(pid),
+                        "2", str(datalist), str(tmp_path / "runs"), out,
+                    ],
+                    env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                )
+            )
+        results = []
+        for p, out in zip(procs, outs):
+            try:
+                stdout, stderr = p.communicate(timeout=600)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            assert p.returncode == 0, f"trainer worker failed:\n{stderr.decode()[-3000:]}"
+            with open(out) as f:
+                results.append(json.load(f))
+
+        # identical replicated trajectory observed on both hosts
+        assert results[0]["losses"] == results[1]["losses"]
+        assert len(results[0]["losses"]) == 4
+        assert all(np.isfinite(v) for v in results[0]["losses"])
+        assert results[0]["param_digest"] == results[1]["param_digest"]
+        assert results[0]["valid_loss"] == results[1]["valid_loss"]
+        assert np.isfinite(results[0]["valid_loss"])
+        # the collective save landed in the shared run dir, visible to both
+        assert results[0]["checkpoints"] == ["iteration_3"]
+        assert results[1]["checkpoints"] == ["iteration_3"]
+
     def test_wrap_padded_shards_cover_the_dataset(self, fixture_h5):
         """DistributedSampler semantics across shards: equal shard lengths
         (wrap padding) and full coverage of the clip index space."""
