@@ -180,13 +180,18 @@ class Trainer:
         self.extra_losses = build_extra_losses(cfg.get("loss"), ctx) + tuple(
             (n, float(w), adapt_term(fn)) for n, w, fn in extra_losses
         )
-        if needs_events(self.extra_losses) and self.train_loader.compact:
-            raise ValueError(
-                "an attached loss term consumes raw event windows "
-                "(needs_events) but the train dataloader uses the compact "
-                "transfer format, which drops timestamps — set "
-                "compact_transfer: False in the train_dataloader block"
-            )
+        if needs_events(self.extra_losses):
+            for label, loader in (
+                ("train_dataloader", self.train_loader),
+                ("valid_dataloader", self.valid_loader),
+            ):
+                if loader is not None and loader.compact:
+                    raise ValueError(
+                        "an attached loss term consumes raw event windows "
+                        f"(needs_events) but the {label} uses the compact "
+                        "transfer format, which drops timestamps — set "
+                        f"compact_transfer: False in the {label} block"
+                    )
         if self.extra_losses:
             self.logger.info(
                 "extra loss terms: "

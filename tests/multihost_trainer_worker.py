@@ -97,6 +97,11 @@ def main() -> None:
     ckpts = sorted(
         n for n in os.listdir(ckpt_dir) if n.startswith("iteration_")
     ) if os.path.isdir(ckpt_dir) else []
+
+    # restore is collective too: every process resumes the shared checkpoint
+    from bmcnet_esr_tpu.training.checkpoint import latest_checkpoint
+
+    resume_start = tr.resume(latest_checkpoint(ckpt_dir))
     with open(out_path, "w") as f:
         json.dump(
             {
@@ -105,6 +110,7 @@ def main() -> None:
                 "param_digest": digest,
                 "valid_loss": tr.valid_metrics.result().get("valid_loss"),
                 "checkpoints": ckpts,
+                "resume_start": resume_start,
             },
             f,
         )

@@ -206,6 +206,8 @@ class TestMultiProcessDataParallel:
         # the collective save landed in the shared run dir, visible to both
         assert results[0]["checkpoints"] == ["iteration_3"]
         assert results[1]["checkpoints"] == ["iteration_3"]
+        # ...and the collective restore resumed both hosts past it
+        assert results[0]["resume_start"] == results[1]["resume_start"] == 4
 
     def test_wrap_padded_shards_cover_the_dataset(self, fixture_h5):
         """DistributedSampler semantics across shards: equal shard lengths
