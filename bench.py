@@ -107,6 +107,8 @@ def _rollout_fps(batch: int, dtype_name: str = "bfloat16", chunk: int = CHUNK) -
         quant_mode = {
             "int8": True, "int8_p1x1": "p1x1",
             "int8_pconv": "pconv", "int8_pall": "pall",
+            "int8_pquant": "pquant", "int8_chain": "chain",
+            "int8_chainq": "chainq",
         }[dtype_name]
         model = BMCNet(
             scale=SCALE, n_c=128, n_b=5, dtype=jnp.bfloat16, quant=quant_mode
@@ -303,19 +305,28 @@ def child_tpu(state_file: str, budget_s: float) -> None:
         lambda: bench_train_iters_per_sec(dtype_name="bfloat16"),
         optional=True,
     )
-    # Pallas-route decision record (docs/DESIGN.md §6): driver-captured
-    # per-mode fps so the int8 default rests on artifact numbers
-    record("fps_int8_p1x1", lambda: _rollout_fps(B, "int8_p1x1"), optional=True)
-    record("fps_int8_pconv", lambda: _rollout_fps(B, "int8_pconv"), optional=True)
-    record("fps_int8_pall", lambda: _rollout_fps(B, "int8_pall"), optional=True)
     # true one-window-per-dispatch latency (reference's exact measurement
     # shape); on this attachment it is dominated by the ~33 ms tunnel
-    # dispatch overhead — the amortized number above is the serving figure
+    # dispatch overhead — the amortized number above is the serving figure.
+    # Cheap (reuses the bf16 B=1 compile) so it runs BEFORE the route
+    # probes: only those risk the budget skip.
     record(
         "b1_ms_single_dispatch",
         lambda: 1000.0 / _rollout_fps(1, "bfloat16", chunk=1),
         optional=True,
     )
+    # quantize-pass attack modes (the act-quantize passes are 38% of the
+    # int8 step): standalone Pallas quantize / chained conv1->conv2 int8
+    # epilogue / both (models/layers.QUANT_MODES, ops/pallas/quantize.py)
+    record("fps_int8_chain", lambda: _rollout_fps(B, "int8_chain"), optional=True)
+    record("fps_int8_chain_b16", lambda: _rollout_fps(16, "int8_chain"), optional=True)
+    record("fps_int8_pquant", lambda: _rollout_fps(B, "int8_pquant"), optional=True)
+    record("fps_int8_chainq", lambda: _rollout_fps(B, "int8_chainq"), optional=True)
+    # Pallas-route decision record (docs/DESIGN.md §6): driver-captured
+    # per-mode fps so the int8 default rests on artifact numbers
+    record("fps_int8_p1x1", lambda: _rollout_fps(B, "int8_p1x1"), optional=True)
+    record("fps_int8_pconv", lambda: _rollout_fps(B, "int8_pconv"), optional=True)
+    record("fps_int8_pall", lambda: _rollout_fps(B, "int8_pall"), optional=True)
     aux["tpu_bench_complete"] = True
     _write_state(state_file, aux)
 
@@ -468,6 +479,10 @@ def main():
             ("fps_int8_p1x1", "int8+pallas1x1"),
             ("fps_int8_pconv", "int8+pallas3x3"),
             ("fps_int8_pall", "int8+pallas-all"),
+            ("fps_int8_pquant", "int8+pallas-quantize"),
+            ("fps_int8_chain", "int8+chained-epilogue"),
+            ("fps_int8_chainq", "int8+chain+pquant"),
+            ("fps_int8_chain_b16", "int8+chain@B16"),
         ]
         if aux.get(k)
     ]

@@ -31,7 +31,7 @@ def main(argv=None):
     p.add_argument("--window", type=int, default=2048, help="events per window")
     p.add_argument("--batch", type=int, default=1, help="parallel stream lanes")
     p.add_argument(
-        "--dtype", type=str, default="float32", choices=["float32", "bfloat16", "int8", "int8_pconv", "int8_p1x1", "int8_pall"],
+        "--dtype", type=str, default="float32", choices=["float32", "bfloat16", "int8", "int8_pconv", "int8_p1x1", "int8_pall", "int8_pquant", "int8_chain", "int8_chainq"],
         help="serving compute mode (docs/DESIGN.md §4); int8 uses per-lane "
         "dynamic activation scales unless --calib_h5 bakes static ones "
         "into the bundle (the fast path: no per-call max pass)",

@@ -64,7 +64,7 @@ def main(argv=None):
                    help="roll out N same-resolution files as one batched "
                         "program (~1.7x datalist throughput at 8; skips PNGs)")
     p.add_argument("--dtype", type=str, default="float32",
-                   choices=["float32", "bfloat16", "int8", "int8_pconv", "int8_p1x1", "int8_pall"],
+                   choices=["float32", "bfloat16", "int8", "int8_pconv", "int8_p1x1", "int8_pall", "int8_pquant", "int8_chain", "int8_chainq"],
                    help="bfloat16 = serving mode (~3x fp32 throughput, "
                         "rel-RMSE < 5e-2 drift bound); int8 = W8A8 3x3 convs "
                         "on the int8 MXU with first-chunk scale calibration "

@@ -73,10 +73,13 @@ def load_model_for_inference(
     """
     cls = BMCNetPlain if variant == "plain" else BMCNet
     # "int8_pconv" / "int8_p1x1" / "int8_pall" select the fused Pallas
-    # routes (models/layers.QUANT_MODES); plain "int8" is the XLA route
+    # routes; "int8_pquant" / "int8_chain" / "int8_chainq" the quantize-pass
+    # attack modes (models/layers.QUANT_MODES); plain "int8" is the XLA route
     quant = {
         "int8": True, "int8_pconv": "pconv",
         "int8_p1x1": "p1x1", "int8_pall": "pall",
+        "int8_pquant": "pquant", "int8_chain": "chain",
+        "int8_chainq": "chainq",
     }.get(dtype, False)
     mdtype = jnp.bfloat16 if (dtype == "bfloat16" or quant) else jnp.float32
     model = cls(scale=scale, n_c=n_c, n_b=n_b, dtype=mdtype, quant=quant)

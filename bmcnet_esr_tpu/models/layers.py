@@ -72,11 +72,24 @@ FORCE_HIGHEST_PRECISION = False
 #                    serving step, tools/profile_rollout.py); the kernel
 #                    folds quantize -> 3x3 conv -> rescale into one VMEM pass
 #   "pall"         — both Pallas routes
+#   "pquant"       — XLA int8 convs, but the activation-quantize pass in
+#                    front of each runs as the standalone Pallas kernel
+#                    (ops/pallas/quantize.py) on the static-scale path: one
+#                    bandwidth-bound VMEM pass writing the s8 tiles directly,
+#                    vs XLA's ~2x-cost unfused clamp_convert
+#   "chain"        — ResidualBlock's conv1 emits int8 AT conv2's calibrated
+#                    scale straight from its own epilogue (rescale + bias +
+#                    relu + quantize in one chain), so the intermediate
+#                    bf16 tensor and its separate quantize pass disappear
+#   "chainq"       — chain + pquant
 # Checkpoints are unaffected by the mode (identical parameter tree).  The
 # mode lives on the module (NOT a global): flax ``setup`` re-runs on every
 # apply, so a global flag flipped after construction would silently
 # re-route the model.
-QUANT_MODES = (True, "xla", "p1x1", "pconv", "pall")
+QUANT_MODES = (True, "xla", "p1x1", "pconv", "pall", "pquant", "chain", "chainq")
+
+# modes whose ResidualBlocks chain conv1 -> conv2 through an int8 epilogue
+CHAIN_MODES = ("chain", "chainq")
 
 
 def _conv(nf: int, kernel: int, dtype, name: str | None = None, quant: Any = False):
@@ -98,11 +111,13 @@ def _conv(nf: int, kernel: int, dtype, name: str | None = None, quant: Any = Fal
         raise ValueError(f"unknown quant mode {quant!r}; expected one of {QUANT_MODES}")
     p1 = mode in ("p1x1", "pall")
     p3 = mode in ("pconv", "pall")
+    pq = mode in ("pquant", "chainq")
     if mode and (kernel >= 3 or p1):
         return QuantConv(
             features=nf, kernel=kernel, dtype=dtype, name=name,
             pallas_1x1=bool(p1 and kernel == 1),
             pallas_3x3=bool(p3 and kernel == 3),
+            pallas_quant=pq,
         )
     return nn.Conv(
         features=nf,
@@ -155,14 +170,36 @@ class QuantConv(nn.Module):
     # module fields so the route survives flax re-running setup per apply
     pallas_1x1: bool = False
     pallas_3x3: bool = False
+    pallas_quant: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(
+        self,
+        x: Array,
+        *,
+        in_scale: Array | None = None,
+        emit_scale: Array | None = None,
+        emit_relu: bool = False,
+    ) -> Array:
+        """``in_scale``: ``x`` is ALREADY int8 at that per-lane scale (a
+        chained producer's epilogue emitted it — skip this conv's own
+        quantize pass).  ``emit_scale``: instead of returning ``self.dtype``,
+        apply the epilogue (rescale + bias [+ relu]) and quantize the result
+        to int8 at that scale, so the elementwise chain fuses into the conv's
+        consumer fusion and the intermediate bf16 tensor never reaches HBM.
+        Both serve the "chain"/"chainq" modes (ResidualBlock conv1 -> conv2).
+        """
         cin = x.shape[-1]
         w = self.param(
             "kernel", conv_init, (self.kernel, self.kernel, cin, self.features), jnp.float32
         )
         b = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+
+        if in_scale is not None:
+            return self._convolve(
+                x, jnp.asarray(in_scale, jnp.float32).reshape(-1, 1, 1, 1),
+                w, b, emit_scale, emit_relu,
+            )
 
         xf = x.astype(jnp.float32)
         # per-LANE max: lane i's scale depends on lane i only, so batched
@@ -219,10 +256,29 @@ class QuantConv(nn.Module):
                     interpret=jax.default_backend() != "tpu",
                 )
                 return y.reshape(bq, hq, wsp, self.features)
+            if self.pallas_quant and not calibrating and not self.is_initializing():
+                # standalone Pallas bf16->s8 pass: writes the s8 tile layout
+                # directly instead of XLA's unfused clamp_convert round trip
+                # (ops/pallas/quantize.py docstring)
+                from bmcnet_esr_tpu.ops.pallas.quantize import quantize_act
+
+                xq = quantize_act(
+                    x, sx.reshape(-1), interpret=jax.default_backend() != "tpu"
+                )
+            else:
+                xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
         else:
             sx = jnp.maximum(act_max, 1e-12) / 127.0  # dynamic, per-lane
-        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+            xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        return self._convolve(xq, sx, w, b, emit_scale, emit_relu)
 
+    def _convolve(
+        self, xq: Array, sx: Array, w: Array, b: Array,
+        emit_scale: Array | None, emit_relu: bool,
+    ) -> Array:
+        """int8 conv + fp32 epilogue; optionally re-quantize the output for a
+        chained int8 consumer (note the Pallas 1x1/3x3 early returns above
+        never reach here — chain modes set neither flag)."""
         sw = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0  # [O]
         wq = jnp.clip(jnp.round(w / sw[None, None, None, :]), -127, 127).astype(jnp.int8)
 
@@ -233,6 +289,11 @@ class QuantConv(nn.Module):
             preferred_element_type=jnp.int32,
         )
         y = acc.astype(jnp.float32) * (sx * sw) + b
+        if emit_scale is not None:
+            if emit_relu:
+                y = jnp.maximum(y, 0.0)
+            se = jnp.asarray(emit_scale, jnp.float32).reshape(-1, 1, 1, 1)
+            return jnp.clip(jnp.round(y / se), -127, 127).astype(jnp.int8)
         return y.astype(self.dtype)
 
 
@@ -280,6 +341,28 @@ class ResidualBlock(nn.Module):
         self.conv2 = _conv(self.nf, 3, self.dtype, quant=self.quant)
 
     def __call__(self, x: Array) -> Array:
+        if (
+            isinstance(self.quant, str)
+            and self.quant in CHAIN_MODES
+            and not self.is_initializing()
+            # calibration must see the real bf16 intermediate to sow conv2's
+            # act_max, so the chain only engages on the calibrated fast path
+            and not self.is_mutable_collection("quant_stats")
+            and self.conv2.has_variable("quant", "act_scale")
+        ):
+            # chained epilogue: conv1 emits int8 AT conv2's calibrated scale
+            # straight from its own rescale+bias+relu chain, so the
+            # intermediate bf16 tensor and conv2's standalone quantize pass
+            # both disappear from the serving step (the quantize passes cost
+            # 38% of the int8 step, ops/pallas/quantize.py docstring).
+            # Numerics: conv2's input skips one bf16 rounding vs the unchained
+            # path (quantized from fp32 directly) — drift stays inside the
+            # int8 serving bound (tests/test_pallas.py::TestChainMode).
+            s2 = jnp.asarray(
+                self.conv2.get_variable("quant", "act_scale"), jnp.float32
+            ).reshape(-1)
+            h = self.conv1(x, emit_scale=s2, emit_relu=True)
+            return x + self.conv2(h, in_scale=s2)
         return x + self.conv2(nn.relu(self.conv1(x)))
 
 

@@ -216,3 +216,152 @@ class TestQuantConv3x3:
         scale = max(float(np.abs(p32).max()), 1.0)
         rel_rmse = float(np.sqrt(np.mean((pq - p32) ** 2))) / scale
         assert rel_rmse < 0.05, rel_rmse
+
+
+class TestPallasQuantize:
+    """Standalone activation-quantize kernel (ops/pallas/quantize.py)."""
+
+    @pytest.mark.parametrize("relu", [False, True])
+    @pytest.mark.parametrize("shape", [(2, 12, 16, 8), (1, 45, 80, 128)])
+    def test_matches_reference(self, relu, shape):
+        from bmcnet_esr_tpu.ops.pallas.quantize import quantize_act, quantize_reference
+
+        rng = np.random.default_rng(13)
+        b = shape[0]
+        x = jnp.asarray(rng.normal(0, 2.0, shape).astype(np.float32)).astype(jnp.bfloat16)
+        sx = jnp.asarray(rng.uniform(3.0, 9.0, b).astype(np.float32)) / 127.0
+        want = np.asarray(quantize_reference(x, sx, relu=relu))
+        got = np.asarray(quantize_act(x, sx, relu=relu, interpret=True))
+        np.testing.assert_array_equal(got, want)
+
+    def test_scalar_scale_broadcasts(self):
+        from bmcnet_esr_tpu.ops.pallas.quantize import quantize_act, quantize_reference
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(0, 1.0, (3, 6, 8, 4)).astype(np.float32))
+        sx = jnp.float32(0.05)
+        want = np.asarray(quantize_reference(x, sx))
+        got = np.asarray(quantize_act(x, sx, interpret=True))
+        np.testing.assert_array_equal(got, want)
+
+
+class TestChainMode:
+    """int8 quantize-pass attack modes: "pquant" (standalone Pallas
+    quantize), "chain" (ResidualBlock conv1 emits int8 at conv2's calibrated
+    scale from its own epilogue), "chainq" (both)."""
+
+    def _setup_model_and_rollout(self):
+        import jax
+        from bmcnet_esr_tpu.models import BMCNetPlain
+
+        rng = np.random.default_rng(3)
+        h = w = 12
+        x = jnp.asarray(rng.normal(0, 1.0, (5, 1, 2, h, w, 2)).astype(np.float32))
+        f32 = BMCNetPlain(scale=2, n_c=8, n_b=2)
+        variables = f32.init(jax.random.key(0), x[0], *f32.init_state(1, h, w))
+
+        def rollout(model, v):
+            carry = tuple(model.init_state(1, h, w))
+            preds = []
+            for i in range(x.shape[0]):
+                outs = model.apply(v, x[i], *carry)
+                carry = tuple(outs)
+                preds.append(np.asarray(outs[-1], np.float32))
+            return np.stack(preds)
+
+        return x, h, w, f32, variables, rollout
+
+    def test_quantconv_emit_and_in_scale_math(self):
+        """The chained-producer API: emit_scale quantizes the epilogue
+        (rescale + bias + relu) to int8 at the given scale, and in_scale
+        consumes pre-quantized int8 — composition equals explicit math."""
+        import jax
+        from bmcnet_esr_tpu.models.layers import QuantConv
+
+        rng = np.random.default_rng(9)
+        b, h, w, c = 2, 7, 9, 8
+        x = jnp.asarray(rng.normal(0, 1.5, (b, h, w, c)).astype(np.float32))
+        conv = QuantConv(features=c, kernel=3, dtype=jnp.float32)
+        v = conv.init(jax.random.key(1), x)
+        s_in = jnp.asarray(rng.uniform(2.0, 5.0, b).astype(np.float32)) / 127.0
+        s_emit = jnp.asarray(rng.uniform(2.0, 5.0, b).astype(np.float32)) / 127.0
+        v = dict(v) | {"quant": {"act_scale": s_in.reshape(b, 1, 1, 1)}}
+
+        # emit path == plain output -> relu -> quantize at s_emit
+        y = np.asarray(conv.apply(v, x), np.float32)
+        want = np.clip(
+            np.round(np.maximum(y, 0.0) / np.asarray(s_emit).reshape(-1, 1, 1, 1)),
+            -127, 127,
+        ).astype(np.int8)
+        got = np.asarray(conv.apply(v, x, emit_scale=s_emit, emit_relu=True))
+        np.testing.assert_array_equal(got, want)
+
+        # in_scale path == int8 conv on the given tensor at the given scale
+        xq = jnp.asarray(got)
+        y2 = np.asarray(conv.apply(v, xq, in_scale=s_emit), np.float32)
+        # reference: dequantize xq and push through the conv quantize-free
+        # math is exact only through the int8 conv; compare against the
+        # same conv applied to xq via the normal static path with act_scale
+        # forced to s_emit (identical int8 input => identical int32 conv)
+        v2 = dict(v) | {"quant": {"act_scale": s_emit.reshape(b, 1, 1, 1)}}
+        want2 = np.asarray(
+            conv.apply(v2, (xq.astype(jnp.float32) * s_emit.reshape(-1, 1, 1, 1))),
+            np.float32,
+        )
+        np.testing.assert_allclose(y2, want2, rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("mode", ["pquant", "chain", "chainq"])
+    def test_mode_rollout_within_drift_bound(self, mode):
+        import jax
+        from bmcnet_esr_tpu.models import BMCNetPlain, calibrate_act_scales
+
+        x, h, w, f32, variables, rollout = self._setup_model_and_rollout()
+        p32 = rollout(f32, variables)
+
+        q = BMCNetPlain(scale=2, n_c=8, n_b=2, dtype=jnp.bfloat16, quant=mode)
+        # identical param tree: checkpoints load unchanged
+        assert jax.tree.structure(q.init(
+            jax.random.key(0), x[0], *q.init_state(1, h, w)
+        )) == jax.tree.structure(variables)
+        vq = calibrate_act_scales(
+            q, variables, x, tuple(q.init_state(1, h, w)), max_steps=4
+        )
+        pq = rollout(q, vq)
+        scale = max(float(np.abs(p32).max()), 1.0)
+        rel_rmse = float(np.sqrt(np.mean((pq - p32) ** 2))) / scale
+        assert rel_rmse < 0.05, (mode, rel_rmse)
+
+    def test_chain_removes_standalone_quantize_passes(self):
+        """chainq must invoke the Pallas quantize kernel on strictly fewer
+        sites than pquant (conv2's standalone pass is gone), and both must
+        invoke it at least once (the route is actually taken)."""
+        import jax
+        from bmcnet_esr_tpu.models import BMCNetPlain, calibrate_act_scales
+        from bmcnet_esr_tpu.ops.pallas import quantize as quantize_mod
+
+        x, h, w, f32, variables, rollout = self._setup_model_and_rollout()
+
+        def count_calls(mode):
+            q = BMCNetPlain(scale=2, n_c=8, n_b=2, dtype=jnp.bfloat16, quant=mode)
+            vq = calibrate_act_scales(
+                q, variables, x, tuple(q.init_state(1, h, w)), max_steps=2
+            )
+            calls = []
+            orig = quantize_mod.quantize_act
+
+            def spy(*args, **kwargs):
+                calls.append(args[0].shape)
+                return orig(*args, **kwargs)
+
+            quantize_mod.quantize_act = spy
+            try:
+                carry = tuple(q.init_state(1, h, w))
+                q.apply(vq, x[0], *carry)
+            finally:
+                quantize_mod.quantize_act = orig
+            return len(calls)
+
+        n_pquant = count_calls("pquant")
+        n_chainq = count_calls("chainq")
+        assert n_pquant > 0 and n_chainq > 0
+        assert n_chainq < n_pquant, (n_chainq, n_pquant)
