@@ -82,14 +82,26 @@ FORCE_HIGHEST_PRECISION = False
 #                    relu + quantize in one chain), so the intermediate
 #                    bf16 tensor and its separate quantize pass disappear
 #   "chainq"       — chain + pquant
+#   "qat"          — quantization-aware TRAINING: the same 3x3 convs
+#                    fake-quantize activations and weights onto the int8
+#                    serving grid (per-lane dynamic act scales, per-out-
+#                    channel weight scales) but compute in float with
+#                    straight-through gradients, so `model;args;quant: qat`
+#                    in a training recipe fine-tunes a checkpoint FOR the
+#                    int8 serving modes (serve the result with any of them
+#                    — the param tree is identical)
 # Checkpoints are unaffected by the mode (identical parameter tree).  The
 # mode lives on the module (NOT a global): flax ``setup`` re-runs on every
 # apply, so a global flag flipped after construction would silently
 # re-route the model.
-QUANT_MODES = (True, "xla", "p1x1", "pconv", "pall", "pquant", "chain", "chainq")
+QUANT_MODES = (True, "xla", "p1x1", "pconv", "pall", "pquant", "chain", "chainq", "qat")
 
 # modes whose ResidualBlocks chain conv1 -> conv2 through an int8 epilogue
 CHAIN_MODES = ("chain", "chainq")
+
+# |x| quantile grid recorded during int8 calibration (models/quant.py picks
+# one when the caller asks for percentile calibration; max stays the default)
+_CALIB_QUANTILES = (0.995, 0.999, 0.9999)
 
 
 def _conv(nf: int, kernel: int, dtype, name: str | None = None, quant: Any = False):
@@ -118,6 +130,7 @@ def _conv(nf: int, kernel: int, dtype, name: str | None = None, quant: Any = Fal
             pallas_1x1=bool(p1 and kernel == 1),
             pallas_3x3=bool(p3 and kernel == 3),
             pallas_quant=pq,
+            qat=(mode == "qat"),
         )
     return nn.Conv(
         features=nf,
@@ -171,6 +184,7 @@ class QuantConv(nn.Module):
     pallas_1x1: bool = False
     pallas_3x3: bool = False
     pallas_quant: bool = False
+    qat: bool = False
 
     @nn.compact
     def __call__(
@@ -195,6 +209,9 @@ class QuantConv(nn.Module):
         )
         b = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
 
+        if self.qat:
+            return self._fake_quant(x, w, b)
+
         if in_scale is not None:
             return self._convolve(
                 x, jnp.asarray(in_scale, jnp.float32).reshape(-1, 1, 1, 1),
@@ -211,6 +228,19 @@ class QuantConv(nn.Module):
             self.sow(
                 "quant_stats", "act_max", act_max,
                 init_fn=lambda: jnp.zeros_like(act_max),
+                reduce_fn=jnp.maximum,
+            )
+            # ...and a small grid of high |x| quantiles (per lane), so
+            # percentile calibration (models/quant.CALIB_QUANTILES) can clip
+            # heavy-tailed outliers instead of spending int8 steps on them.
+            # Calibration-only cost; the serving hot loop never sees this.
+            absx = jnp.abs(xf).reshape(xf.shape[0], -1)
+            act_q = jnp.quantile(
+                absx, jnp.asarray(_CALIB_QUANTILES, jnp.float32), axis=1
+            )  # [Q, B]
+            self.sow(
+                "quant_stats", "act_q", act_q[..., None, None, None],
+                init_fn=lambda: jnp.zeros_like(act_q[..., None, None, None]),
                 reduce_fn=jnp.maximum,
             )
         if self.has_variable("quant", "act_scale"):
@@ -271,6 +301,40 @@ class QuantConv(nn.Module):
             sx = jnp.maximum(act_max, 1e-12) / 127.0  # dynamic, per-lane
             xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
         return self._convolve(xq, sx, w, b, emit_scale, emit_relu)
+
+    def _fake_quant(self, x: Array, w: Array, b: Array) -> Array:
+        """QAT forward: project activations and weights onto the EXACT int8
+        serving grid (same scale derivations as the int8 path below) but keep
+        the conv in float with straight-through gradients — ``d(round)/dv``
+        is treated as identity, which is exact here because max-derived
+        scales mean the clip never binds.  Scales carry no gradient
+        (``stop_gradient``), the standard LSQ-free QAT formulation.  A
+        checkpoint fine-tuned this way loads into any int8 serving mode
+        unchanged (identical param tree) with the quantization error it was
+        trained under."""
+        xf = x.astype(jnp.float32)
+        sx = jax.lax.stop_gradient(
+            jnp.maximum(jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True), 1e-12)
+            / 127.0
+        )
+        sw = jax.lax.stop_gradient(
+            jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
+        )
+
+        def ste(v, s):
+            q = jnp.clip(jnp.round(v / s), -127, 127) * s
+            return v + jax.lax.stop_gradient(q - v)
+
+        xdq = ste(xf, sx)
+        wdq = ste(w, sw[None, None, None, :])
+        p = self.kernel // 2
+        y = jax.lax.conv_general_dilated(
+            xdq.astype(self.dtype), wdq.astype(self.dtype), (1, 1), [(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=_prec(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return (y + b).astype(self.dtype)
 
     def _convolve(
         self, xq: Array, sx: Array, w: Array, b: Array,

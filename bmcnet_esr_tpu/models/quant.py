@@ -26,6 +26,10 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
+# the |x| quantile grid every calibration pass records (layers._CALIB_QUANTILES
+# is the sow site); `calibrate_act_scales(percentile=...)` picks one
+from bmcnet_esr_tpu.models.layers import _CALIB_QUANTILES as CALIB_QUANTILES
+
 
 # module-level so repeated calibrations (the engine re-derives scales per
 # rollout group) hit the SAME jit cache instead of re-tracing a fresh closure
@@ -35,17 +39,30 @@ def _calib_step(model, v, pair, carry):
     return tuple(outs), upd["quant_stats"]
 
 
-def _stats_to_scales(node: Any) -> Any:
-    """quant_stats tree -> quant tree: rename ``act_max`` leaves (flax sow
-    wraps them in a tuple) to ``act_scale`` = max/127, preserving nesting."""
+def _stats_to_scales(node: Any, q_index: int | None = None) -> Any:
+    """quant_stats tree -> quant tree: turn the sown range stats (flax sow
+    wraps them in a tuple) into ``act_scale`` leaves, preserving nesting.
+
+    ``q_index is None`` uses the per-lane max (``act_max``); otherwise the
+    ``act_q`` quantile-grid row at that index — percentile calibration clips
+    the heavy outlier tail of event activations so the 254 int8 steps cover
+    the mass of the distribution (values past the clip saturate at ±127,
+    which the int8 conv tolerates by design)."""
     if isinstance(node, dict):
         out: Dict[str, Any] = {}
         for k, v in node.items():
-            if k == "act_max":
+            if k == "act_max" and q_index is None:
                 leaf = v[0] if isinstance(v, (tuple, list)) else v
                 out["act_scale"] = jnp.maximum(jnp.asarray(leaf, jnp.float32), 1e-12) / 127.0
+            elif k == "act_q" and q_index is not None:
+                leaf = v[0] if isinstance(v, (tuple, list)) else v
+                out["act_scale"] = (
+                    jnp.maximum(jnp.asarray(leaf[q_index], jnp.float32), 1e-12) / 127.0
+                )
+            elif k in ("act_max", "act_q"):
+                continue  # the unselected stat
             else:
-                out[k] = _stats_to_scales(v)
+                out[k] = _stats_to_scales(v, q_index)
         return out
     return node
 
@@ -56,16 +73,32 @@ def calibrate_act_scales(
     pairs: Array,
     carry: Tuple[Array, ...],
     max_steps: int = 16,
+    percentile: float | None = None,
 ) -> Dict[str, Any]:
     """Run ``max_steps`` recurrent steps over ``pairs`` (``[S, B, 2, H, W, 2]``
-    count-window pairs, engine layout) recording per-conv activation maxima,
+    count-window pairs, engine layout) recording per-conv activation ranges,
     and return ``variables`` extended with the calibrated ``quant``
     collection.  The recurrent carry is advanced exactly as the serving
     rollout advances it (the model returns the next carry with ``pred`` in
     the feedback slot), so recorded ranges include recurrent-state growth.
 
+    ``percentile``: ``None`` (default) calibrates scales from the per-lane
+    max|x|; a value from :data:`CALIB_QUANTILES` instead clips at that |x|
+    quantile — event activations are heavy-tailed, and spending the int8
+    range on a few outliers costs resolution everywhere else (measured on
+    the released checkpoint: see tests/test_model_parity.py::TestInt8Serving
+    and docs/DESIGN.md §6).
+
     No-op (returns ``variables`` unchanged) for non-quantized models.
     """
+    q_index = None
+    if percentile is not None:
+        if percentile not in CALIB_QUANTILES:
+            raise ValueError(
+                f"percentile must be one of {CALIB_QUANTILES} (the grid the "
+                f"calibration pass records), got {percentile!r}"
+            )
+        q_index = CALIB_QUANTILES.index(percentile)
     if not getattr(model, "quant", False):
         return variables
 
@@ -79,7 +112,7 @@ def calibrate_act_scales(
 
     if stats is None:
         return variables
-    return {**variables, "quant": _stats_to_scales(stats)}
+    return {**variables, "quant": _stats_to_scales(stats, q_index)}
 
 
 def calibrate_from_h5(

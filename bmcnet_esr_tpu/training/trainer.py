@@ -53,8 +53,19 @@ def build_model(config: Dict[str, Any], scale: int):
     n_b = int(args.get("n_b", 5))
     variant = args.get("variant", "full")
     dtype = jnp.bfloat16 if args.get("dtype") == "bfloat16" else jnp.float32
+    # `model;args;quant: qat` fine-tunes ON the int8 serving grid
+    # (fake-quantized 3x3 convs with straight-through gradients,
+    # models/layers.py QUANT_MODES); the serving-only int8 modes make no
+    # sense in a trainer and are rejected up front rather than producing
+    # zero gradients through round/clip.
+    quant = args.get("quant", False)
+    if quant and quant != "qat":
+        raise ValueError(
+            f"model;args;quant: {quant!r} is a serving-only mode; the one "
+            "trainable quant mode is 'qat' (docs/DESIGN.md §6)"
+        )
     cls = BMCNetPlain if variant == "plain" else BMCNet
-    return cls(scale=scale, n_c=n_c, n_b=n_b, dtype=dtype)
+    return cls(scale=scale, n_c=n_c, n_b=n_b, dtype=dtype, quant=quant)
 
 
 def build_loader(

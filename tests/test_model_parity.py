@@ -364,3 +364,77 @@ class TestBf16Drift:
         # and in fp32-in/fp32-stats form the two formulas agree tightly
         y1p = np.asarray(ln16.apply(v, x.astype(jnp.bfloat16))).astype(np.float32)
         assert float(np.max(np.abs(y1p - y32))) < 0.1
+
+
+class TestPercentileCalibration:
+    """calibrate_act_scales(percentile=...) — the |x|-quantile alternative to
+    max calibration.  Measured on the released checkpoint it is a DEAD END
+    (max 0.00362 rel-RMSE vs 0.00358 at p0.9999 — noise — and 0.00944 at
+    p0.995; docs/DESIGN.md §6): the few-step per-lane max is already tight on
+    this model.  The knob stays because the measurement must be reproducible
+    and other data distributions are heavier-tailed."""
+
+    def _calibrated(self, percentile):
+        from bmcnet_esr_tpu.models import calibrate_act_scales
+
+        rng = np.random.default_rng(11)
+        h = w = 12
+        x = jnp.asarray(rng.normal(0, 1.0, (4, 2, 2, h, w, 2)).astype(np.float32))
+        q = BMCNetPlain(scale=2, n_c=8, n_b=2, dtype=jnp.bfloat16, quant=True)
+        v = q.init(jax.random.key(0), x[0], *q.init_state(2, h, w))
+        cal = calibrate_act_scales(
+            q, v, x, tuple(q.init_state(2, h, w)), max_steps=4, percentile=percentile
+        )
+        return q, cal, x, h, w
+
+    def test_quantile_scales_ordered_below_max(self):
+        """Lower percentile -> smaller (or equal) per-conv scales, all
+        bounded by the max-calibrated scale; every leaf stays positive."""
+        trees = [self._calibrated(p)[1]["quant"] for p in (0.995, 0.999, 0.9999, None)]
+        leaves = [jax.tree.leaves(t) for t in trees]
+        assert all(len(l) == len(leaves[0]) and l for l in leaves)
+        for lo, hi in zip(leaves, leaves[1:]):
+            for a, b in zip(lo, hi):
+                a, b = np.asarray(a), np.asarray(b)
+                assert np.all(a > 0)
+                assert np.all(a <= b * (1 + 1e-6)), (a.max(), b.max())
+
+    def test_percentile_rollout_within_bound(self):
+        q, cal, x, h, w = self._calibrated(0.9999)
+        carry = tuple(q.init_state(2, h, w))
+        f32 = BMCNetPlain(scale=2, n_c=8, n_b=2)
+        v32 = f32.init(jax.random.key(0), x[0], *f32.init_state(2, h, w))
+        outq = q.apply(cal, x[0], *carry)
+        out32 = f32.apply(v32, x[0], *carry)
+        d = np.asarray(outq[-1], np.float32) - np.asarray(out32[-1], np.float32)
+        scale = max(float(np.abs(np.asarray(out32[-1])).max()), 1.0)
+        assert float(np.sqrt(np.mean(d**2))) / scale < 0.05
+
+    def test_unknown_percentile_rejected(self):
+        from bmcnet_esr_tpu.models import calibrate_act_scales
+
+        with pytest.raises(ValueError, match="percentile"):
+            calibrate_act_scales(None, {}, None, (), percentile=0.5)
+
+
+class TestQATForward:
+    def test_qat_forward_tracks_int8_serving(self):
+        """The QAT fake-quant forward projects onto the SAME grid the int8
+        serving path computes on; in fp32 (precision HIGHEST) the two must
+        agree to float accumulation error — this is the property that makes
+        a QAT-fine-tuned checkpoint serve as int8 with trained-in error."""
+        rng = np.random.default_rng(21)
+        h = w = 12
+        x = jnp.asarray(rng.normal(0, 1.0, (2, 2, h, w, 2)).astype(np.float32))
+        qat = BMCNetPlain(scale=2, n_c=8, n_b=2, quant="qat")
+        i8 = BMCNetPlain(scale=2, n_c=8, n_b=2, quant=True)
+        v = qat.init(jax.random.key(0), x, *qat.init_state(2, h, w))
+        carry = tuple(qat.init_state(2, h, w))
+        yq = np.asarray(qat.apply(v, x, *carry)[-1], np.float32)
+        y8 = np.asarray(i8.apply(v, x, *carry)[-1], np.float32)
+        scale = max(float(np.abs(y8).max()), 1.0)
+        rmse = float(np.sqrt(np.mean((yq - y8) ** 2))) / scale
+        # int8 conv accumulates exactly in int32; the fp32 fake-quant conv
+        # differs only by float summation order (both run the dequantized
+        # grid values through the same conv shape)
+        assert rmse < 1e-4, rmse
