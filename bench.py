@@ -181,8 +181,11 @@ def bench_train_iters_per_sec(n_iters_timed: int = 8, dtype_name: str = "float32
     from bmcnet_esr_tpu.training.train_step import init_train_state, make_train_step
 
     batch_size, seq_len = 2, 9
-    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
-    model = BMCNet(scale=SCALE, n_c=128, n_b=5, dtype=dtype)
+    # "qat": quantization-aware training at the same recipe shapes (bf16
+    # activations + fake-quantized 3x3 convs with STE; models/layers.py)
+    dtype = jnp.bfloat16 if dtype_name in ("bfloat16", "qat") else jnp.float32
+    quant = "qat" if dtype_name == "qat" else False
+    model = BMCNet(scale=SCALE, n_c=128, n_b=5, dtype=dtype, quant=quant)
     tx = adam_torch(1e-4, weight_decay=1e-5, amsgrad=True)
     dummy = jnp.zeros((batch_size, 2, H, W, 2))
     params = model.init(jax.random.key(0), dummy, *model.init_state(batch_size, H, W))
@@ -303,6 +306,13 @@ def child_tpu(state_file: str, budget_s: float) -> None:
     record(
         "train_iters_per_sec_bf16",
         lambda: bench_train_iters_per_sec(dtype_name="bfloat16"),
+        optional=True,
+    )
+    # QAT cost at the same shapes (model;args;quant: qat): how much the
+    # fake-quant + STE passes tax the bf16 train step
+    record(
+        "train_iters_per_sec_qat",
+        lambda: bench_train_iters_per_sec(dtype_name="qat"),
         optional=True,
     )
     # true one-window-per-dispatch latency (reference's exact measurement
@@ -449,8 +459,18 @@ def main():
             aux = _run_child(
                 "--child-tpu", os.path.join(tmpdir, "tpu2.json"), TPU_BUDGET_S, STALL_S
             )
-        if not aux.pop("tpu_bench_complete", False):
-            status = "partial" if any(k.startswith("fps") for k in aux) else "chip_unavailable"
+        complete = aux.pop("tpu_bench_complete", False)
+        # only NUMERIC fps entries count as measurements — fps_*_error /
+        # fps_*_skipped markers must not mask a run where every rollout
+        # failed (that run needs the CPU-verified fallback, not "partial")
+        measured = any(
+            k.startswith("fps") and isinstance(v, (int, float))
+            for k, v in aux.items()
+        )
+        if not measured:
+            status = "chip_unavailable"
+        elif not complete:
+            status = "partial"
     else:
         status = "chip_unavailable"
     if status == "chip_unavailable":
@@ -498,7 +518,9 @@ def main():
         )
         unit = "frames/sec"
     elif aux.get("fps_jax_cpu"):
-        fps_best, mode = aux["fps_jax_cpu"], "bf16-on-host-CPU"
+        # child_cpu measures fp32 deliberately (bf16 is emulated on CPU and
+        # would understate the framework vs the fp32 torch baseline)
+        fps_best, mode = aux["fps_jax_cpu"], "fp32-on-host-CPU"
         metric = (
             "TPU chip unavailable this run — x4 SR voxel-frames/sec of the "
             "same rollout with JAX on host CPU (machine-verified fallback); "

@@ -114,12 +114,14 @@ def _read_frame(sock: socket.socket) -> Tuple[int, bytes]:
 class _Conn:
     """Per-client-socket I/O state: partial-frame read + unsent-reply buffers."""
 
-    __slots__ = ("rbuf", "wbuf", "hello_done")
+    __slots__ = ("rbuf", "wbuf", "hello_done", "closing", "shut_wr")
 
     def __init__(self) -> None:
         self.rbuf = bytearray()
         self.wbuf = bytearray()
         self.hello_done = False  # version handshake completed
+        self.closing = None  # deadline for a graceful close (else None)
+        self.shut_wr = False  # FIN already sent after the last reply
 
 
 class EventSRServer:
@@ -157,6 +159,8 @@ class EventSRServer:
         self._bufs: Dict[socket.socket, _Conn] = {}
         # slot -> queued event windows (FIFO; one consumed per tick)
         self._pending: Dict[int, list] = {}
+        # sockets in graceful close (drain + FIN), with their force deadline
+        self._closing: Dict[socket.socket, float] = {}
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.ticks = 0
@@ -195,6 +199,13 @@ class EventSRServer:
                             - (time.monotonic() - first_pending),
                         ),
                     )
+                if self._closing:
+                    # force-close graceful closers whose peer never read the
+                    # reply nor EOFed within the grace window
+                    now = time.monotonic()
+                    for s, dl in list(self._closing.items()):
+                        if now >= dl:
+                            self._drop(s)
                 for key, mask in self._sel.select(timeout):
                     if key.data == "accept":
                         self._accept()
@@ -276,11 +287,38 @@ class EventSRServer:
             except ValueError:
                 pass
         self._bufs.pop(sock, None)
+        self._closing.pop(sock, None)
         try:
             self._sel.unregister(sock)
         except KeyError:
             pass
         sock.close()
+
+    def _close_gently(self, sock: socket.socket, grace_s: float = 1.0) -> None:
+        """Close AFTER the queued reply reaches the peer.
+
+        ``_drop`` right after ``_send`` can destroy the reply two ways: the
+        frame may still sit in ``wbuf`` (EWOULDBLOCK), and ``close()`` with
+        unread pipelined bytes in the receive queue makes the kernel send
+        RST, discarding queued outbound data.  So: release the slots now,
+        keep the socket draining inbound (discarded), send FIN via
+        ``shutdown(SHUT_WR)`` once the write buffer empties, and fully close
+        on peer EOF or after ``grace_s``.  Used by the version-mismatch path,
+        whose whole point is that the peer SEES the ERROR frame."""
+        conn = self._bufs.get(sock)
+        if conn is None:
+            return
+        for slot in self._conn_slots.get(sock, set()).copy():
+            self._conn_slots[sock].discard(slot)
+            self._slot_owner.pop(slot, None)
+            self._pending.pop(slot, None)
+            try:
+                self.pool.detach(slot)
+            except ValueError:
+                pass
+        conn.closing = time.monotonic() + grace_s
+        self._closing[sock] = conn.closing
+        self._flush(sock)  # may complete the shutdown immediately
 
     # -- buffered, non-blocking I/O -----------------------------------------
 
@@ -308,6 +346,15 @@ class EventSRServer:
             # the peer stopped reading; buffering more would grow unbounded
             self._drop(sock)
             return
+        if conn.closing is not None and not conn.wbuf and not conn.shut_wr:
+            # last reply flushed: FIN tells the peer we are done without the
+            # RST that close()-with-unread-inbound would trigger
+            conn.shut_wr = True
+            try:
+                sock.shutdown(socket.SHUT_WR)
+            except OSError:
+                self._drop(sock)
+                return
         want = selectors.EVENT_READ | (
             selectors.EVENT_WRITE if conn.wbuf else 0
         )
@@ -338,6 +385,20 @@ class EventSRServer:
         conn = self._bufs.get(sock)
         if conn is None:
             return
+        if conn.closing is not None:
+            # graceful close in progress: drain-and-discard inbound so the
+            # final close never RSTs away the queued ERROR reply
+            try:
+                while True:
+                    chunk = sock.recv(_RECV_CHUNK)
+                    if not chunk:
+                        self._drop(sock)
+                        return
+            except (BlockingIOError, InterruptedError):
+                return
+            except OSError:
+                self._drop(sock)
+                return
         eof = False
         try:
             while True:
@@ -381,7 +442,7 @@ class EventSRServer:
                        else "connection must open with HELLO")
                 )
                 self._send(sock, _frame(ERROR, msg.encode()))
-                self._drop(sock)
+                self._close_gently(sock)
                 return
             conn.hello_done = True
             self._send(sock, _frame(HELLO_OK, bytes([PROTOCOL_VERSION])))

@@ -65,18 +65,29 @@ def _require_ctx(ctx, name):
     return ctx
 
 
-def _iwe_event_list(events: Array) -> Tuple[Array, Array]:
+def _iwe_event_list(
+    events: Array, n_valid: Array | None = None
+) -> Tuple[Array, Array]:
     """Raw ``[B, 4, N]`` (x, y, ts, p) window -> IWE-ordered ``[B, N, 4]``
     (ts, y, x, p) event list + ``[B, N, 2]`` polarity mask (the layouts
     ``losses.flow``/``losses.iwe`` consume; ts normalized to [0, 1] like
-    ``BaseDataset.event_formatting``, ``base_dataset.py:24-31``)."""
+    ``BaseDataset.event_formatting``, ``base_dataset.py:24-31``).
+
+    ``n_valid`` (``[B]``, from ``aux['events_len']``): valid counts of
+    zero-padded windows.  Without it a padded window's ``ts[-1] == 0``
+    poisons the normalization denominator for every REAL event in the
+    window (the pad events themselves are already excluded by the polarity
+    mask, but the corrupted timestamps are not)."""
     from bmcnet_esr_tpu.ops.encodings import (
         events_polarity_mask,
         normalize_event_times,
     )
 
     xs, ys, ts, ps = events[:, 0], events[:, 1], events[:, 2], events[:, 3]
-    ts_n = jax.vmap(normalize_event_times)(ts)
+    if n_valid is None:
+        ts_n = jax.vmap(normalize_event_times)(ts)
+    else:
+        ts_n = jax.vmap(normalize_event_times)(ts, n_valid.astype(jnp.int32))
     event_list = jnp.stack([ts_n, ys, xs, ps], axis=-1)
     pol_mask = jax.vmap(events_polarity_mask)(ps)
     return event_list, pol_mask
@@ -106,7 +117,10 @@ def lr_consistency(cfg: Dict, ctx: "LossContext | None") -> Callable:
         raise ValueError(f"lr_consistency norm must be l1|l2, got {norm!r}")
 
     def fn(pred, gt, aux):
-        x = aux["inp"][:, -1]  # the step's current LR window [B, H, W, 2]
+        # the step's CURRENT window is the pair's index 1 — the one the GT
+        # aligns to (train_step._rollout_losses gts_seq slicing); [:, -1]
+        # would read a LATER window whenever seqn > 2
+        x = aux["inp"][:, 1]  # [B, H, W, 2]
         b, kh, kw, c = pred.shape
         h, w = x.shape[1], x.shape[2]
         if kh % h or kw % w:
@@ -184,7 +198,7 @@ def brightness_constancy(cfg: Dict, ctx: "LossContext | None") -> Callable:
         events = aux["events"]
         res = ctx.inp_resolution
         event_cnt = jnp.moveaxis(batch_events_to_counts(events, res), -1, 1)
-        event_list, pol_mask = _iwe_event_list(events)
+        event_list, pol_mask = _iwe_event_list(events, aux.get("events_len"))
         raw = generative_model_loss(flow, img, event_cnt, event_list, pol_mask, res)
         return raw / event_list.shape[1]  # per-event scale
 
@@ -206,7 +220,7 @@ def event_warping(cfg: Dict, ctx: "LossContext | None") -> Callable:
         from bmcnet_esr_tpu.losses.flow import event_warping_loss
 
         flow = _flow_nchw(aux, flow_key, "event_warping")
-        event_list, pol_mask = _iwe_event_list(aux["events"])
+        event_list, pol_mask = _iwe_event_list(aux["events"], aux.get("events_len"))
         raw = event_warping_loss(
             [flow], event_list, pol_mask, ctx.inp_resolution, regul
         )

@@ -50,6 +50,7 @@ def _rollout_losses(
     use_remat: bool,
     extra_losses: Tuple = (),
     inp_events: Array | None = None,  # [B, L, 4, N] raw (for event-consuming terms)
+    inp_lens: Array | None = None,  # [B, L] valid counts of the padded windows
 ) -> Tuple[Array, Array]:
     """Per-step PER-CLIP (MSE, total) over the recurrent unroll -> two
     ``[S, B]`` arrays (clip-resolved so a masked eval can exclude padding).
@@ -74,6 +75,11 @@ def _rollout_losses(
         # the step's "current" window = the pair's second window (index 1,
         # the one the GT aligns to — mirrors gts_seq above)
         xs["events"] = jnp.moveaxis(inp_events[:, 1 : 1 + s], 1, 0)
+        if inp_lens is not None:
+            # valid counts of the zero-padded windows: terms that normalize
+            # timestamps must anchor on the last VALID event, not the pad
+            # (ops/encodings.normalize_event_times docstring)
+            xs["events_len"] = jnp.moveaxis(inp_lens[:, 1 : 1 + s], 1, 0)
 
     carry0 = tuple(model.init_state(b, h, w))
 
@@ -97,6 +103,8 @@ def _rollout_losses(
             }
             if "events" in inputs:
                 aux["events"] = inputs["events"]
+                if "events_len" in inputs:
+                    aux["events_len"] = inputs["events_len"]
             for _, weight, fn in extra_losses:
                 total = total + weight * fn(pred_fit, gt, aux)  # scalar, broadcast
         return tuple(outs), (mse, total)
@@ -126,7 +134,7 @@ def _events_for_terms(batch: Dict[str, Array], extra_losses: Tuple):
     ``compact_transfer: False`` in the dataloader block.
     """
     if not any(getattr(fn, "needs_events", False) for _, _, fn in extra_losses):
-        return None
+        return None, None
     if "inp_events" not in batch:
         raise ValueError(
             "an attached loss term consumes raw event windows (needs_events) "
@@ -134,7 +142,9 @@ def _events_for_terms(batch: Dict[str, Array], extra_losses: Tuple):
             "drops timestamps; set compact_transfer: False in the dataloader "
             "config"
         )
-    return batch["inp_events"]
+    # inp_len rides along so terms can anchor timestamp normalization on the
+    # last VALID event of each zero-padded window
+    return batch["inp_events"], batch.get("inp_len")
 
 
 def sequence_loss(
@@ -153,9 +163,10 @@ def sequence_loss(
     extra_losses = _normalized(extra_losses)
     inp_frames = counts_from_batch(batch, "inp", tuple(inp_resolution))
     gt_frames = counts_from_batch(batch, "gt", tuple(gt_resolution))
+    inp_events, inp_lens = _events_for_terms(batch, extra_losses)
     mses, totals = _rollout_losses(
         model, params, inp_frames, gt_frames, seqn, tuple(gt_resolution), use_remat,
-        extra_losses, inp_events=_events_for_terms(batch, extra_losses),
+        extra_losses, inp_events=inp_events, inp_lens=inp_lens,
     )  # [S, B] each
     total = jnp.sum(jnp.mean(totals, axis=1))
     return total, {"mse_loss": jnp.mean(mses[-1]), "loss": total}
@@ -278,10 +289,11 @@ def make_eval_step(
         terms = _normalized(extra_losses)
         inp_frames = counts_from_batch(batch, "inp", tuple(inp_resolution))
         gt_frames = counts_from_batch(batch, "gt", tuple(gt_resolution))
+        inp_events, inp_lens = _events_for_terms(batch, terms)
         mses, totals = _rollout_losses(
             model, params, inp_frames, gt_frames, seqn, tuple(gt_resolution),
             use_remat=False, extra_losses=terms,
-            inp_events=_events_for_terms(batch, terms),
+            inp_events=inp_events, inp_lens=inp_lens,
         )  # [S, B]
         w = batch.get("clip_mask", jnp.ones(inp_frames.shape[0]))
         wsum = jnp.maximum(jnp.sum(w), 1.0)

@@ -460,3 +460,79 @@ class TestLpipsNpzBundle:
         tr.train()
         assert all(np.isfinite(v) for v in losses)
         assert losses[-1] < losses[0]
+
+
+class TestPaddedWindowTimestamps:
+    """Zero-padded event windows: timestamp normalization must anchor on the
+    last VALID event (aux['events_len']), or every REAL event in a padded
+    window gets a corrupted normalized time (round-3 review finding)."""
+
+    def _padded_events(self, b=2, n_valid=40, n=64, seed=3):
+        rng = np.random.default_rng(seed)
+        ev = np.zeros((b, 4, n), np.float32)
+        ev[:, 0, :n_valid] = rng.integers(0, 16, (b, n_valid))
+        ev[:, 1, :n_valid] = rng.integers(0, 16, (b, n_valid))
+        # t0 > 0: exactly the case where the ts[-1]==0 pad poisons the
+        # denominator (t_last - t0 + eps < 0)
+        ev[:, 2, :n_valid] = np.sort(
+            rng.uniform(5.0, 9.0, (b, n_valid)).astype(np.float32), axis=-1
+        )
+        ev[:, 3, :n_valid] = rng.choice([-1.0, 1.0], (b, n_valid))
+        return jnp.asarray(ev), n_valid
+
+    def test_n_valid_anchors_normalization(self):
+        from bmcnet_esr_tpu.losses.terms import _iwe_event_list
+
+        ev, n_valid = self._padded_events()
+        lens = jnp.full((ev.shape[0],), n_valid, jnp.int32)
+        fixed, _ = _iwe_event_list(ev, lens)
+        ts_fixed = np.asarray(fixed[..., 0])[:, :n_valid]
+        # real events normalized into [0, 1], last valid event at ~1
+        assert ts_fixed.min() >= 0.0 and ts_fixed.max() <= 1.0 + 1e-5
+        np.testing.assert_allclose(ts_fixed[:, -1], 1.0, atol=1e-3)
+        # ...whereas without n_valid the pad poisons every real timestamp
+        broken, _ = _iwe_event_list(ev)
+        ts_broken = np.asarray(broken[..., 0])[:, 1:n_valid]
+        assert (ts_broken <= 0.0).all()  # negative denominator
+
+    def test_events_len_reaches_terms_through_sequence_loss(self, loader):
+        model = tiny_model()
+        h, w = loader.inp_resolution
+        dummy = jnp.zeros((2, 2, h, w, 2))
+        params = model.init(jax.random.key(0), dummy, *model.init_state(2, h, w))
+        batch = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
+        assert "inp_len" in batch  # the loader ships valid counts
+
+        seen = {}
+
+        def fn(pred, gt, aux):
+            seen["len_shape"] = aux["events_len"].shape
+            return jnp.float32(0.0)
+
+        fn.needs_events = True
+        total, _ = sequence_loss(
+            model, params, batch, (h, w), loader.gt_resolution,
+            extra_losses=(("ev", 1.0, fn),),
+        )
+        assert np.isfinite(float(total))
+        assert seen["len_shape"] == (2,)  # [B] per step
+
+
+class TestLrConsistencyWindowIndex:
+    def test_reads_gt_aligned_window_for_seqn3(self):
+        """The GT aligns to pair index 1; lr_consistency must pool against
+        THAT window, not the last one (identical for seqn==2, wrong for
+        seqn>2 — round-3 review finding)."""
+        from bmcnet_esr_tpu.losses.terms import lr_consistency
+
+        fn = lr_consistency({"norm": "l1"}, CTX)
+        rng = np.random.default_rng(5)
+        b, h, w, c, scale = 2, 4, 4, 2, 2
+        inp = jnp.asarray(rng.uniform(0, 4, (b, 3, h, w, c)).astype(np.float32))
+        # prediction that pools exactly to window INDEX 1
+        pred = jnp.repeat(jnp.repeat(inp[:, 1], scale, axis=1), scale, axis=2)
+        aux = {"inp": inp}
+        assert float(fn(pred, None, aux)) == pytest.approx(0.0, abs=1e-6)
+        # and NOT to the last window
+        pred_last = jnp.repeat(jnp.repeat(inp[:, -1], scale, axis=1), scale, axis=2)
+        assert float(fn(pred_last, None, aux)) > 1e-3

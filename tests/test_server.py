@@ -143,6 +143,22 @@ class TestServer:
         assert s.recv(1) == b""
         s.close()
 
+        # PIPELINED wrong-version client: HELLO v99 + more frames in one
+        # write.  The ERROR must still arrive (graceful close drains the
+        # unread bytes and FINs after the reply; an immediate close() would
+        # RST the queued ERROR away)
+        s = socket_mod.create_connection(server.address)
+        s.settimeout(5.0)
+        s.sendall(
+            server_mod._frame(server_mod.HELLO, bytes([99]))
+            + server_mod._frame(server_mod.ATTACH)
+            + server_mod._frame(server_mod.PUSH, b"x" * 64)
+        )
+        opcode, body = server_mod._read_frame(s)
+        assert opcode == server_mod.ERROR and b"v99" in body
+        assert s.recv(1) == b""  # clean EOF, not ECONNRESET
+        s.close()
+
         # daemon still serving handshaked clients
         client = EventSRClient(*server.address)
         assert client.server_version == server_mod.PROTOCOL_VERSION

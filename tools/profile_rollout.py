@@ -3,7 +3,8 @@
 Usage:
     PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_rollout.py <mode> [outdir]
 
-``mode``: bfloat16 | int8 (static-calibrated, the serving fast path).
+``mode``: bfloat16 | int8 | any int8_* quant mode from bench.py's map
+(int8 variants run static-calibrated, the serving fast path).
 Writes an xplane trace under ``outdir`` (default /tmp/jaxprof/<mode>) for
 ``tools/profile_report.py`` to summarize per-op.  Measurement tool, not
 product surface; results land in docs/DESIGN.md.
@@ -37,10 +38,20 @@ def main():
 
     B, H, W, SCALE, N, CHUNK = bench.B, bench.H, bench.W, bench.SCALE, bench.N_EVENTS, bench.CHUNK
 
-    if mode == "int8":
-        model = BMCNet(scale=SCALE, n_c=128, n_b=5, dtype=jnp.bfloat16, quant=True)
-    else:
-        model = BMCNet(scale=SCALE, n_c=128, n_b=5, dtype=jnp.bfloat16)
+    quant_map = {
+        "int8": True, "int8_p1x1": "p1x1", "int8_pconv": "pconv",
+        "int8_pall": "pall", "int8_pquant": "pquant",
+        "int8_chain": "chain", "int8_chainq": "chainq",
+    }
+    if mode not in quant_map and mode != "bfloat16":
+        # a typo must not silently profile the plain bf16 model and land in
+        # DESIGN.md as an int8-route measurement (the misroute class the
+        # quant-mode-on-module design exists to prevent)
+        raise SystemExit(
+            f"unknown mode {mode!r}; expected bfloat16 or one of {sorted(quant_map)}"
+        )
+    quant = quant_map.get(mode, False)
+    model = BMCNet(scale=SCALE, n_c=128, n_b=5, dtype=jnp.bfloat16, quant=quant)
     x0 = jnp.zeros((B, 2, H, W, 2))
     carry0 = tuple(model.init_state(B, H, W))
     variables = model.init(jax.random.key(0), x0, *carry0)
@@ -61,7 +72,7 @@ def main():
     rng = np.random.default_rng(0)
     events = jnp.asarray(bench.random_windows(CHUNK + 1, B, H, W, N, rng))
 
-    if mode == "int8":
+    if quant:
         @jax.jit
         def _pairs(ev):
             fr = batch_events_to_counts(ev, (H, W))
