@@ -328,13 +328,17 @@ class QuantConv(nn.Module):
         xdq = ste(xf, sx)
         wdq = ste(w, sw[None, None, None, :])
         p = self.kernel // 2
+        # no preferred_element_type here: under jax.grad the conv transpose
+        # convolves the f32 cotangent against the (bf16) weight operand, and
+        # lax.conv rejects that dtype mix — so the conv runs at self.dtype
+        # (the MXU still accumulates f32 internally) and only the bias add
+        # is lifted to f32
         y = jax.lax.conv_general_dilated(
             xdq.astype(self.dtype), wdq.astype(self.dtype), (1, 1), [(p, p), (p, p)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             precision=_prec(self.dtype),
-            preferred_element_type=jnp.float32,
         )
-        return (y + b).astype(self.dtype)
+        return (y.astype(jnp.float32) + b).astype(self.dtype)
 
     def _convolve(
         self, xq: Array, sx: Array, w: Array, b: Array,

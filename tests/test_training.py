@@ -619,6 +619,29 @@ class TestQAT:
         assert all(np.isfinite(norms))
         assert all(n > 0 for n in norms), norms
 
+    def test_qat_bf16_grads(self, loaders):
+        """QAT at dtype=bfloat16 (the bench/TPU fine-tune configuration):
+        regression for the conv-transpose dtype mismatch — with
+        ``preferred_element_type=f32`` on the fake-quant conv, jax.grad
+        convolved the f32 cotangent against the bf16 weight and lax.conv
+        rejected the mix (only the grad path fails; forward is fine)."""
+        train_loader, _ = loaders
+        model = BMCNetPlain(scale=2, n_c=8, n_b=2, quant="qat", dtype=jnp.bfloat16)
+        from bmcnet_esr_tpu.training.optim import adam_torch
+
+        tx = adam_torch(1e-3)
+        h, w = train_loader.inp_resolution
+        dummy = jnp.zeros((2, 2, h, w, 2))
+        params = model.init(jax.random.key(0), dummy, *model.init_state(2, h, w))
+        state = init_train_state(params, tx)
+        step = make_train_step(
+            model, tx, train_loader.inp_resolution, train_loader.gt_resolution
+        )
+        batch = next(iter(train_loader))
+        state, m = step(state, batch)
+        assert np.isfinite(float(m["train_loss"]))
+        assert np.isfinite(float(m["grad_norm"])) and float(m["grad_norm"]) > 0
+
     def test_trainer_rejects_serving_only_quant_modes(self):
         from bmcnet_esr_tpu.training.trainer import build_model
 
