@@ -396,7 +396,15 @@ class TestServer:
     def test_ticks_pipeline_behind_a_slow_device(self, server, model_vars):
         """Tick N+1 must be DISPATCHED while tick N still computes (the
         selector thread no longer blocks on np.asarray for the whole device
-        step), and replies must still match solo rollouts exactly."""
+        step), and replies must still match solo rollouts exactly.
+
+        The second client holds its first push until the first client's
+        window has DISPATCHED: in-lockstep synchronous clients always land
+        in the same batched tick (``ready = every attached slot pending``),
+        which makes the overlap a thread-scheduling race; staggering by one
+        dispatch makes it a guaranteed property of correct pipelining —
+        stream B's window must ride the device queue during stream A's
+        250 ms tick, or the server has regressed to serialized ticks."""
         import time as time_mod
 
         pool = server.pool
@@ -437,6 +445,15 @@ class TestServer:
                 try:
                     c = EventSRClient(*server.address)
                     c.attach()
+                    if i == 1:
+                        # stagger: wait until stream 0's first window is ON
+                        # the device, so this stream's first push cannot be
+                        # batched into the same tick
+                        deadline = time_mod.monotonic() + 30
+                        while not dispatch_times:
+                            if time_mod.monotonic() > deadline:
+                                raise TimeoutError("tick 1 never dispatched")
+                            time_mod.sleep(0.002)
                     results[i] = [c.push(w) for w in streams[i]]
                     c.detach()
                     c.close()
