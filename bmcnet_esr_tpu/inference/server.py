@@ -306,7 +306,10 @@ class EventSRServer:
         on peer EOF or after ``grace_s``.  Used by the version-mismatch path,
         whose whole point is that the peer SEES the ERROR frame."""
         conn = self._bufs.get(sock)
-        if conn is None:
+        if conn is None or conn.closing is not None:
+            # idempotent: a second call (another bad frame while draining)
+            # must not push the force-close deadline forward — a peer
+            # dribbling garbage could otherwise hold the socket open forever
             return
         for slot in self._conn_slots.get(sock, set()).copy():
             self._conn_slots[sock].discard(slot)
@@ -424,6 +427,11 @@ class EventSRServer:
         for opcode, body in frames:
             if sock not in self._bufs:  # dropped while handling an earlier frame
                 return
+            if self._bufs[sock].closing is not None:
+                # an earlier frame triggered a graceful close (e.g. rejected
+                # HELLO): later pipelined frames must not re-enter _handle —
+                # each would queue ANOTHER ERROR reply behind the first
+                break
             self._handle(sock, opcode, body)
         if eof:
             self._drop(sock)

@@ -154,14 +154,60 @@ class TestServer:
             + server_mod._frame(server_mod.ATTACH)
             + server_mod._frame(server_mod.PUSH, b"x" * 64)
         )
-        opcode, body = server_mod._read_frame(s)
+        # exactly ONE ERROR then EOF: the pipelined frames behind the
+        # rejected HELLO must not each queue their own ERROR reply (the
+        # dispatch loop stops once the connection enters graceful close)
+        frames = []
+        while True:
+            try:
+                frames.append(server_mod._read_frame(s))
+            except ConnectionError:
+                break
+        assert len(frames) == 1, frames
+        opcode, body = frames[0]
         assert opcode == server_mod.ERROR and b"v99" in body
-        assert s.recv(1) == b""  # clean EOF, not ECONNRESET
         s.close()
 
         # daemon still serving handshaked clients
         client = EventSRClient(*server.address)
         assert client.server_version == server_mod.PROTOCOL_VERSION
+        client.attach()
+        assert client.push(np.zeros((4, 4), np.float32)) is None
+        client.detach()
+        client.close()
+
+    def test_graceful_close_deadline_survives_dribbling_peer(self, server):
+        """A peer that keeps writing garbage after a rejected HELLO must
+        still be force-closed at the ORIGINAL grace deadline — repeated
+        frames must not re-arm it (``_close_gently`` is idempotent and the
+        drain path never re-enters ``_handle``)."""
+        import socket as socket_mod
+        import time as time_mod
+
+        from bmcnet_esr_tpu.inference import server as server_mod
+
+        s = socket_mod.create_connection(server.address)
+        s.settimeout(5.0)
+        s.sendall(server_mod._frame(server_mod.HELLO, bytes([99])))
+        opcode, _ = server_mod._read_frame(s)
+        assert opcode == server_mod.ERROR
+        # never read further; dribble garbage every 0.2 s — the server must
+        # still cut us off ~1 s (grace_s) after the rejected HELLO
+        t0 = time_mod.monotonic()
+        dead = None
+        for _ in range(25):  # 5 s worst case, far past the 1 s grace
+            try:
+                s.sendall(server_mod._frame(server_mod.PUSH, b"y" * 32))
+            except OSError:
+                dead = time_mod.monotonic() - t0
+                break
+            time_mod.sleep(0.2)
+        assert dead is not None, "dribbling peer was never force-closed"
+        assert dead < 4.0, f"force-close took {dead:.1f}s (grace is 1s)"
+        s.close()
+
+        # daemon still serving handshaked clients
+        client = EventSRClient(*server.address)
         client.attach()
         assert client.push(np.zeros((4, 4), np.float32)) is None
         client.detach()
