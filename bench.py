@@ -66,6 +66,10 @@ STALL_S = float(os.environ.get("BENCH_STALL_S", 1500))
 B = 8          # batched independent streams per chip
 H, W = 45, 80  # NFS down8 input resolution
 SCALE = 4
+# fastest torch-CPU baseline throughput ever measured on this host (quiet
+# box); floors the vs_baseline denominator so contention during the bench
+# can never inflate the published speedup (see bench_torch_cpu docstring)
+TORCH_CPU_BEST_FPS = 0.67
 N_EVENTS = 2048
 CHUNK = 512    # windows per scan chunk (amortizes ~33 ms per-dispatch overhead;
                # measured on v5e: 64 -> 895 fps, 128 -> 914, 256 -> 926, 512 -> 932)
@@ -226,7 +230,15 @@ def bench_train_iters_per_sec(n_iters_timed: int = 8, dtype_name: str = "float32
 
 
 def bench_torch_cpu(budget_s: float = 60.0):
-    """Same rollout with the reference torch implementation on host CPU."""
+    """Same rollout with the reference torch implementation on host CPU.
+
+    Returns fps from the FASTEST single iteration, not the mean: box
+    contention (the driver runs other jobs) can only slow iterations down,
+    and a slowed baseline would inflate ``vs_baseline`` — observed swings of
+    0.13..0.67 fps across otherwise-identical runs.  min-time is the most
+    charitable-to-the-reference estimate, so the published ratio is the
+    conservative one.
+    """
     import torch
 
     sys.path.insert(0, "/root/reference")
@@ -246,12 +258,14 @@ def bench_torch_cpu(budget_s: float = 60.0):
         hn = h.clone()
         h, hp, hn, pred = model(x, h, hp, hn, o, True)  # warm
         n = 0
+        best = float("inf")
         t0 = time.perf_counter()
         while time.perf_counter() - t0 < budget_s and n < 50:
+            t1 = time.perf_counter()
             h, hp, hn, pred = model(x, h, hp, hn, pred, False)
+            best = min(best, time.perf_counter() - t1)
             n += 1
-        dt = time.perf_counter() - t0
-    return n / dt
+    return 1.0 / best
 
 
 # --------------------------------------------------------------------------
@@ -482,7 +496,13 @@ def main():
         )
 
     try:
-        fps_torch = bench_torch_cpu()
+        fps_torch_live = bench_torch_cpu()
+        # Conservative denominator: box contention can only slow the torch
+        # baseline (inflating the ratio), so take the faster of the live
+        # measurement and the best ever observed on this host (0.67 fps,
+        # quiet box, 2026-08-19).  aux records both.
+        fps_torch = max(fps_torch_live, TORCH_CPU_BEST_FPS)
+        aux["torch_cpu_fps_live"] = round(fps_torch_live, 2)
         aux["torch_cpu_fps"] = round(fps_torch, 2)
     except Exception:
         fps_torch = None
