@@ -12,6 +12,7 @@ serving daemon — its eval loop is file-at-a-time (`infer_BMCNet.py`).
 
 import argparse
 import logging
+import time
 
 import jax
 
@@ -58,6 +59,12 @@ def main(argv=None):
         "--calib_windows", type=int, default=16,
         help="windows of --window events used for calibration",
     )
+    p.add_argument(
+        "--stats_every", type=float, default=60.0,
+        help="log one observability JSON line (server.stats()) every N "
+        "seconds; 0 disables.  The same snapshot is available to any "
+        "client via the STATS opcode",
+    )
     args = p.parse_args(argv)
 
     setup_logging()
@@ -96,6 +103,16 @@ def main(argv=None):
         args.variant, args.scale, args.dtype, *server.address,
         args.slots, args.window,
     )
+    if args.stats_every > 0:
+        import json
+        import threading
+
+        def _report():
+            while True:
+                time.sleep(args.stats_every)
+                log.info("stats %s", json.dumps(server.stats()))
+
+        threading.Thread(target=_report, daemon=True).start()
     try:
         server.serve_forever()
     except KeyboardInterrupt:

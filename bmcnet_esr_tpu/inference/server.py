@@ -20,13 +20,20 @@ request    0x00    HELLO   ``u8 version`` (must be the first frame)
            0x01    ATTACH
            0x02    DETACH  ``u32 slot``
            0x03    PUSH    ``u32 slot, u32 n, f32[4*n]`` (x,y,t,p rows)
+           0x04    STATS   (observability snapshot; additive in v1 —
+                           pre-STATS servers answer ERROR cleanly)
 response   0x80    HELLO_OK ``u8 version`` (the server's)
            0x81    ATTACHED ``u32 slot``
            0x82    DETACHED
            0x83    PRED    ``u32 kh, u32 kw, u32 c, f32[kh*kw*c]``
            0x84    PENDING (stream's first window — no output yet)
            0x85    ERROR   utf-8 message
+           0x86    STATS_OK utf-8 JSON (see :meth:`EventSRServer.stats`)
 =========  ======  =====================================================
+
+STATS is answered at parse time, so its reply can overtake an in-flight
+PUSH reply — a pipelining client must not interleave STATS with unread
+PUSH replies (the blocking :class:`EventSRClient` never does).
 
 Python client included (:class:`EventSRClient`).  The server loop is a
 single ``selectors`` thread — JAX dispatch stays single-threaded, and slow
@@ -50,11 +57,13 @@ carries at most one window per tick).
 
 from __future__ import annotations
 
+import json
 import selectors
 import socket
 import struct
 import threading
 import time
+from collections import deque
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -65,9 +74,9 @@ _U32 = struct.Struct("<I")
 
 PROTOCOL_VERSION = 1
 
-HELLO, ATTACH, DETACH, PUSH = 0x00, 0x01, 0x02, 0x03
-HELLO_OK, ATTACHED, DETACHED, PRED, PENDING, ERROR = (
-    0x80, 0x81, 0x82, 0x83, 0x84, 0x85,
+HELLO, ATTACH, DETACH, PUSH, STATS = 0x00, 0x01, 0x02, 0x03, 0x04
+HELLO_OK, ATTACHED, DETACHED, PRED, PENDING, ERROR, STATS_OK = (
+    0x80, 0x81, 0x82, 0x83, 0x84, 0x85, 0x86,
 )
 
 
@@ -164,6 +173,16 @@ class EventSRServer:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.ticks = 0
+        # -- observability counters (served by the STATS opcode / stats()) --
+        self._t_start = time.monotonic()
+        self.windows_served = 0  # PRED replies queued
+        self.pendings_sent = 0  # first-window PENDING replies queued
+        self.errors_sent = 0  # ERROR replies queued (protocol + device)
+        self.conns_closed = 0  # client sockets torn down (any reason)
+        self._inflight = ()  # serve_forever's live pipeline (len() only)
+        self._tick_batch = deque(maxlen=2048)  # windows per completed tick
+        self._latency = deque(maxlen=2048)  # s, PUSH-parsed -> reply queued
+        self._done = deque(maxlen=2048)  # (wall time, n windows) per tick
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -181,10 +200,9 @@ class EventSRServer:
     # -- loop --------------------------------------------------------------
 
     def serve_forever(self) -> None:
-        from collections import deque
-
         first_pending: Optional[float] = None
         inflight: deque = deque()  # dispatched ticks awaiting their fetch
+        self._inflight = inflight  # exposed (read-only) for stats()
         try:
             while not self._stop.is_set():
                 timeout = 0.05
@@ -279,6 +297,8 @@ class EventSRServer:
         self._bufs[conn] = _Conn()
 
     def _drop(self, sock: socket.socket) -> None:
+        if sock in self._bufs:
+            self.conns_closed += 1
         for slot in self._conn_slots.pop(sock, ()):
             self._slot_owner.pop(slot, None)
             self._pending.pop(slot, None)
@@ -331,6 +351,10 @@ class EventSRServer:
             return
         conn.wbuf += data
         self._flush(sock)
+
+    def _send_error(self, sock: socket.socket, msg: str) -> None:
+        self.errors_sent += 1
+        self._send(sock, _frame(ERROR, msg.encode()))
 
     def _flush(self, sock: socket.socket) -> None:
         conn = self._bufs.get(sock)
@@ -449,7 +473,7 @@ class EventSRServer:
                     + (f"client sent v{got}" if got is not None
                        else "connection must open with HELLO")
                 )
-                self._send(sock, _frame(ERROR, msg.encode()))
+                self._send_error(sock, msg)
                 self._close_gently(sock)
                 return
             conn.hello_done = True
@@ -487,20 +511,24 @@ class EventSRServer:
                         f"({_MAX_QUEUE} windows pending)"
                     )
                 ev = np.frombuffer(body, np.float32, 4 * n, offset=8)
-                queue.append(ev.reshape(4, n).copy())
+                queue.append((ev.reshape(4, n).copy(), time.monotonic()))
+            elif opcode == STATS:
+                self._send(
+                    sock, _frame(STATS_OK, json.dumps(self.stats()).encode())
+                )
             else:
                 raise ValueError(f"unknown opcode {opcode:#x}")
         except Exception as exc:  # noqa: BLE001 — protocol error reply
-            self._send(sock, _frame(ERROR, str(exc).encode()))
+            self._send_error(sock, str(exc))
 
     def _dispatch_tick(self):
         """Pop one window per pending slot and enqueue the device step;
-        returns ``(ticked_slots, out_slots, preds_device)`` for the later
-        fetch, or ``None`` if the dispatch itself failed (every pusher got
-        an ERROR reply)."""
-        windows = {}
+        returns ``(owners, out_slots, preds_device, enqueued_at)`` for the
+        later fetch, or ``None`` if the dispatch itself failed (every pusher
+        got an ERROR reply)."""
+        windows, enqueued_at = {}, {}
         for slot, queue in list(self._pending.items()):
-            windows[slot] = queue.pop(0)
+            windows[slot], enqueued_at[slot] = queue.pop(0)
             if not queue:
                 del self._pending[slot]
         # capture owners NOW: a slot detached and re-attached by another
@@ -511,28 +539,80 @@ class EventSRServer:
         except Exception as exc:  # noqa: BLE001 — report to every pusher
             for sock in owners.values():
                 if sock is not None:
-                    self._send(sock, _frame(ERROR, str(exc).encode()))
+                    self._send_error(sock, str(exc))
             return None
-        return owners, set(out_slots), preds
+        return owners, set(out_slots), preds, enqueued_at
 
-    def _complete_tick(self, owners, out_slots, preds_dev) -> None:
+    def _complete_tick(self, owners, out_slots, preds_dev, enqueued_at) -> None:
         try:
             preds = np.asarray(preds_dev)  # the (possibly blocking) fetch
         except Exception as exc:  # noqa: BLE001 — report to every pusher
             for sock in owners.values():
                 if sock is not None and sock in self._bufs:
-                    self._send(sock, _frame(ERROR, str(exc).encode()))
+                    self._send_error(sock, str(exc))
             return
         self.ticks += 1
+        now = time.monotonic()
+        self._tick_batch.append(len(owners))
+        self._done.append((now, len(owners)))
         for slot, sock in owners.items():
+            self._latency.append(now - enqueued_at[slot])
             if sock is None or sock not in self._bufs:
                 continue  # pusher disconnected while the tick was in flight
             if slot in out_slots:
                 p = np.ascontiguousarray(preds[slot], np.float32)
                 head = struct.pack("<III", *p.shape)
                 self._send(sock, _frame(PRED, head + p.tobytes()))
+                self.windows_served += 1
             else:
                 self._send(sock, _frame(PENDING))
+                self.pendings_sent += 1
+
+    # -- observability -------------------------------------------------------
+
+    def stats(self) -> dict:
+        """Live operational snapshot (what the STATS opcode serves).
+
+        Latency is measured from PUSH-frame parse to reply-queued (the full
+        in-daemon service time: batching window + device queue + compute +
+        fetch), over the most recent ≤2048 windows.  ``throughput_wps_10s``
+        counts windows completed in the trailing 10 s.  Safe to call from
+        any thread — counters are only ever appended by the server thread
+        and a torn read merely skews one monitoring sample.
+        """
+        now = time.monotonic()
+        lat_ms = sorted(v * 1e3 for v in self._latency)
+
+        def pct(p: float):
+            if not lat_ms:
+                return None
+            return round(lat_ms[min(len(lat_ms) - 1, int(p * len(lat_ms)))], 3)
+
+        batches = list(self._tick_batch)
+        recent = sum(n for t, n in self._done if now - t <= 10.0)
+        return {
+            "protocol_version": PROTOCOL_VERSION,
+            "uptime_s": round(now - self._t_start, 3),
+            "ticks": self.ticks,
+            "windows_served": self.windows_served,
+            "pendings_sent": self.pendings_sent,
+            "errors_sent": self.errors_sent,
+            "conns_open": len(self._bufs),
+            "conns_closed": self.conns_closed,
+            "slots_attached": len(self._slot_owner),
+            "slots_total": self.pool.slots,
+            "window_size": self.pool.window_size,
+            "pending_windows": sum(len(q) for q in self._pending.values()),
+            "inflight_ticks": len(self._inflight),
+            "batch_occupancy_mean": (
+                round(sum(batches) / len(batches), 3) if batches else None
+            ),
+            "batch_occupancy_last": batches[-1] if batches else None,
+            "latency_ms_p50": pct(0.50),
+            "latency_ms_p99": pct(0.99),
+            "latency_ms_max": round(lat_ms[-1], 3) if lat_ms else None,
+            "throughput_wps_10s": round(recent / min(10.0, max(now - self._t_start, 1e-9)), 3),
+        }
 
 
 class EventSRClient:
@@ -568,6 +648,13 @@ class EventSRClient:
         return np.frombuffer(body, np.float32, kh * kw * c, offset=12).reshape(
             kh, kw, c
         )
+
+    def stats(self) -> dict:
+        """Fetch the server's observability snapshot (STATS opcode)."""
+        self._sock.sendall(_frame(STATS))
+        opcode, body = _read_frame(self._sock)
+        self._check(opcode, STATS_OK, body)
+        return json.loads(body.decode())
 
     def detach(self) -> None:
         self._sock.sendall(_frame(DETACH, _U32.pack(self.slot)))

@@ -604,6 +604,49 @@ class TestServer:
         finally:
             pool.push_async = orig
 
+    def test_stats_opcode_reports_live_operation(self, server):
+        """STATS must reflect the traffic actually served: counts, batch
+        occupancy, service latency and trailing throughput, all computed by
+        the server thread itself (the production observability surface)."""
+        client = EventSRClient(*server.address)
+
+        fresh = client.stats()
+        assert fresh["protocol_version"] == 1
+        assert fresh["slots_total"] == 4 and fresh["window_size"] == WINDOW
+        assert fresh["conns_open"] >= 1
+        before_windows = fresh["windows_served"]
+        before_ticks = fresh["ticks"]
+
+        client.attach()
+        rng = np.random.default_rng(11)
+        n_windows = 4
+        preds = [client.push(w) for w in make_windows(rng, n_windows)]
+        stats = client.stats()
+        client.detach()
+        client.close()
+
+        n_pred = sum(p is not None for p in preds)
+        assert stats["windows_served"] >= before_windows + n_pred
+        assert stats["ticks"] >= before_ticks + n_windows
+        assert stats["pendings_sent"] >= 1  # the stream's first window
+        assert stats["slots_attached"] >= 1
+        # latency: measured, positive, ordered p50 <= p99 <= max
+        assert 0 < stats["latency_ms_p50"] <= stats["latency_ms_p99"]
+        assert stats["latency_ms_p99"] <= stats["latency_ms_max"]
+        # solo client -> every tick carried exactly one window
+        assert stats["batch_occupancy_last"] == 1
+        assert stats["throughput_wps_10s"] > 0
+        assert stats["uptime_s"] > 0
+
+        # errors are counted: provoke one protocol error
+        bad = EventSRClient(*server.address)
+        bad.slot = 12345
+        with pytest.raises(RuntimeError, match="not yours"):
+            bad.push(np.zeros((4, 4), np.float32))
+        after = bad.stats()
+        bad.close()
+        assert after["errors_sent"] >= stats["errors_sent"] + 1
+
     def test_disconnect_releases_slots(self, server):
         clients = [EventSRClient(*server.address) for _ in range(4)]
         for c in clients:
