@@ -70,6 +70,9 @@ def main(argv=None):
                         "on the int8 MXU with first-chunk scale calibration "
                         "(+13%% over bf16, same drift bound)")
     p.add_argument("--no_images", action="store_true", help="skip PNG streams")
+    p.add_argument("--ema", action="store_true",
+                   help="load the EMA of the params from an Orbax train-state "
+                        "checkpoint (requires trainer.ema in the run's recipe)")
     p.add_argument("--psnr", action="store_true", help="also track PSNR")
     p.add_argument("--ssim", action="store_true", help="also track SSIM")
     args = p.parse_args(argv)
@@ -100,7 +103,7 @@ def main(argv=None):
 
     model, variables = load_model_for_inference(
         args.model_path, args.scale, args.n_c, args.n_b, args.variant,
-        dtype=args.dtype,
+        dtype=args.dtype, use_ema=args.ema,
     )
     extra = tuple(m for m, on in (("psnr", args.psnr), ("ssim", args.ssim)) if on)
     engine = InferenceEngine(

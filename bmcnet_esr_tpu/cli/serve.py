@@ -60,6 +60,11 @@ def main(argv=None):
         help="windows of --window events used for calibration",
     )
     p.add_argument(
+        "--ema", action="store_true",
+        help="serve the EMA of the params from an Orbax train-state "
+        "checkpoint (requires trainer.ema in the run's recipe)",
+    )
+    p.add_argument(
         "--stats_every", type=float, default=60.0,
         help="log one observability JSON line (server.stats()) every N "
         "seconds; 0 disables.  The same snapshot is available to any "
@@ -72,7 +77,8 @@ def main(argv=None):
     log = logging.getLogger("serve")
     h, w = (int(v) for v in args.resolution.split("x"))
     model, variables = load_model_for_inference(
-        args.model_path, args.scale, args.n_c, args.n_b, args.variant, args.dtype
+        args.model_path, args.scale, args.n_c, args.n_b, args.variant,
+        args.dtype, use_ema=args.ema,
     )
     if args.dtype.startswith("int8") and args.calib_h5:
         # static scales: the serving fast path (no per-tick max pass);

@@ -59,6 +59,7 @@ def load_model_for_inference(
     n_b: int = 5,
     variant: str = "full",
     dtype: str = "float32",
+    use_ema: bool = False,
 ):
     """Build the model and load weights from a ``.pth``/``.npz`` reference
     checkpoint or an Orbax train-state directory.
@@ -83,6 +84,11 @@ def load_model_for_inference(
     }.get(dtype, False)
     mdtype = jnp.bfloat16 if (dtype == "bfloat16" or quant) else jnp.float32
     model = cls(scale=scale, n_c=n_c, n_b=n_b, dtype=mdtype, quant=quant)
+    if use_ema and checkpoint_path.endswith((".pth", ".npz")):
+        raise ValueError(
+            "use_ema needs an Orbax train-state directory (flat .pth/.npz "
+            "checkpoints carry params only)"
+        )
     if checkpoint_path.endswith(".pth"):
         variables = load_torch_checkpoint(checkpoint_path)
     elif checkpoint_path.endswith(".npz"):
@@ -111,7 +117,18 @@ def load_model_for_inference(
 
         ckptr = ocp.StandardCheckpointer()
         restored = ckptr.restore(os.path.abspath(checkpoint_path))
-        tree = restored.get("params", restored) if isinstance(restored, dict) else restored.params
+        if use_ema:
+            # the EMA of the params (trainer.ema knob) — production weight
+            # averaging; refuse loudly if the run trained without it
+            ema = restored.get("ema_params") if isinstance(restored, dict) else getattr(restored, "ema_params", None)
+            if ema is None:
+                raise ValueError(
+                    f"use_ema: checkpoint {checkpoint_path} has no ema_params "
+                    "(train with trainer.ema: <decay> to maintain one)"
+                )
+            tree = ema
+        else:
+            tree = restored.get("params", restored) if isinstance(restored, dict) else restored.params
         variables = jax.tree.map(jnp.asarray, tree)
         if "params" not in variables:
             variables = {"params": variables}

@@ -20,6 +20,7 @@ from jax.sharding import Mesh
 from bmcnet_esr_tpu.parallel.mesh import data_sharding, replicated
 from bmcnet_esr_tpu.training.train_step import (
     TrainState,
+    ema_update,
     guarded_apply,
     make_eval_step,
     sequence_loss,
@@ -39,6 +40,7 @@ def make_parallel_train_step(
     extra_losses=(),
     state_shardings=None,
     skip_nonfinite: bool = False,
+    ema_decay: float = 0.0,
 ):
     """Jitted SPMD iteration: batch sharded on ``data``; state replicated by
     default, or laid out per ``state_shardings`` (a pytree of
@@ -67,7 +69,8 @@ def make_parallel_train_step(
             params = optax.apply_updates(state.params, updates)
             gnorm = optax.global_norm(grads)
         metrics["grad_norm"] = gnorm
-        return TrainState(params, opt_state, state.step + 1), metrics
+        ema = ema_update(state, params, ema_decay) if ema_decay else state.ema_params
+        return TrainState(params, opt_state, state.step + 1, ema), metrics
 
     return jax.jit(
         step,

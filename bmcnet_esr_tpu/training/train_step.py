@@ -34,10 +34,33 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: Array
+    # exponential moving average of params (production weight averaging;
+    # None when disabled — an empty pytree subtree, so jit/donate/checkpoint
+    # all treat the no-EMA state exactly as before the field existed)
+    ema_params: Any = None
 
 
-def init_train_state(params, tx) -> TrainState:
-    return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+def init_train_state(params, tx, ema: bool = False) -> TrainState:
+    """``ema=True`` seeds the EMA at the initial params (own buffers — the
+    train step donates the state, so the EMA must not alias ``params``)."""
+    ema_params = jax.tree.map(jnp.copy, params) if ema else None
+    return TrainState(
+        params=params, opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32), ema_params=ema_params,
+    )
+
+
+def ema_update(state: TrainState, params, decay: float):
+    """In-graph EMA step: ``ema <- ema * decay + params * (1 - decay)``."""
+    if state.ema_params is None:
+        raise ValueError(
+            "ema_decay is set but the state has no ema_params — build it "
+            "with init_train_state(params, tx, ema=True)"
+        )
+    return jax.tree.map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+        state.ema_params, params,
+    )
 
 
 def _rollout_losses(
@@ -206,8 +229,15 @@ def make_train_step(
     extra_losses: Tuple = (),
     grad_accum: int = 1,
     skip_nonfinite: bool = False,
+    ema_decay: float = 0.0,
 ) -> Callable[[TrainState, Dict[str, Array]], Tuple[TrainState, Dict[str, Array]]]:
     """One fully-jitted optimizer iteration.
+
+    ``ema_decay > 0`` maintains an exponential moving average of the params
+    inside the same XLA program (no extra dispatch); the state must come
+    from ``init_train_state(..., ema=True)``.  The EMA rides the checkpoint
+    (it is a ``TrainState`` field) and serves/exports via
+    ``load_model_for_inference(..., use_ema=True)``.
 
     Under a device mesh, shard ``batch`` along the data axis and replicate
     ``state``; the in-graph means/sums become XLA collectives automatically
@@ -262,7 +292,8 @@ def make_train_step(
             params = optax.apply_updates(state.params, updates)
             gnorm = optax.global_norm(grads)
         metrics["grad_norm"] = gnorm
-        new_state = TrainState(params, opt_state, state.step + 1)
+        ema = ema_update(state, params, ema_decay) if ema_decay else state.ema_params
+        new_state = TrainState(params, opt_state, state.step + 1, ema)
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -138,6 +138,13 @@ class Trainer:
         # count.  Off by default for exact reference-trajectory parity.
         self.skip_nonfinite = bool(cfg["trainer"].get("skip_nonfinite", False))
         self.skipped_steps = 0
+        # `trainer.ema: 0.999` maintains an exponential moving average of the
+        # params inside the jitted step (zero extra dispatches); the EMA
+        # rides checkpoints and loads for serving with
+        # load_model_for_inference(..., use_ema=True) / `--ema` on the CLIs
+        self.ema_decay = float(cfg["trainer"].get("ema", 0.0))
+        if not 0.0 <= self.ema_decay < 1.0:
+            raise ValueError(f"trainer.ema must be in [0, 1), got {self.ema_decay}")
 
         monitor = cfg["trainer"].get("monitor", "off")
         if monitor == "off":
@@ -214,7 +221,7 @@ class Trainer:
         dummy = jnp.zeros((1, self.seqn, h, w, 2), jnp.float32)
         state0 = tuple(self.model.init_state(1, h, w))
         params = self.model.init(jax.random.key(seed), dummy, *state0)
-        self.state = init_train_state(params, self.tx)
+        self.state = init_train_state(params, self.tx, ema=self.ema_decay > 0)
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
         self.logger.info(f"model params: {n_params}")
 
@@ -324,7 +331,7 @@ class Trainer:
                 self.model, self.tx, self.inp_resolution, self.gt_resolution,
                 self.mesh, self.seqn, use_remat=self.use_remat,
                 extra_losses=self.extra_losses, state_shardings=state_sh,
-                skip_nonfinite=self.skip_nonfinite,
+                skip_nonfinite=self.skip_nonfinite, ema_decay=self.ema_decay,
             )
             self.logger.info(f"mesh over {self.mesh.size} devices: {dict(self.mesh.shape)}")
         else:
@@ -336,7 +343,7 @@ class Trainer:
                 self.model, self.tx, self.inp_resolution, self.gt_resolution,
                 self.seqn, use_remat=self.use_remat,
                 extra_losses=self.extra_losses, grad_accum=self.grad_accum,
-                skip_nonfinite=self.skip_nonfinite,
+                skip_nonfinite=self.skip_nonfinite, ema_decay=self.ema_decay,
             )
         # same one-ahead device placement for validation (numpy-fed eval
         # dispatches would pay the synchronous upload the train path avoids)

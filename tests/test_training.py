@@ -347,6 +347,121 @@ class TestCheckpoint:
         assert np.isfinite(float(m["train_loss"]))
 
 
+class TestEMA:
+    """trainer.ema: exponential moving average of params, maintained inside
+    the jitted step and riding the checkpoint (production weight averaging —
+    no reference counterpart; the reference checkpoints raw params only,
+    train.py:534-563)."""
+
+    def _build(self, loaders, decay):
+        train_loader, _ = loaders
+        model = tiny_model()
+        from bmcnet_esr_tpu.training.optim import adam_torch
+
+        tx = adam_torch(1e-3)
+        h, w = train_loader.inp_resolution
+        dummy = jnp.zeros((2, 2, h, w, 2))
+        params = model.init(jax.random.key(0), dummy, *model.init_state(2, h, w))
+        state = init_train_state(params, tx, ema=decay > 0)
+        step = make_train_step(
+            model, tx, train_loader.inp_resolution, train_loader.gt_resolution,
+            donate=False, ema_decay=decay,
+        )
+        return train_loader, state, step
+
+    def test_ema_tracks_the_param_trajectory_exactly(self, loaders):
+        decay = 0.9
+        train_loader, state, step = self._build(loaders, decay)
+        manual = jax.tree.map(lambda p: np.asarray(p, np.float64), state.params)
+        it = iter(train_loader)
+        for _ in range(3):
+            state, _ = step(state, next(it))
+            manual = jax.tree.map(
+                lambda e, p: e * decay + np.asarray(p, np.float64) * (1 - decay),
+                manual, state.params,
+            )
+        for e, m in zip(jax.tree.leaves(state.ema_params), jax.tree.leaves(manual)):
+            np.testing.assert_allclose(np.asarray(e), m, rtol=1e-5, atol=1e-7)
+        # EMA lags the raw params (it is not a copy)
+        deltas = [
+            float(np.max(np.abs(np.asarray(e) - np.asarray(p))))
+            for e, p in zip(jax.tree.leaves(state.ema_params), jax.tree.leaves(state.params))
+        ]
+        assert max(deltas) > 0
+
+    def test_ema_off_keeps_the_field_empty(self, loaders):
+        train_loader, state, step = self._build(loaders, 0.0)
+        state, _ = step(state, next(iter(train_loader)))
+        assert state.ema_params is None
+
+    def test_ema_rides_the_checkpoint_and_serves(self, loaders, tmp_path):
+        """save -> restore preserves the EMA bit-exactly, and
+        load_model_for_inference(use_ema=True) serves it."""
+        train_loader, state, step = self._build(loaders, 0.99)
+        for _ in range(2):
+            state, _ = step(state, next(iter(train_loader)))
+        save_checkpoint(str(tmp_path), state, iteration=2)
+        path = os.path.join(str(tmp_path), "iteration_2")
+
+        restored, _ = restore_checkpoint(path, state)
+        for a, b in zip(jax.tree.leaves(restored.ema_params), jax.tree.leaves(state.ema_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        from bmcnet_esr_tpu.inference.engine import load_model_for_inference
+
+        _, vars_ema = load_model_for_inference(path, 2, n_c=8, n_b=2, variant="plain", use_ema=True)
+        for a, b in zip(jax.tree.leaves(vars_ema), jax.tree.leaves(state.ema_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        _, vars_raw = load_model_for_inference(path, 2, n_c=8, n_b=2, variant="plain")
+        for a, b in zip(jax.tree.leaves(vars_raw), jax.tree.leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_use_ema_refuses_param_only_checkpoints(self, loaders, tmp_path):
+        from bmcnet_esr_tpu.inference.engine import load_model_for_inference
+
+        # flat files never carry an EMA
+        with pytest.raises(ValueError, match="params only"):
+            load_model_for_inference("x.npz", 2, variant="plain", use_ema=True)
+        # an orbax run trained WITHOUT trainer.ema has ema_params == None
+        train_loader, state, step = self._build(loaders, 0.0)
+        state, _ = step(state, next(iter(train_loader)))
+        save_checkpoint(str(tmp_path), state, iteration=1)
+        with pytest.raises(ValueError, match="no ema_params"):
+            load_model_for_inference(
+                os.path.join(str(tmp_path), "iteration_1"),
+                2, n_c=8, n_b=2, variant="plain", use_ema=True,
+            )
+
+    def test_trainer_ema_knob_end_to_end(self, loaders, tmp_path):
+        train_loader, valid_loader = loaders
+        cfg = {
+            "experiment": "ema",
+            "model": {"name": "tiny", "args": {"n_c": 8, "n_b": 2, "variant": "plain"}},
+            "optimizer": {"name": "Adam", "args": {"lr": 1e-3}},
+            "trainer": {
+                "output_path": str(tmp_path),
+                "monitor": "off",
+                "tensorboard": False,
+                "ema": 0.95,
+                "iteration_based_train": {
+                    "enabled": True, "iterations": 4, "save_period": 4,
+                    "train_log_step": 10, "valid_log_step": 10, "valid_step": 10,
+                },
+            },
+            "train_dataloader": {"dataset": {"scale": 2}},
+        }
+        run = RunConfig(cfg, runid="e0")
+        tr = Trainer(run, train_loader=train_loader, valid_loader=valid_loader, seed=0)
+        tr.train()
+        assert tr.state.ema_params is not None
+        latest = latest_checkpoint(run.save_dir)
+        from bmcnet_esr_tpu.inference.engine import load_model_for_inference
+
+        _, vars_ema = load_model_for_inference(latest, 2, n_c=8, n_b=2, variant="plain", use_ema=True)
+        for a, b in zip(jax.tree.leaves(vars_ema), jax.tree.leaves(tr.state.ema_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestResumeExactness:
     def test_resume_continues_identically(self, loaders, tmp_path):
         """Checkpoint fidelity: restoring {params, opt_state, step} must let
