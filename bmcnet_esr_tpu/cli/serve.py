@@ -76,34 +76,55 @@ def main(argv=None):
     enable_compilation_cache()
     log = logging.getLogger("serve")
     h, w = (int(v) for v in args.resolution.split("x"))
-    model, variables = load_model_for_inference(
-        args.model_path, args.scale, args.n_c, args.n_b, args.variant,
-        args.dtype, use_ema=args.ema,
-    )
-    if args.dtype.startswith("int8") and args.calib_h5:
-        # static scales: the serving fast path (no per-tick max pass);
-        # correctness never depends on them — scales are per-lane either
-        # way, so pooled streams always equal their solo rollouts
-        from bmcnet_esr_tpu.models.quant import calibrate_from_h5
 
-        variables = calibrate_from_h5(
-            model, variables, args.calib_h5, args.calib_group,
-            (h, w), args.window, args.calib_windows,
+    def load_variables():
+        """Full weight pipeline (checkpoint load/convert + optional int8
+        calibration).  Runs once at startup AND on every hot reload (SIGHUP
+        or the RELOAD opcode) — a reload re-reads --model_path from disk, so
+        dropping a newly-trained checkpoint at that path and signaling the
+        daemon rolls it out without dropping live streams."""
+        model_, variables_ = load_model_for_inference(
+            args.model_path, args.scale, args.n_c, args.n_b, args.variant,
+            args.dtype, use_ema=args.ema,
         )
-        n_sites = len(jax.tree_util.tree_leaves(variables.get("quant", {})))
-        log.info("int8: calibrated %d static activation scales from %s",
-                 n_sites, args.calib_h5)
-    elif args.dtype.startswith("int8"):
-        log.info(
-            "int8: dynamic per-lane activation scales (pass --calib_h5 to "
-            "bake static scales and drop the per-tick max pass)"
-        )
+        if args.dtype.startswith("int8") and args.calib_h5:
+            # static scales: the serving fast path (no per-tick max pass);
+            # correctness never depends on them — scales are per-lane either
+            # way, so pooled streams always equal their solo rollouts
+            from bmcnet_esr_tpu.models.quant import calibrate_from_h5
+
+            variables_ = calibrate_from_h5(
+                model_, variables_, args.calib_h5, args.calib_group,
+                (h, w), args.window, args.calib_windows,
+            )
+            n_sites = len(jax.tree_util.tree_leaves(variables_.get("quant", {})))
+            log.info("int8: calibrated %d static activation scales from %s",
+                     n_sites, args.calib_h5)
+        elif args.dtype.startswith("int8"):
+            log.info(
+                "int8: dynamic per-lane activation scales (pass --calib_h5 "
+                "to bake static scales and drop the per-tick max pass)"
+            )
+        return model_, variables_
+
+    model, variables = load_variables()
     server = EventSRServer(
         model, variables, (h, w),
         slots=args.slots, window_size=args.window,
         host=args.host, port=args.port,
         batch_window_ms=args.batch_window_ms,
+        weight_loader=lambda: load_variables()[1],
     )
+    try:
+        import signal
+
+        def _on_hup(signum, frame):
+            log.info("SIGHUP: hot-reloading weights from %s", args.model_path)
+            server.trigger_reload()
+
+        signal.signal(signal.SIGHUP, _on_hup)
+    except (ValueError, AttributeError):
+        pass  # non-main thread (tests) or platform without SIGHUP
     log.info(
         "serving %s x%d (%s) on %s:%d — %d slots, window %d",
         args.variant, args.scale, args.dtype, *server.address,

@@ -22,6 +22,8 @@ request    0x00    HELLO   ``u8 version`` (must be the first frame)
            0x03    PUSH    ``u32 slot, u32 n, f32[4*n]`` (x,y,t,p rows)
            0x04    STATS   (observability snapshot; additive in v1 —
                            pre-STATS servers answer ERROR cleanly)
+           0x05    RELOAD  (hot weight reload via the server's configured
+                           ``weight_loader``; additive in v1 likewise)
 response   0x80    HELLO_OK ``u8 version`` (the server's)
            0x81    ATTACHED ``u32 slot``
            0x82    DETACHED
@@ -29,7 +31,19 @@ response   0x80    HELLO_OK ``u8 version`` (the server's)
            0x84    PENDING (stream's first window — no output yet)
            0x85    ERROR   utf-8 message
            0x86    STATS_OK utf-8 JSON (see :meth:`EventSRServer.stats`)
+           0x87    RELOAD_OK ``u32 weights_version`` (after the swap)
 =========  ======  =====================================================
+
+**Hot weight reload** (beyond-reference; the reference restarts its eval
+process per checkpoint): a RELOAD frame (or SIGHUP in the serve CLI, or
+:meth:`EventSRServer.reload` in-process) swaps the pool's weights WITHOUT
+dropping live streams — recurrent state carries across the swap.  Weight
+*loading* (disk I/O, checkpoint conversion) runs in a worker thread; the
+*swap* is applied by the server thread between device ticks, so the loop
+never stalls behind I/O and a half-loaded checkpoint can never serve.  The
+new weights must match the old structure/shapes/dtypes exactly
+(:func:`~bmcnet_esr_tpu.inference.streaming._validate_swap`) — the compiled
+step is reused, no recompile, failed validation keeps the old weights.
 
 STATS is answered at parse time, so its reply can overtake an in-flight
 PUSH reply — a pipelining client must not interleave STATS with unread
@@ -74,9 +88,9 @@ _U32 = struct.Struct("<I")
 
 PROTOCOL_VERSION = 1
 
-HELLO, ATTACH, DETACH, PUSH, STATS = 0x00, 0x01, 0x02, 0x03, 0x04
-HELLO_OK, ATTACHED, DETACHED, PRED, PENDING, ERROR, STATS_OK = (
-    0x80, 0x81, 0x82, 0x83, 0x84, 0x85, 0x86,
+HELLO, ATTACH, DETACH, PUSH, STATS, RELOAD = 0x00, 0x01, 0x02, 0x03, 0x04, 0x05
+HELLO_OK, ATTACHED, DETACHED, PRED, PENDING, ERROR, STATS_OK, RELOAD_OK = (
+    0x80, 0x81, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
 )
 
 
@@ -152,12 +166,25 @@ class EventSRServer:
         port: int = 0,
         batch_window_ms: float = 2.0,
         mesh=None,
+        weight_loader=None,
     ):
+        """``weight_loader``: optional zero-arg callable returning a fresh
+        ``variables`` pytree (same structure/shapes as the serving one) —
+        enables the RELOAD opcode and :meth:`trigger_reload`.  It runs on a
+        worker thread, so it may do slow disk/conversion work; it must NOT
+        touch the serving pool."""
         self.pool = StreamPool(
             model, variables, inp_resolution,
             slots=slots, window_size=window_size, mesh=mesh,
         )
         self.batch_window_ms = batch_window_ms
+        self.weight_loader = weight_loader
+        self.weights_version = 1
+        self.reloads_failed = 0
+        # (sock|None, variables|Exception) produced by loader threads /
+        # reload(); consumed by the server thread between ticks.  deque
+        # append/popleft are atomic — no lock needed.
+        self._reload_q: deque = deque()
         self._listener = socket.create_server((host, port))
         self._listener.setblocking(False)
         self.address = self._listener.getsockname()
@@ -197,6 +224,60 @@ class EventSRServer:
             if not self._thread.is_alive():
                 self._thread = None
 
+    # -- hot weight reload ---------------------------------------------------
+
+    def reload(self, variables) -> None:
+        """Queue pre-loaded ``variables`` for a hot swap (thread-safe).
+
+        The server thread applies the swap between device ticks; live
+        streams keep their recurrent state.  Validation failures count in
+        ``reloads_failed`` and leave the old weights serving."""
+        self._reload_q.append((None, variables))
+
+    def trigger_reload(self) -> None:
+        """Run ``weight_loader`` on a worker thread, then hot-swap (what
+        SIGHUP in the serve CLI calls).  Counts a failed reload (instead of
+        raising — this is called from a signal handler) if the server was
+        built without a loader."""
+        try:
+            self._spawn_loader(None)
+        except ValueError:
+            self.reloads_failed += 1
+
+    def _spawn_loader(self, sock) -> None:
+        if self.weight_loader is None:
+            raise ValueError(
+                "reload not enabled: server started without a weight_loader"
+            )
+
+        def _load():
+            try:
+                result = self.weight_loader()
+            except Exception as exc:  # noqa: BLE001 — reported via queue
+                result = exc
+            self._reload_q.append((sock, result))
+
+        threading.Thread(target=_load, daemon=True).start()
+
+    def _apply_reloads(self) -> None:
+        """Server-thread half of a reload: swap + reply, between ticks."""
+        while self._reload_q:
+            sock, payload = self._reload_q.popleft()
+            if not isinstance(payload, Exception):
+                try:
+                    self.pool.reload(payload)
+                    self.weights_version += 1
+                except Exception as exc:  # noqa: BLE001 — keep old weights
+                    payload = exc
+            if isinstance(payload, Exception):
+                self.reloads_failed += 1
+                if sock is not None and sock in self._bufs:
+                    self._send_error(sock, f"reload failed: {payload}")
+            elif sock is not None and sock in self._bufs:
+                self._send(
+                    sock, _frame(RELOAD_OK, _U32.pack(self.weights_version))
+                )
+
     # -- loop --------------------------------------------------------------
 
     def serve_forever(self) -> None:
@@ -205,6 +286,7 @@ class EventSRServer:
         self._inflight = inflight  # exposed (read-only) for stats()
         try:
             while not self._stop.is_set():
+                self._apply_reloads()
                 timeout = 0.05
                 if inflight:
                     timeout = 0.001  # poll device completion promptly
@@ -516,6 +598,8 @@ class EventSRServer:
                 self._send(
                     sock, _frame(STATS_OK, json.dumps(self.stats()).encode())
                 )
+            elif opcode == RELOAD:
+                self._spawn_loader(sock)  # RELOAD_OK arrives after the swap
             else:
                 raise ValueError(f"unknown opcode {opcode:#x}")
         except Exception as exc:  # noqa: BLE001 — protocol error reply
@@ -592,6 +676,8 @@ class EventSRServer:
         recent = sum(n for t, n in self._done if now - t <= 10.0)
         return {
             "protocol_version": PROTOCOL_VERSION,
+            "weights_version": self.weights_version,
+            "reloads_failed": self.reloads_failed,
             "uptime_s": round(now - self._t_start, 3),
             "ticks": self.ticks,
             "windows_served": self.windows_served,
@@ -655,6 +741,16 @@ class EventSRClient:
         opcode, body = _read_frame(self._sock)
         self._check(opcode, STATS_OK, body)
         return json.loads(body.decode())
+
+    def reload(self) -> int:
+        """Ask the server to hot-reload weights via its configured loader;
+        blocks until the swap is applied, returns the new weights_version.
+        A pipelining caller must not interleave this with unread PUSH
+        replies (same rule as :meth:`stats`)."""
+        self._sock.sendall(_frame(RELOAD))
+        opcode, body = _read_frame(self._sock)
+        self._check(opcode, RELOAD_OK, body)
+        return _U32.unpack(body)[0]
 
     def detach(self) -> None:
         self._sock.sendall(_frame(DETACH, _U32.pack(self.slot)))

@@ -54,6 +54,34 @@ def pad_window(events: np.ndarray, window_size: int) -> np.ndarray:
     return out if batched else out[0]
 
 
+def _validate_swap(old, new) -> None:
+    """Reject a weight hot-swap that would change the compiled program.
+
+    The jitted steps take ``variables`` as a traced argument, so a swap with
+    identical pytree structure + leaf shapes/dtypes re-uses the compiled
+    executable; anything else would silently trigger a recompile (or crash
+    mid-tick on a structure mismatch).  Raises ``ValueError`` naming the
+    first differing leaf.
+    """
+    old_ls, old_td = jax.tree_util.tree_flatten(old)
+    new_ls, new_td = jax.tree_util.tree_flatten(new)
+    if old_td != new_td:
+        raise ValueError(
+            "reload: new variables have a different pytree structure "
+            f"(expected {old_td}, got {new_td})"
+        )
+    paths = jax.tree_util.tree_flatten_with_path(old)[0]
+    for (path, o), n in zip(paths, new_ls):
+        os_, ns_ = jnp.shape(o), jnp.shape(n)
+        od, nd = jnp.result_type(o), jnp.result_type(n)
+        if os_ != ns_ or od != nd:
+            name = jax.tree_util.keystr(path)
+            raise ValueError(
+                f"reload: leaf {name} changed from {os_}/{od} to "
+                f"{ns_}/{nd} — a swap must preserve shapes and dtypes"
+            )
+
+
 class StreamingSR:
     """Stateful stride-1 super-resolution over a live event stream.
 
@@ -131,6 +159,21 @@ class StreamingSR:
         self._carry = None
         self._prev_frame = None
         self.windows_seen = 0
+
+    def reload(self, variables) -> None:
+        """Hot-swap the model weights WITHOUT dropping the stream.
+
+        Recurrent state carries straight across the swap (the deployment
+        move: roll out a newly-trained checkpoint under live traffic).  The
+        new variables must match the old pytree structure and leaf
+        shapes/dtypes exactly — same architecture, new values — so the
+        compiled step is re-used as-is; anything else raises ``ValueError``
+        and leaves the current weights serving.
+        """
+        _validate_swap(self.variables, variables)
+        if self.mesh is not None:
+            variables = jax.device_put(variables, self._repl)
+        self.variables = variables
 
     def push(self, events: np.ndarray) -> Optional[np.ndarray]:
         """Feed one event window ``[4, n]`` (x, y, t, p); returns the HR
@@ -217,9 +260,8 @@ class StreamPool:
             slot_s = NamedSharding(mesh, P("data"))
             self._slot_s = slot_s
             self._ev_s = NamedSharding(mesh, P("data"))
-            variables = jax.device_put(
-                variables, NamedSharding(mesh, P())
-            )
+            self._repl = NamedSharding(mesh, P())
+            variables = jax.device_put(variables, self._repl)
             carry = tuple(jax.device_put(c, slot_s) for c in carry)
             prev = jax.device_put(prev, slot_s)
         self.variables = variables
@@ -255,6 +297,24 @@ class StreamPool:
             return new_carry, new_prev, outs[-1]
 
         return step
+
+    def reload(self, variables) -> None:
+        """Hot-swap the model weights WITHOUT dropping any attached stream.
+
+        Every slot's recurrent state (and first-window status) carries
+        straight across the swap; ticks already dispatched keep the weights
+        they were dispatched with (jit captured those arrays), ticks
+        dispatched after this call use the new ones.  Same validation
+        contract as :meth:`StreamingSR.reload` — structure/shape/dtype must
+        match or ``ValueError`` is raised and the old weights keep serving.
+        Int8 models: calibrated activation scales live inside ``variables``
+        (the ``quant`` collection), so a reload swaps them consistently with
+        the weights they were calibrated for.
+        """
+        _validate_swap(self.variables, variables)
+        if self.mesh is not None:
+            variables = jax.device_put(variables, self._repl)
+        self.variables = variables
 
     @property
     def free_slots(self) -> int:

@@ -667,3 +667,112 @@ class TestServer:
                 __import__("time").sleep(0.05)
         extra.detach()
         extra.close()
+
+
+class TestReload:
+    def test_reload_opcode_hot_swaps_without_dropping_streams(self, model_vars):
+        """RELOAD swaps weights mid-stream: the client keeps its slot and
+        recurrent state, later predictions come from the new weights, and
+        stats reports the bumped weights_version."""
+        model, v1 = model_vars
+        h, w = RES
+        dummy = jnp.zeros((1, 2, h, w, 2))
+        v2 = model.init(jax.random.key(41), dummy, *model.init_state(1, h, w))
+        srv = EventSRServer(
+            model, v1, RES, slots=2, window_size=WINDOW, port=0,
+            batch_window_ms=1.0, weight_loader=lambda: v2,
+        )
+        srv.start()
+        try:
+            rng = np.random.default_rng(11)
+            wins = make_windows(rng, 4)
+            c = EventSRClient(*srv.address)
+            c.attach()
+            assert c.push(wins[0]) is None
+            before = c.push(wins[1])
+            assert c.reload() == 2
+            after = [c.push(wv) for wv in wins[2:]]
+            stats = c.stats()
+            assert stats["weights_version"] == 2
+            assert stats["reloads_failed"] == 0
+            c.detach()
+            c.close()
+        finally:
+            srv.shutdown()
+
+        solo = StreamingSR(model, v1, RES, window_size=WINDOW)
+        want_before = [solo.push(wv) for wv in wins[:2]][1]
+        solo.reload(v2)
+        want_after = [solo.push(wv) for wv in wins[2:]]
+        np.testing.assert_allclose(before, want_before, rtol=1e-5, atol=1e-6)
+        for g, wv in zip(after, want_after):
+            np.testing.assert_allclose(g, wv, rtol=1e-5, atol=1e-6)
+
+    def test_reload_without_loader_is_a_clean_error(self, server):
+        c = EventSRClient(*server.address)
+        c.attach()
+        with pytest.raises(RuntimeError, match="reload not enabled"):
+            c.reload()
+        # the connection (and the daemon) survives the refused reload
+        rng = np.random.default_rng(12)
+        wins = make_windows(rng, 2)
+        assert c.push(wins[0]) is None
+        assert c.push(wins[1]) is not None
+        c.detach()
+        c.close()
+
+    def test_failing_loader_keeps_old_weights_serving(self, model_vars):
+        """A loader that raises (bad checkpoint on disk) must produce an
+        ERROR reply, count in reloads_failed, and leave the stream's
+        trajectory exactly on the old weights."""
+        model, v1 = model_vars
+
+        def bad_loader():
+            raise IOError("checkpoint corrupt")
+
+        srv = EventSRServer(
+            model, v1, RES, slots=2, window_size=WINDOW, port=0,
+            batch_window_ms=1.0, weight_loader=bad_loader,
+        )
+        srv.start()
+        try:
+            rng = np.random.default_rng(13)
+            wins = make_windows(rng, 3)
+            c = EventSRClient(*srv.address)
+            c.attach()
+            c.push(wins[0])
+            with pytest.raises(RuntimeError, match="checkpoint corrupt"):
+                c.reload()
+            got = [c.push(wv) for wv in wins[1:]]
+            stats = c.stats()
+            assert stats["weights_version"] == 1
+            assert stats["reloads_failed"] == 1
+            c.close()
+        finally:
+            srv.shutdown()
+        solo = StreamingSR(model, v1, RES, window_size=WINDOW)
+        want = [solo.push(wv) for wv in wins]
+        for g, wv in zip(got, want[1:]):
+            np.testing.assert_allclose(g, wv, rtol=1e-5, atol=1e-6)
+
+    def test_sighup_triggers_reload(self, model_vars):
+        """trigger_reload (the serve CLI's SIGHUP path) swaps weights with
+        no client involved."""
+        model, v1 = model_vars
+        h, w = RES
+        dummy = jnp.zeros((1, 2, h, w, 2))
+        v2 = model.init(jax.random.key(42), dummy, *model.init_state(1, h, w))
+        srv = EventSRServer(
+            model, v1, RES, slots=2, window_size=WINDOW, port=0,
+            batch_window_ms=1.0, weight_loader=lambda: v2,
+        )
+        srv.start()
+        try:
+            srv.trigger_reload()
+            c = EventSRClient(*srv.address)
+            deadline = __import__("time").monotonic() + 5.0
+            while c.stats()["weights_version"] != 2:
+                assert __import__("time").monotonic() < deadline
+            c.close()
+        finally:
+            srv.shutdown()

@@ -173,3 +173,66 @@ class TestStreamPool:
         want = solo_preds(model, variables, wins)
         np.testing.assert_allclose(p1, want[1], rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(p2, want[2], rtol=1e-5, atol=1e-6)
+
+    def test_hot_reload_swaps_weights_preserving_state(self, model_vars):
+        """reload() rolls out new weights under live traffic: recurrent
+        state carries across the swap, subsequent predictions use the new
+        weights, and pooled lanes still equal the solo rollout exactly."""
+        model, v1 = model_vars
+        h, w = RES
+        dummy = jnp.zeros((1, 2, h, w, 2))
+        v2 = model.init(jax.random.key(99), dummy, *model.init_state(1, h, w))
+        rng = np.random.default_rng(7)
+        wins = make_windows(rng, 4)
+
+        pool = StreamPool(model, v1, RES, slots=2, window_size=WINDOW)
+        s = pool.attach()
+        pool.push({s: wins[0]})
+        before = pool.push({s: wins[1]})[s]
+        n_compiles = pool._step._cache_size()
+        pool.reload(v2)
+        after = [pool.push({s: wv})[s] for wv in wins[2:]]
+        # the swap reuses the compiled step — same shapes, no recompile
+        assert pool._step._cache_size() == n_compiles
+
+        # oracle: solo rollout that swaps weights at the same point
+        solo = StreamingSR(model, v1, RES, window_size=WINDOW)
+        want_before = [solo.push(wv) for wv in wins[:2]][1]
+        solo.reload(v2)
+        want_after = [solo.push(wv) for wv in wins[2:]]
+        np.testing.assert_allclose(before, want_before, rtol=1e-5, atol=1e-6)
+        for g, wv in zip(after, want_after):
+            np.testing.assert_allclose(g, wv, rtol=1e-5, atol=1e-6)
+
+        # and the swap was real: continuing on v1 diverges from the reload
+        cont = StreamingSR(model, v1, RES, window_size=WINDOW)
+        for wv in wins[:2]:
+            cont.push(wv)
+        assert not np.allclose(cont.push(wins[2]), after[0], atol=1e-4)
+
+    def test_hot_reload_rejects_mismatched_weights(self, model_vars):
+        """A checkpoint of a different architecture must be rejected with
+        the old weights left serving (never a recompile or a mid-tick
+        crash)."""
+        model, v1 = model_vars
+        h, w = RES
+        other = BMCNetPlain(scale=2, n_c=12, n_b=2)
+        dummy = jnp.zeros((1, 2, h, w, 2))
+        v_other = other.init(
+            jax.random.key(0), dummy, *other.init_state(1, h, w)
+        )
+        rng = np.random.default_rng(8)
+        wins = make_windows(rng, 3)
+        pool = StreamPool(model, v1, RES, slots=1, window_size=WINDOW)
+        s = pool.attach()
+        pool.push({s: wins[0]})
+        with pytest.raises(ValueError, match="reload"):
+            pool.reload(v_other)
+        # dtype change is a program change too (would silently recompile)
+        v_cast = jax.tree.map(lambda a: a.astype(jnp.bfloat16), v1)
+        with pytest.raises(ValueError, match="reload"):
+            pool.reload(v_cast)
+        got = [pool.push({s: wv})[s] for wv in wins[1:]]
+        want = solo_preds(model, v1, wins)[1:]
+        for g, wv in zip(got, want):
+            np.testing.assert_allclose(g, wv, rtol=1e-5, atol=1e-6)
