@@ -17,22 +17,39 @@ gets a clean version error instead of undefined decode behavior:
 
 =========  ======  =====================================================
 request    0x00    HELLO   ``u8 version`` (must be the first frame)
-           0x01    ATTACH
+           0x01    ATTACH  optional ``u8 resumable`` (empty body = 0)
            0x02    DETACH  ``u32 slot``
            0x03    PUSH    ``u32 slot, u32 n, f32[4*n]`` (x,y,t,p rows)
-           0x04    STATS   (observability snapshot; additive in v1 —
-                           pre-STATS servers answer ERROR cleanly)
+           0x04    STATS   (observability snapshot)
            0x05    RELOAD  (hot weight reload via the server's configured
-                           ``weight_loader``; additive in v1 likewise)
+                           ``weight_loader``)
+           0x06    RESUME  ``u32 slot, u8[16] token`` (reclaim an orphaned
+                           resumable slot after a reconnect)
 response   0x80    HELLO_OK ``u8 version`` (the server's)
-           0x81    ATTACHED ``u32 slot``
+           0x81    ATTACHED ``u32 slot, u8[16] token`` (token is all-zero
+                           for non-resumable slots)
            0x82    DETACHED
            0x83    PRED    ``u32 kh, u32 kw, u32 c, f32[kh*kw*c]``
            0x84    PENDING (stream's first window — no output yet)
            0x85    ERROR   utf-8 message
            0x86    STATS_OK utf-8 JSON (see :meth:`EventSRServer.stats`)
            0x87    RELOAD_OK ``u32 weights_version`` (after the swap)
+           0x88    RESUMED ``u64 windows_seen`` (slot state carried over)
 =========  ======  =====================================================
+
+Protocol history: v2 widened ATTACHED with the resume token (a v1 client
+would misparse it, hence the bump — exactly what the HELLO handshake is
+for); STATS/RELOAD/RESUME opcodes are additive (older servers answer a
+clean ERROR).
+
+**Session resume** (resumable ATTACH + RESUME): an event camera's recurrent
+state is the product of its whole history — a TCP blip must not reset it.
+A slot attached with ``resumable=1`` survives its connection: on disconnect
+it parks as an *orphan* for ``resume_grace_s`` (its queued-but-unprocessed
+windows are dropped — their replies have nowhere to go — but the device
+state stays live); a reconnecting client reclaims it with RESUME + the
+16-byte bearer token from ATTACHED and continues mid-stream.  Expired
+orphans detach and free the slot.
 
 **Hot weight reload** (beyond-reference; the reference restarts its eval
 process per checkpoint): a RELOAD frame (or SIGHUP in the serve CLI, or
@@ -71,7 +88,9 @@ carries at most one window per tick).
 
 from __future__ import annotations
 
+import hmac
 import json
+import os
 import selectors
 import socket
 import struct
@@ -86,12 +105,15 @@ from bmcnet_esr_tpu.inference.streaming import StreamPool
 
 _U32 = struct.Struct("<I")
 
-PROTOCOL_VERSION = 1
+PROTOCOL_VERSION = 2  # v2: ATTACHED carries the resume token
 
-HELLO, ATTACH, DETACH, PUSH, STATS, RELOAD = 0x00, 0x01, 0x02, 0x03, 0x04, 0x05
-HELLO_OK, ATTACHED, DETACHED, PRED, PENDING, ERROR, STATS_OK, RELOAD_OK = (
-    0x80, 0x81, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+HELLO, ATTACH, DETACH, PUSH, STATS, RELOAD, RESUME = (
+    0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06,
 )
+(HELLO_OK, ATTACHED, DETACHED, PRED, PENDING, ERROR, STATS_OK, RELOAD_OK,
+ RESUMED) = (0x80, 0x81, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88)
+
+_TOKEN_LEN = 16
 
 
 def _frame(opcode: int, body: bytes = b"") -> bytes:
@@ -167,12 +189,17 @@ class EventSRServer:
         batch_window_ms: float = 2.0,
         mesh=None,
         weight_loader=None,
+        resume_grace_s: float = 30.0,
     ):
         """``weight_loader``: optional zero-arg callable returning a fresh
         ``variables`` pytree (same structure/shapes as the serving one) —
         enables the RELOAD opcode and :meth:`trigger_reload`.  It runs on a
         worker thread, so it may do slow disk/conversion work; it must NOT
-        touch the serving pool."""
+        touch the serving pool.
+
+        ``resume_grace_s``: how long a resumable slot survives its
+        connection as an orphan before its state is discarded and the slot
+        freed (see "Session resume" in the module docstring)."""
         self.pool = StreamPool(
             model, variables, inp_resolution,
             slots=slots, window_size=window_size, mesh=mesh,
@@ -192,6 +219,11 @@ class EventSRServer:
         self._sel.register(self._listener, selectors.EVENT_READ, "accept")
         self._slot_owner: Dict[int, socket.socket] = {}
         self._conn_slots: Dict[socket.socket, set] = {}
+        self.resume_grace_s = resume_grace_s
+        # slot -> (bearer token, resumable?); token outlives the connection
+        self._slot_token: Dict[int, Tuple[bytes, bool]] = {}
+        # resumable slots whose connection died: slot -> expiry deadline
+        self._orphans: Dict[int, float] = {}
         self._bufs: Dict[socket.socket, _Conn] = {}
         # slot -> queued event windows (FIFO; one consumed per tick)
         self._pending: Dict[int, list] = {}
@@ -287,6 +319,7 @@ class EventSRServer:
         try:
             while not self._stop.is_set():
                 self._apply_reloads()
+                self._reap_orphans()
                 timeout = 0.05
                 if inflight:
                     timeout = 0.001  # poll device completion promptly
@@ -378,16 +411,41 @@ class EventSRServer:
         self._conn_slots[conn] = set()
         self._bufs[conn] = _Conn()
 
+    def _release_slot(self, slot: int) -> None:
+        """Connection lost its claim on ``slot``: orphan it (resumable) or
+        free it.  Queued windows drop either way — their replies have
+        nowhere to go, and replaying them after a resume would desync the
+        client's push/reply accounting."""
+        self._slot_owner.pop(slot, None)
+        self._pending.pop(slot, None)
+        token = self._slot_token.get(slot)
+        if token is not None and token[1]:
+            self._orphans[slot] = time.monotonic() + self.resume_grace_s
+            return
+        self._slot_token.pop(slot, None)
+        try:
+            self.pool.detach(slot)
+        except ValueError:
+            pass
+
+    def _reap_orphans(self) -> None:
+        if not self._orphans:
+            return
+        now = time.monotonic()
+        for slot, deadline in list(self._orphans.items()):
+            if now >= deadline:
+                del self._orphans[slot]
+                self._slot_token.pop(slot, None)
+                try:
+                    self.pool.detach(slot)
+                except ValueError:
+                    pass
+
     def _drop(self, sock: socket.socket) -> None:
         if sock in self._bufs:
             self.conns_closed += 1
         for slot in self._conn_slots.pop(sock, ()):
-            self._slot_owner.pop(slot, None)
-            self._pending.pop(slot, None)
-            try:
-                self.pool.detach(slot)
-            except ValueError:
-                pass
+            self._release_slot(slot)
         self._bufs.pop(sock, None)
         self._closing.pop(sock, None)
         try:
@@ -415,12 +473,7 @@ class EventSRServer:
             return
         for slot in self._conn_slots.get(sock, set()).copy():
             self._conn_slots[sock].discard(slot)
-            self._slot_owner.pop(slot, None)
-            self._pending.pop(slot, None)
-            try:
-                self.pool.detach(slot)
-            except ValueError:
-                pass
+            self._release_slot(slot)
         conn.closing = time.monotonic() + grace_s
         self._closing[sock] = conn.closing
         self._flush(sock)  # may complete the shutdown immediately
@@ -563,16 +616,37 @@ class EventSRServer:
             return
         try:
             if opcode == ATTACH:
+                resumable = bool(body[0]) if body else False
                 slot = self.pool.attach()
+                token = os.urandom(_TOKEN_LEN) if resumable else bytes(_TOKEN_LEN)
+                self._slot_token[slot] = (token, resumable)
                 self._slot_owner[slot] = sock
                 self._conn_slots[sock].add(slot)
-                self._send(sock, _frame(ATTACHED, _U32.pack(slot)))
+                self._send(sock, _frame(ATTACHED, _U32.pack(slot) + token))
+            elif opcode == RESUME:
+                (slot,) = _U32.unpack(body[:4])
+                token = body[4 : 4 + _TOKEN_LEN]
+                held = self._slot_token.get(slot)
+                # compare_digest: token equality must not leak via timing
+                if (
+                    slot not in self._orphans
+                    or held is None
+                    or len(token) != _TOKEN_LEN
+                    or not hmac.compare_digest(held[0], token)
+                ):
+                    raise ValueError(f"slot {slot} is not resumable here")
+                del self._orphans[slot]
+                self._slot_owner[slot] = sock
+                self._conn_slots[sock].add(slot)
+                seen = self.pool.windows_seen(slot)
+                self._send(sock, _frame(RESUMED, struct.pack("<Q", seen)))
             elif opcode == DETACH:
                 (slot,) = _U32.unpack(body[:4])
                 if self._slot_owner.get(slot) is not sock:
                     raise ValueError(f"slot {slot} is not yours")
                 self.pool.detach(slot)
                 del self._slot_owner[slot]
+                self._slot_token.pop(slot, None)
                 self._conn_slots[sock].discard(slot)
                 self._pending.pop(slot, None)
                 self._send(sock, _frame(DETACHED))
@@ -686,6 +760,7 @@ class EventSRServer:
             "conns_open": len(self._bufs),
             "conns_closed": self.conns_closed,
             "slots_attached": len(self._slot_owner),
+            "slots_orphaned": len(self._orphans),
             "slots_total": self.pool.slots,
             "window_size": self.pool.window_size,
             "pending_windows": sum(len(q) for q in self._pending.values()),
@@ -705,20 +780,37 @@ class EventSRClient:
     """Blocking client for :class:`EventSRServer` managing one stream slot."""
 
     def __init__(self, host: str, port: int):
-        self._sock = socket.create_connection((host, port))
+        self._addr = (host, port)
+        self._sock = socket.create_connection(self._addr)
         self.slot: Optional[int] = None
+        self.token: Optional[bytes] = None
         # version handshake first — a mismatched server replies ERROR here
         self._sock.sendall(_frame(HELLO, bytes([PROTOCOL_VERSION])))
         opcode, body = _read_frame(self._sock)
         self._check(opcode, HELLO_OK, body)
         self.server_version = body[0]
 
-    def attach(self) -> int:
-        self._sock.sendall(_frame(ATTACH))
+    def attach(self, resumable: bool = False) -> int:
+        """Claim a stream slot.  ``resumable=True`` makes the slot survive a
+        dropped connection for the server's resume grace window — keep
+        ``self.slot``/``self.token`` and call :meth:`resume` on a fresh
+        client to continue the stream with its recurrent state intact."""
+        self._sock.sendall(_frame(ATTACH, bytes([resumable])))
         opcode, body = _read_frame(self._sock)
         self._check(opcode, ATTACHED, body)
-        (self.slot,) = _U32.unpack(body)
+        (self.slot,) = _U32.unpack(body[:4])
+        self.token = body[4:]
         return self.slot
+
+    def resume(self, slot: int, token: bytes) -> int:
+        """Reclaim an orphaned resumable slot after a reconnect; returns the
+        number of windows the stream had already consumed (>= 1 means the
+        next push yields a prediction, not PENDING)."""
+        self._sock.sendall(_frame(RESUME, _U32.pack(slot) + token))
+        opcode, body = _read_frame(self._sock)
+        self._check(opcode, RESUMED, body)
+        self.slot, self.token = slot, token
+        return struct.unpack("<Q", body)[0]
 
     def push(self, events: np.ndarray) -> Optional[np.ndarray]:
         """Send one ``[4, n]`` window; returns the HR prediction

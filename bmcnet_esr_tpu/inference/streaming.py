@@ -320,6 +320,10 @@ class StreamPool:
     def free_slots(self) -> int:
         return int((~self._active).sum())
 
+    def windows_seen(self, slot: int) -> int:
+        """Windows this slot has consumed since it was (re)attached."""
+        return int(self._seen[slot])
+
     def attach(self) -> int:
         """Claim a free slot for a new stream; returns the slot id."""
         free = np.flatnonzero(~self._active)

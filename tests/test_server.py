@@ -577,7 +577,7 @@ class TestServer:
             raw.sendall(server_mod._frame(server_mod.ATTACH))
             opcode, payload = server_mod._read_frame(raw)
             assert opcode == server_mod.ATTACHED
-            (slot,) = struct.unpack("<I", payload)
+            (slot,) = struct.unpack("<I", payload[:4])
             body = struct.pack("<II", slot, ev.shape[1]) + ev.tobytes()
             raw.sendall(server_mod._frame(server_mod.PUSH, body))
             time_mod.sleep(0.05)  # let the tick dispatch
@@ -608,10 +608,12 @@ class TestServer:
         """STATS must reflect the traffic actually served: counts, batch
         occupancy, service latency and trailing throughput, all computed by
         the server thread itself (the production observability surface)."""
+        from bmcnet_esr_tpu.inference import server as server_mod
+
         client = EventSRClient(*server.address)
 
         fresh = client.stats()
-        assert fresh["protocol_version"] == 1
+        assert fresh["protocol_version"] == server_mod.PROTOCOL_VERSION
         assert fresh["slots_total"] == 4 and fresh["window_size"] == WINDOW
         assert fresh["conns_open"] >= 1
         before_windows = fresh["windows_served"]
@@ -774,5 +776,123 @@ class TestReload:
             while c.stats()["weights_version"] != 2:
                 assert __import__("time").monotonic() < deadline
             c.close()
+        finally:
+            srv.shutdown()
+
+
+class TestResume:
+    def test_resume_continues_stream_after_disconnect(self, server, model_vars):
+        """A resumable stream dropped mid-rollout reclaims its slot on a new
+        connection and continues EXACTLY where it left off (recurrent state
+        is the whole point of resume)."""
+        import time
+
+        model, variables = model_vars
+        rng = np.random.default_rng(21)
+        wins = make_windows(rng, 4)
+
+        c1 = EventSRClient(*server.address)
+        slot = c1.attach(resumable=True)
+        token = c1.token
+        assert token != bytes(16)
+        assert c1.push(wins[0]) is None
+        p1 = c1.push(wins[1])
+        c1.close()  # no DETACH — simulated network drop
+
+        deadline = time.monotonic() + 5.0
+        c2 = EventSRClient(*server.address)
+        while c2.stats()["slots_orphaned"] != 1:
+            assert time.monotonic() < deadline
+            time.sleep(0.02)
+        seen = c2.resume(slot, token)
+        assert seen == 2
+        p2 = [c2.push(wv) for wv in wins[2:]]
+        assert c2.stats()["slots_orphaned"] == 0
+        c2.detach()
+        c2.close()
+
+        solo = StreamingSR(model, variables, RES, window_size=WINDOW)
+        want = [solo.push(wv) for wv in wins]
+        np.testing.assert_allclose(p1, want[1], rtol=1e-5, atol=1e-6)
+        for g, wv in zip(p2, want[2:]):
+            np.testing.assert_allclose(g, wv, rtol=1e-5, atol=1e-6)
+
+    def test_wrong_token_and_live_slot_are_rejected(self, server):
+        import time
+
+        rng = np.random.default_rng(22)
+        wins = make_windows(rng, 2)
+        c1 = EventSRClient(*server.address)
+        slot = c1.attach(resumable=True)
+        token = c1.token
+        c1.push(wins[0])
+
+        # RESUME on a slot that is still owned by a live connection
+        c2 = EventSRClient(*server.address)
+        with pytest.raises(RuntimeError, match="not resumable"):
+            c2.resume(slot, token)
+
+        c1.close()
+        deadline = time.monotonic() + 5.0
+        while c2.stats()["slots_orphaned"] != 1:
+            assert time.monotonic() < deadline
+            time.sleep(0.02)
+        # orphaned now, but the bearer token must match
+        with pytest.raises(RuntimeError, match="not resumable"):
+            c2.resume(slot, bytes(16))
+        assert c2.resume(slot, token) == 1  # the real token still works
+        c2.push(wins[1])
+        c2.detach()
+        c2.close()
+
+    def test_nonresumable_slot_frees_on_disconnect(self, server):
+        import time
+
+        c1 = EventSRClient(*server.address)
+        slot = c1.attach()  # resumable=False
+        token = c1.token
+        assert token == bytes(16)
+        c1.close()
+        c2 = EventSRClient(*server.address)
+        deadline = time.monotonic() + 5.0
+        while c2.stats()["slots_attached"] != 0:
+            assert time.monotonic() < deadline
+            time.sleep(0.02)
+        assert c2.stats()["slots_orphaned"] == 0
+        with pytest.raises(RuntimeError, match="not resumable"):
+            c2.resume(slot, token)
+        c2.close()
+
+    def test_orphan_expires_after_grace(self, model_vars):
+        """Past resume_grace_s the orphan detaches: the slot frees for new
+        streams and the stale token is refused."""
+        import time
+
+        model, variables = model_vars
+        srv = EventSRServer(
+            model, variables, RES, slots=1, window_size=WINDOW, port=0,
+            batch_window_ms=1.0, resume_grace_s=0.2,
+        )
+        srv.start()
+        try:
+            rng = np.random.default_rng(23)
+            wins = make_windows(rng, 2)
+            c1 = EventSRClient(*srv.address)
+            slot = c1.attach(resumable=True)
+            token = c1.token
+            c1.push(wins[0])
+            c1.close()
+            c2 = EventSRClient(*srv.address)
+            deadline = time.monotonic() + 5.0
+            while c2.stats()["slots_orphaned"] != 0:
+                assert time.monotonic() < deadline
+                time.sleep(0.05)
+            with pytest.raises(RuntimeError, match="not resumable"):
+                c2.resume(slot, token)
+            # the only slot is free again for a fresh stream
+            assert c2.attach() == slot
+            assert c2.push(wins[0]) is None  # fresh state: first window
+            c2.detach()
+            c2.close()
         finally:
             srv.shutdown()
