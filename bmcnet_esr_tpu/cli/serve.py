@@ -12,7 +12,6 @@ serving daemon — its eval loop is file-at-a-time (`infer_BMCNet.py`).
 
 import argparse
 import logging
-import time
 
 import jax
 
@@ -135,8 +134,9 @@ def main(argv=None):
         import threading
 
         def _report():
-            while True:
-                time.sleep(args.stats_every)
+            # stops with the server (tests monkeypatch serve_forever and
+            # return from main — a bare while True would tick forever)
+            while not server._stop.wait(args.stats_every):
                 log.info("stats %s", json.dumps(server.stats()))
 
         threading.Thread(target=_report, daemon=True).start()
@@ -144,6 +144,8 @@ def main(argv=None):
         server.serve_forever()
     except KeyboardInterrupt:
         log.info("shutting down")
+    finally:
+        server.shutdown()
 
 
 if __name__ == "__main__":
