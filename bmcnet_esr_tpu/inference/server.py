@@ -49,7 +49,10 @@ it parks as an *orphan* for ``resume_grace_s`` (its queued-but-unprocessed
 windows are dropped — their replies have nowhere to go — but the device
 state stays live); a reconnecting client reclaims it with RESUME + the
 16-byte bearer token from ATTACHED and continues mid-stream.  Expired
-orphans detach and free the slot.
+orphans detach and free the slot.  The token is the authority over the
+slot, not the socket: a valid RESUME also preempts a slot whose old
+connection is half-open (NAT timeout/power loss — the server may never see
+FIN/RST), stripping the stale owner's claim.
 
 **Hot weight reload** (beyond-reference; the reference restarts its eval
 process per checkpoint): a RELOAD frame (or SIGHUP in the serve CLI, or
@@ -212,6 +215,7 @@ class EventSRServer:
         # reload(); consumed by the server thread between ticks.  deque
         # append/popleft are atomic — no lock needed.
         self._reload_q: deque = deque()
+        self._reload_inflight = threading.Event()
         self._listener = socket.create_server((host, port))
         self._listener.setblocking(False)
         self.address = self._listener.getsockname()
@@ -268,19 +272,27 @@ class EventSRServer:
 
     def trigger_reload(self) -> None:
         """Run ``weight_loader`` on a worker thread, then hot-swap (what
-        SIGHUP in the serve CLI calls).  Counts a failed reload (instead of
-        raising — this is called from a signal handler) if the server was
-        built without a loader."""
+        SIGHUP in the serve CLI calls).  Never raises — this is called from
+        a signal handler; refusals count in ``reloads_failed``."""
         try:
             self._spawn_loader(None)
         except ValueError:
-            self.reloads_failed += 1
+            pass  # already counted by _spawn_loader
 
     def _spawn_loader(self, sock) -> None:
         if self.weight_loader is None:
+            self.reloads_failed += 1
             raise ValueError(
                 "reload not enabled: server started without a weight_loader"
             )
+        # single in-flight reload: the loader runs the full checkpoint
+        # load/convert (and int8 calibration), so a RELOAD-spamming client
+        # must not stack loader threads + weight pytrees (the same "no
+        # single connection can wedge/OOM the daemon" rule as _MAX_QUEUE)
+        if self._reload_inflight.is_set():
+            self.reloads_failed += 1
+            raise ValueError("reload already in progress")
+        self._reload_inflight.set()
 
         def _load():
             try:
@@ -295,6 +307,7 @@ class EventSRServer:
         """Server-thread half of a reload: swap + reply, between ticks."""
         while self._reload_q:
             sock, payload = self._reload_q.popleft()
+            self._reload_inflight.clear()
             if not isinstance(payload, Exception):
                 try:
                     self.pool.reload(payload)
@@ -627,15 +640,26 @@ class EventSRServer:
                 (slot,) = _U32.unpack(body[:4])
                 token = body[4 : 4 + _TOKEN_LEN]
                 held = self._slot_token.get(slot)
-                # compare_digest: token equality must not leak via timing
+                # compare_digest: token equality must not leak via timing.
+                # The bearer token is the AUTHORITY over the slot, not the
+                # socket: a valid RESUME preempts even a still-"owned" slot,
+                # because after a half-open drop (NAT timeout, power loss —
+                # the primary reconnect scenario) the server may never see
+                # FIN/RST and would otherwise hold the stale owner forever.
                 if (
-                    slot not in self._orphans
-                    or held is None
+                    held is None
+                    or not held[1]  # non-resumable slots have no authority
                     or len(token) != _TOKEN_LEN
                     or not hmac.compare_digest(held[0], token)
                 ):
                     raise ValueError(f"slot {slot} is not resumable here")
-                del self._orphans[slot]
+                self._orphans.pop(slot, None)
+                old = self._slot_owner.get(slot)
+                if old is not None and old is not sock:
+                    # stale (or duplicate) owner: strip its claim; its next
+                    # PUSH on this slot gets a clean "not yours" error
+                    self._conn_slots.get(old, set()).discard(slot)
+                    self._pending.pop(slot, None)
                 self._slot_owner[slot] = sock
                 self._conn_slots[sock].add(slot)
                 seen = self.pool.windows_seen(slot)
@@ -739,7 +763,12 @@ class EventSRServer:
         and a torn read merely skews one monitoring sample.
         """
         now = time.monotonic()
-        lat_ms = sorted(v * 1e3 for v in self._latency)
+        # snapshot deques with list() FIRST: the C-level copy is atomic
+        # under the GIL, whereas Python-level iteration (sorted/sum over
+        # the live deque) raises "deque mutated during iteration" when the
+        # server thread appends mid-walk — which would kill a monitoring
+        # thread like the serve CLI's stats reporter
+        lat_ms = sorted(v * 1e3 for v in list(self._latency))
 
         def pct(p: float):
             if not lat_ms:
@@ -747,7 +776,7 @@ class EventSRServer:
             return round(lat_ms[min(len(lat_ms) - 1, int(p * len(lat_ms)))], 3)
 
         batches = list(self._tick_batch)
-        recent = sum(n for t, n in self._done if now - t <= 10.0)
+        recent = sum(n for t, n in list(self._done) if now - t <= 10.0)
         return {
             "protocol_version": PROTOCOL_VERSION,
             "weights_version": self.weights_version,
@@ -780,8 +809,7 @@ class EventSRClient:
     """Blocking client for :class:`EventSRServer` managing one stream slot."""
 
     def __init__(self, host: str, port: int):
-        self._addr = (host, port)
-        self._sock = socket.create_connection(self._addr)
+        self._sock = socket.create_connection((host, port))
         self.slot: Optional[int] = None
         self.token: Optional[bytes] = None
         # version handshake first — a mismatched server replies ERROR here

@@ -63,15 +63,16 @@ def _validate_swap(old, new) -> None:
     mid-tick on a structure mismatch).  Raises ``ValueError`` naming the
     first differing leaf.
     """
-    old_ls, old_td = jax.tree_util.tree_flatten(old)
+    old_paths, old_td = jax.tree_util.tree_flatten_with_path(old)
     new_ls, new_td = jax.tree_util.tree_flatten(new)
     if old_td != new_td:
+        # treedef reprs of the full model run to hundreds of KB and this
+        # message travels in ERROR frames/logs — truncate hard
         raise ValueError(
             "reload: new variables have a different pytree structure "
-            f"(expected {old_td}, got {new_td})"
+            f"(expected {str(old_td)[:200]}..., got {str(new_td)[:200]}...)"
         )
-    paths = jax.tree_util.tree_flatten_with_path(old)[0]
-    for (path, o), n in zip(paths, new_ls):
+    for (path, o), n in zip(old_paths, new_ls):
         os_, ns_ = jnp.shape(o), jnp.shape(n)
         od, nd = jnp.result_type(o), jnp.result_type(n)
         if os_ != ns_ or od != nd:

@@ -817,33 +817,83 @@ class TestResume:
         for g, wv in zip(p2, want[2:]):
             np.testing.assert_allclose(g, wv, rtol=1e-5, atol=1e-6)
 
-    def test_wrong_token_and_live_slot_are_rejected(self, server):
-        import time
-
+    def test_wrong_token_rejected_valid_token_preempts(self, server):
+        """The bearer token is the authority over the slot, not the socket:
+        a wrong token is always refused, while a valid RESUME preempts even
+        a still-"owned" slot — after a half-open drop (NAT timeout) the
+        server may never see FIN/RST, and the reconnecting holder must not
+        be locked out by its own stale connection."""
         rng = np.random.default_rng(22)
-        wins = make_windows(rng, 2)
+        wins = make_windows(rng, 3)
         c1 = EventSRClient(*server.address)
         slot = c1.attach(resumable=True)
         token = c1.token
         c1.push(wins[0])
 
-        # RESUME on a slot that is still owned by a live connection
         c2 = EventSRClient(*server.address)
-        with pytest.raises(RuntimeError, match="not resumable"):
-            c2.resume(slot, token)
-
-        c1.close()
-        deadline = time.monotonic() + 5.0
-        while c2.stats()["slots_orphaned"] != 1:
-            assert time.monotonic() < deadline
-            time.sleep(0.02)
-        # orphaned now, but the bearer token must match
+        # wrong token: rejected whether the slot is live or orphaned
         with pytest.raises(RuntimeError, match="not resumable"):
             c2.resume(slot, bytes(16))
-        assert c2.resume(slot, token) == 1  # the real token still works
+        # valid token: preempts the (possibly half-open) old connection
+        assert c2.resume(slot, token) == 1
         c2.push(wins[1])
+        # the stale owner's claim is gone — its pushes get a clean error
+        c1.slot = slot
+        with pytest.raises(RuntimeError, match="not yours"):
+            c1.push(wins[2])
+        c1.close()
         c2.detach()
         c2.close()
+
+    def test_reload_flood_is_bounded_to_one_inflight(self, model_vars):
+        """A RELOAD-spamming client must not stack loader threads/weight
+        copies: while one load is in flight further RELOADs get a clean
+        ERROR (and count in reloads_failed), and the daemon keeps serving."""
+        import threading
+        import time
+
+        model, v1 = model_vars
+        h, w = RES
+        dummy = jnp.zeros((1, 2, h, w, 2))
+        v2 = model.init(jax.random.key(5), dummy, *model.init_state(1, h, w))
+        release = threading.Event()
+        loads = []
+
+        def slow_loader():
+            loads.append(1)
+            release.wait(10)
+            return v2
+
+        srv = EventSRServer(
+            model, v1, RES, slots=2, window_size=WINDOW, port=0,
+            batch_window_ms=1.0, weight_loader=slow_loader,
+        )
+        srv.start()
+        try:
+            from bmcnet_esr_tpu.inference import server as server_mod
+
+            c = EventSRClient(*srv.address)
+            # first RELOAD starts the (slow) load...
+            c._sock.sendall(server_mod._frame(server_mod.RELOAD))
+            time.sleep(0.1)
+            # ...every further RELOAD while it runs is refused immediately
+            for _ in range(5):
+                with pytest.raises(RuntimeError, match="already in progress"):
+                    c.reload()
+            assert len(loads) == 1
+            release.set()
+            # the first RELOAD's reply finally arrives: the swap applied
+            opcode, body = server_mod._read_frame(c._sock)
+            assert opcode == server_mod.RELOAD_OK
+            stats = c.stats()
+            assert stats["weights_version"] == 2
+            assert stats["reloads_failed"] == 5
+            # and a reload AFTER completion works again
+            assert c.reload() == 3
+            c.close()
+        finally:
+            release.set()
+            srv.shutdown()
 
     def test_nonresumable_slot_frees_on_disconnect(self, server):
         import time
