@@ -276,7 +276,7 @@ class TestServer:
         def fuzz_once(i):
             s = socket_mod.create_connection(server.address)
             s.settimeout(5.0)
-            kind = i % 6
+            kind = i % 8
             if kind == 0:  # pure random bytes
                 s.sendall(rng.bytes(int(rng.integers(1, 512))))
             elif kind == 1:  # valid length word, random opcode + body
@@ -293,16 +293,26 @@ class TestServer:
                 s.sendall(server_mod._frame(server_mod.HELLO, bytes([v])))
             elif kind == 4:  # correct opcode stream but no HELLO first
                 s.sendall(server_mod._frame(server_mod.ATTACH, b""))
-            else:  # byte-dribbled truncated frame, then abrupt close
+            elif kind == 5:  # byte-dribbled truncated frame, abrupt close
                 frame = server_mod._frame(server_mod.ATTACH, b"")
                 for b in frame[: int(rng.integers(1, len(frame)))]:
                     s.sendall(bytes([b]))
+            elif kind == 6:  # forged RESUME: random slot + random token
+                raw_hello(s)
+                body = struct.pack("<I", int(rng.integers(0, 8))) + rng.bytes(
+                    int(rng.integers(0, 24))
+                )
+                s.sendall(server_mod._frame(server_mod.RESUME, body))
+            else:  # RELOAD on a server with no loader configured
+                raw_hello(s)
+                s.sendall(server_mod._frame(server_mod.RELOAD, b""))
             s.close()
 
         preds = []
         for i, ev in enumerate(wins):
-            fuzz_once(2 * i)
-            fuzz_once(2 * i + 1)
+            fuzz_once(3 * i)
+            fuzz_once(3 * i + 1)
+            fuzz_once(3 * i + 2)
             preds.append(client.push(ev))
         assert all(p is not None and p.shape == (32, 32, 2) for p in preds[1:])
         # solo StreamingSR agrees: fuzz never perturbed the good client

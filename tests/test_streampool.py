@@ -236,3 +236,36 @@ class TestStreamPool:
         want = solo_preds(model, v1, wins)[1:]
         for g, wv in zip(got, want):
             np.testing.assert_allclose(g, wv, rtol=1e-5, atol=1e-6)
+
+    def test_mesh_sharded_pool_hot_reload(self, model_vars):
+        """reload() on a mesh-sharded pool: new weights replicate across
+        the mesh and every lane continues exactly like a solo rollout that
+        swapped weights at the same point."""
+        from bmcnet_esr_tpu.parallel import make_mesh
+
+        model, v1 = model_vars
+        h, w = RES
+        dummy = jnp.zeros((1, 2, h, w, 2))
+        v2 = model.init(jax.random.key(77), dummy, *model.init_state(1, h, w))
+        rng = np.random.default_rng(9)
+        mesh = make_mesh(8)
+        pool = StreamPool(
+            model, v1, RES, slots=8, window_size=WINDOW, mesh=mesh
+        )
+        streams = {pool.attach(): make_windows(rng, 4) for _ in range(8)}
+        for t in range(2):
+            pool.push({s: ws[t] for s, ws in streams.items()})
+        pool.reload(v2)
+        got = {s: [] for s in streams}
+        for t in range(2, 4):
+            out = pool.push({s: ws[t] for s, ws in streams.items()})
+            for s in out:
+                got[s].append(out[s])
+        for s, ws in streams.items():
+            solo = StreamingSR(model, v1, RES, window_size=WINDOW)
+            for wv in ws[:2]:
+                solo.push(wv)
+            solo.reload(v2)
+            want = [solo.push(wv) for wv in ws[2:]]
+            for g, wv in zip(got[s], want):
+                np.testing.assert_allclose(g, wv, rtol=1e-5, atol=1e-6)
