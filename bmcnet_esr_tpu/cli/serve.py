@@ -64,6 +64,12 @@ def main(argv=None):
         "checkpoint (requires trainer.ema in the run's recipe)",
     )
     p.add_argument(
+        "--scan_k", type=int, default=8,
+        help="max deep-tick depth: under backlog one dispatch drains up to "
+        "N windows per slot via a scanned program (amortizes dispatch "
+        "overhead; 1 disables).  The ladder is compiled at startup",
+    )
+    p.add_argument(
         "--stats_every", type=float, default=60.0,
         help="log one observability JSON line (server.stats()) every N "
         "seconds; 0 disables.  The same snapshot is available to any "
@@ -113,7 +119,10 @@ def main(argv=None):
         host=args.host, port=args.port,
         batch_window_ms=args.batch_window_ms,
         weight_loader=lambda: load_variables()[1],
+        scan_k=args.scan_k,
     )
+    log.info("prewarming tick programs (scan_k=%d)...", args.scan_k)
+    server.prewarm()
     try:
         import signal
 

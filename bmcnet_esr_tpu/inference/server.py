@@ -85,8 +85,15 @@ predictions fetched on a later loop pass once the device reports them ready,
 so socket reads, frame parsing and the next tick's batching window all
 overlap the device compute instead of serializing behind a blocking
 ``np.asarray``.  Up to ``_MAX_INFLIGHT`` ticks ride the device queue;
-replies are sent in dispatch order (per-slot FIFO is preserved — a slot
-carries at most one window per tick).
+replies are sent in dispatch order (per-slot FIFO is preserved).
+
+Ticks are also **depth-adaptive**: when slot queues back up (pipelining
+clients, bursty cameras), one dispatch drains up to ``scan_k`` windows per
+slot through a scanned program (:meth:`StreamPool.push_async_deep`) — the
+live-serving analogue of the offline engine's chunked scan, amortizing the
+per-dispatch overhead that otherwise dominates under load.  Shallow queues
+keep single-window latency; the depth ladder (1, 2, 4, ... scan_k) is
+compiled by :meth:`EventSRServer.prewarm` at startup.
 """
 
 from __future__ import annotations
@@ -193,6 +200,7 @@ class EventSRServer:
         mesh=None,
         weight_loader=None,
         resume_grace_s: float = 30.0,
+        scan_k: int = 8,
     ):
         """``weight_loader``: optional zero-arg callable returning a fresh
         ``variables`` pytree (same structure/shapes as the serving one) —
@@ -202,12 +210,19 @@ class EventSRServer:
 
         ``resume_grace_s``: how long a resumable slot survives its
         connection as an orphan before its state is discarded and the slot
-        freed (see "Session resume" in the module docstring)."""
+        freed (see "Session resume" in the module docstring).
+
+        ``scan_k``: maximum deep-tick depth — when slot queues back up, one
+        dispatch drains up to ``scan_k`` windows per slot via a scanned
+        program (amortizes per-dispatch overhead under load; 1 disables).
+        Call :meth:`prewarm` before taking traffic so the ladder of deep
+        programs compiles up front instead of stalling a live tick."""
         self.pool = StreamPool(
             model, variables, inp_resolution,
             slots=slots, window_size=window_size, mesh=mesh,
         )
         self.batch_window_ms = batch_window_ms
+        self.scan_k = int(scan_k)
         self.weight_loader = weight_loader
         self.weights_version = 1
         self.reloads_failed = 0
@@ -259,6 +274,17 @@ class EventSRServer:
             self._thread.join(timeout=10)
             if not self._thread.is_alive():
                 self._thread = None
+
+    def prewarm(self) -> None:
+        """Compile the full tick ladder (shallow + every deep depth up to
+        ``scan_k``) before taking traffic — otherwise the first backlog
+        would stall the serving loop on a compile."""
+        depths = [1]
+        d = 2
+        while d <= self.scan_k:
+            depths.append(d)
+            d *= 2
+        self.pool.prewarm(depths)
 
     # -- hot weight reload ---------------------------------------------------
 
@@ -703,29 +729,55 @@ class EventSRServer:
         except Exception as exc:  # noqa: BLE001 — protocol error reply
             self._send_error(sock, str(exc))
 
+    def _tick_depth(self) -> int:
+        """Pick this tick's depth: the largest power of two <= both
+        ``scan_k`` and the deepest slot queue.  Shallow queues keep 1-step
+        latency; backlogs drain through deep ticks (one dispatch for up to
+        ``scan_k`` windows per slot — see :meth:`StreamPool.push_async_deep`)."""
+        if self.scan_k <= 1:
+            return 1
+        max_d = max(len(q) for q in self._pending.values())
+        depth = 1
+        while depth * 2 <= min(max_d, self.scan_k):
+            depth *= 2
+        return depth
+
     def _dispatch_tick(self):
-        """Pop one window per pending slot and enqueue the device step;
-        returns ``(owners, out_slots, preds_device, enqueued_at)`` for the
-        later fetch, or ``None`` if the dispatch itself failed (every pusher
-        got an ERROR reply)."""
-        windows, enqueued_at = {}, {}
+        """Pop up to ``depth`` windows per pending slot and enqueue ONE
+        device step; returns ``(owners, out_map, preds_device, enqueued,
+        deep)`` for the later fetch, or ``None`` if the dispatch itself
+        failed (every pusher got an ERROR reply)."""
+        depth = self._tick_depth()
+        windows, enqueued = {}, {}
         for slot, queue in list(self._pending.items()):
-            windows[slot], enqueued_at[slot] = queue.pop(0)
+            take = queue[:depth]
+            del queue[:depth]
             if not queue:
                 del self._pending[slot]
+            windows[slot] = [w for w, _ in take]
+            enqueued[slot] = [t for _, t in take]
         # capture owners NOW: a slot detached and re-attached by another
         # client while this tick is in flight must not receive its reply
         owners = {slot: self._slot_owner.get(slot) for slot in windows}
         try:
-            out_slots, preds = self.pool.push_async(windows)
+            if depth == 1:
+                out_slots, preds = self.pool.push_async(
+                    {s: w[0] for s, w in windows.items()}
+                )
+                has = set(out_slots)
+                out_map = {s: [(0, s in has)] for s in windows}
+                deep = False
+            else:
+                out_map, preds = self.pool.push_async_deep(windows, depth)
+                deep = True
         except Exception as exc:  # noqa: BLE001 — report to every pusher
             for sock in owners.values():
                 if sock is not None:
                     self._send_error(sock, str(exc))
             return None
-        return owners, set(out_slots), preds, enqueued_at
+        return owners, out_map, preds, enqueued, deep
 
-    def _complete_tick(self, owners, out_slots, preds_dev, enqueued_at) -> None:
+    def _complete_tick(self, owners, out_map, preds_dev, enqueued, deep) -> None:
         try:
             preds = np.asarray(preds_dev)  # the (possibly blocking) fetch
         except Exception as exc:  # noqa: BLE001 — report to every pusher
@@ -735,20 +787,25 @@ class EventSRServer:
             return
         self.ticks += 1
         now = time.monotonic()
-        self._tick_batch.append(len(owners))
-        self._done.append((now, len(owners)))
-        for slot, sock in owners.items():
-            self._latency.append(now - enqueued_at[slot])
-            if sock is None or sock not in self._bufs:
-                continue  # pusher disconnected while the tick was in flight
-            if slot in out_slots:
-                p = np.ascontiguousarray(preds[slot], np.float32)
-                head = struct.pack("<III", *p.shape)
-                self._send(sock, _frame(PRED, head + p.tobytes()))
-                self.windows_served += 1
-            else:
-                self._send(sock, _frame(PENDING))
-                self.pendings_sent += 1
+        n_windows = sum(len(v) for v in out_map.values())
+        self._tick_batch.append(n_windows)
+        self._done.append((now, n_windows))
+        for slot, entries in out_map.items():
+            sock = owners[slot]
+            for idx, (j, has_output) in enumerate(entries):
+                self._latency.append(now - enqueued[slot][idx])
+                if sock is None or sock not in self._bufs:
+                    continue  # pusher disconnected while the tick was in flight
+                if has_output:
+                    p = np.ascontiguousarray(
+                        preds[j, slot] if deep else preds[slot], np.float32
+                    )
+                    head = struct.pack("<III", *p.shape)
+                    self._send(sock, _frame(PRED, head + p.tobytes()))
+                    self.windows_served += 1
+                else:
+                    self._send(sock, _frame(PENDING))
+                    self.pendings_sent += 1
 
     # -- observability -------------------------------------------------------
 
@@ -794,6 +851,7 @@ class EventSRServer:
             "window_size": self.pool.window_size,
             "pending_windows": sum(len(q) for q in self._pending.values()),
             "inflight_ticks": len(self._inflight),
+            "scan_k": self.scan_k,
             "batch_occupancy_mean": (
                 round(sum(batches) / len(batches), 3) if batches else None
             ),

@@ -271,6 +271,8 @@ class StreamPool:
         self._active = np.zeros(self.slots, bool)
         self._seen = np.zeros(self.slots, np.int64)
         self._step = self._build_step()
+        # depth -> compiled K-step scan program (built lazily on first use)
+        self._deep_steps: dict = {}
 
     def _build_step(self):
         model = self.model
@@ -298,6 +300,133 @@ class StreamPool:
             return new_carry, new_prev, outs[-1]
 
         return step
+
+    def _build_deep_step(self, depth: int):
+        """K-step tick: ``lax.scan`` of the single-step body over ``depth``
+        windows per slot in ONE device program.
+
+        Live serving cannot use the engine's chunked scan (windows arrive
+        one at a time), but once queues back up the dispatch overhead is
+        pure waste — a deep tick drains up to ``depth`` queued windows per
+        slot for one dispatch.  Per-STEP masks keep it ragged: a slot with
+        fewer queued windows simply has its remaining steps masked out
+        (carry/prev pass through), so one compiled program serves every
+        backlog mix.  The body is the single-step body — a deep tick equals
+        ``depth`` consecutive shallow ticks exactly.
+        """
+        model = self.model
+        res = self.inp_resolution
+
+        @jax.jit
+        def deep_step(variables, carry, prev, events, update, first):
+            # events [B, K, 4, N]; update/first [B, K] bool masks
+            def sel(mask, a, b):
+                m = mask.reshape((-1,) + (1,) * (a.ndim - 1))
+                return jnp.where(m, a, b)
+
+            def body(c_p, xs):
+                carry, prev = c_p
+                ev_j, up_j, fi_j = xs
+                frame = batch_events_to_counts(ev_j, res)  # [B, H, W, 2]
+                x = jnp.stack([prev, frame], axis=1)
+                outs = model.apply(variables, x, *carry)
+                advance = up_j & ~fi_j
+                reset = up_j & fi_j
+                new_carry = tuple(
+                    sel(advance, n, sel(reset, jnp.zeros_like(o), o))
+                    for n, o in zip(tuple(outs), carry)
+                )
+                new_prev = sel(up_j, frame, prev)
+                return (new_carry, new_prev), outs[-1]
+
+            (carry, prev), preds = jax.lax.scan(
+                body,
+                (carry, prev),
+                (
+                    jnp.moveaxis(events, 1, 0),  # [K, B, 4, N]
+                    jnp.moveaxis(update, 1, 0),  # [K, B]
+                    jnp.moveaxis(first, 1, 0),
+                ),
+            )
+            return carry, prev, preds  # preds [K, B, kH, kW, 2]
+
+        return deep_step
+
+    def push_async_deep(self, windows: dict, depth: int):
+        """Dispatch ONE deep tick consuming up to ``depth`` queued windows
+        per slot: ``{slot: [events [4, n], ...]}`` in (list lengths may
+        differ per slot, each <= depth), ``(out_map, preds_device)`` back as
+        soon as the program is enqueued.  ``out_map`` is ``{slot: [(step,
+        has_output), ...]}`` in consumption order — ``has_output=False``
+        marks a stream's first window (PENDING); ``preds_device`` is the
+        on-device ``[depth, slots, kH, kW, 2]`` stack.  Semantically equal
+        to pushing each slot's windows through ``depth`` consecutive
+        :meth:`push_async` ticks; one dispatch instead of ``depth``.
+        """
+        if depth < 1:
+            raise ValueError(f"depth must be >= 1, got {depth}")
+        events = np.zeros((self.slots, depth, 4, self.window_size), np.float32)
+        update = np.zeros((self.slots, depth), bool)
+        first = np.zeros((self.slots, depth), bool)
+        out_map: dict = {}
+        for slot, wins in windows.items():
+            if not self._active[slot]:
+                raise ValueError(f"slot {slot} is not attached")
+            if len(wins) > depth:
+                raise ValueError(
+                    f"slot {slot}: {len(wins)} windows exceed tick depth {depth}"
+                )
+            entries = []
+            for j, ev in enumerate(wins):
+                events[slot, j] = pad_window(ev, self.window_size)
+                update[slot, j] = True
+                is_first = self._seen[slot] == 0 and j == 0
+                first[slot, j] = is_first
+                entries.append((j, not is_first))
+            out_map[slot] = entries
+            self._seen[slot] += len(wins)
+        step = self._deep_steps.get(depth)
+        if step is None:
+            step = self._deep_steps[depth] = self._build_deep_step(depth)
+        ev = jnp.asarray(events)
+        up = jnp.asarray(update)
+        fi = jnp.asarray(first)
+        if self.mesh is not None:
+            ev = jax.device_put(ev, self._ev_s)
+            up = jax.device_put(up, self._slot_s)
+            fi = jax.device_put(fi, self._slot_s)
+        self._carry, self._prev, preds = step(
+            self.variables, self._carry, self._prev, ev, up, fi
+        )
+        return out_map, preds
+
+    def prewarm(self, depths=(1,)) -> None:
+        """Compile (and warm-execute) the tick programs before traffic.
+
+        Runs one all-masked-out tick per depth — update masks all False, so
+        every slot's carry/prev passes through numerically untouched — which
+        pays each program's compile + first-execution cost up front instead
+        of stalling a live tick (first compiles run 50-400 s on a tunneled
+        chip).  Depth 1 is the shallow tick; deeper entries build the
+        :meth:`push_async_deep` ladder."""
+        for depth in depths:
+            if depth == 1:
+                step = self._step
+                ev = jnp.zeros((self.slots, 4, self.window_size))
+                up = jnp.zeros((self.slots,), bool)
+            else:
+                step = self._deep_steps.get(depth)
+                if step is None:
+                    step = self._deep_steps[depth] = self._build_deep_step(depth)
+                ev = jnp.zeros((self.slots, depth, 4, self.window_size))
+                up = jnp.zeros((self.slots, depth), bool)
+            if self.mesh is not None:
+                ev = jax.device_put(ev, self._ev_s)
+                up = jax.device_put(up, self._slot_s)
+            self._carry, self._prev, preds = step(
+                self.variables, self._carry, self._prev, ev, up, up
+            )
+            jax.block_until_ready(preds)
 
     def reload(self, variables) -> None:
         """Hot-swap the model weights WITHOUT dropping any attached stream.

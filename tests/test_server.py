@@ -956,3 +956,105 @@ class TestResume:
             c2.close()
         finally:
             srv.shutdown()
+
+
+class TestDeepTicks:
+    def test_backlog_drains_in_deep_ticks_with_exact_replies(
+        self, server, model_vars
+    ):
+        """A client that blasts windows without reading replies builds a
+        backlog; the server must drain it in few deep ticks (not one
+        dispatch per window) and every reply must equal the solo rollout in
+        per-slot FIFO order."""
+        import socket as socket_mod
+        import struct as struct_mod
+
+        from bmcnet_esr_tpu.inference import server as server_mod
+
+        model, variables = model_vars
+        rng = np.random.default_rng(41)
+        wins = make_windows(rng, 12)
+
+        s = socket_mod.create_connection(server.address)
+        s.settimeout(20.0)
+        raw_hello(s)
+        s.sendall(server_mod._frame(server_mod.ATTACH, b""))
+        opcode, body = server_mod._read_frame(s)
+        assert opcode == server_mod.ATTACHED
+        (slot,) = struct_mod.unpack("<I", body[:4])
+
+        ticks_before = server.ticks
+        blob = b"".join(
+            server_mod._frame(
+                server_mod.PUSH,
+                struct_mod.pack("<II", slot, w.shape[1])
+                + np.ascontiguousarray(w, np.float32).tobytes(),
+            )
+            for w in wins
+        )
+        s.sendall(blob)  # 12 windows, no reply reads in between
+
+        replies = [server_mod._read_frame(s) for _ in range(len(wins))]
+        assert replies[0][0] == server_mod.PENDING
+        preds = []
+        for opcode, body in replies[1:]:
+            assert opcode == server_mod.PRED
+            kh, kw, c = struct_mod.unpack_from("<III", body)
+            preds.append(
+                np.frombuffer(body, np.float32, kh * kw * c, offset=12)
+                .reshape(kh, kw, c)
+            )
+        # exactness: per-slot FIFO order equals the solo rollout
+        solo = StreamingSR(model, variables, RES, window_size=WINDOW)
+        want = [solo.push(w) for w in wins]
+        for g, w in zip(preds, want[1:]):
+            np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+        # and it was amortized: 12 windows in far fewer dispatches
+        # (depth ladder: e.g. 8 + 4, plus maybe a shallow first tick)
+        assert server.ticks - ticks_before <= 5
+        s.close()
+
+    def test_scan_k_1_disables_deep_ticks(self, model_vars):
+        model, variables = model_vars
+        srv = EventSRServer(
+            model, variables, RES, slots=2, window_size=WINDOW, port=0,
+            batch_window_ms=1.0, scan_k=1,
+        )
+        srv.start()
+        try:
+            rng = np.random.default_rng(42)
+            wins = make_windows(rng, 4)
+            c = EventSRClient(*srv.address)
+            c.attach()
+            got = [c.push(w) for w in wins]
+            assert got[0] is None and all(p is not None for p in got[1:])
+            assert srv.ticks == 4  # one dispatch per window
+        finally:
+            srv.shutdown()
+
+    def test_prewarm_compiles_ladder_without_touching_state(self, model_vars):
+        """prewarm() must build every ladder program and leave stream state
+        untouched (masked-out ticks are numeric no-ops)."""
+        model, variables = model_vars
+        srv = EventSRServer(
+            model, variables, RES, slots=2, window_size=WINDOW, port=0,
+            batch_window_ms=1.0, scan_k=4,
+        )
+        srv.prewarm()  # before traffic — the CLI's startup sequence
+        assert set(srv.pool._deep_steps) == {2, 4}
+        srv.start()
+        try:
+            rng = np.random.default_rng(43)
+            wins = make_windows(rng, 3)
+            c = EventSRClient(*srv.address)
+            c.attach()
+            c.push(wins[0])
+            got = [c.push(w) for w in wins[1:]]
+            solo = StreamingSR(model, variables, RES, window_size=WINDOW)
+            want = [solo.push(w) for w in wins]
+            for g, w in zip(got, want[1:]):
+                np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+            c.detach()
+            c.close()
+        finally:
+            srv.shutdown()

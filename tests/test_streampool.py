@@ -269,3 +269,49 @@ class TestStreamPool:
             want = [solo.push(wv) for wv in ws[2:]]
             for g, wv in zip(got[s], want):
                 np.testing.assert_allclose(g, wv, rtol=1e-5, atol=1e-6)
+
+    def test_deep_tick_equals_consecutive_shallow_ticks(self, model_vars):
+        """push_async_deep drains a backlog in ONE program with per-step
+        ragged masks; it must equal the same windows pushed one tick at a
+        time — including a fresh slot whose first window falls mid-tick."""
+        model, variables = model_vars
+        rng = np.random.default_rng(31)
+        wa, wb = make_windows(rng, 5), make_windows(rng, 3)
+
+        deep = StreamPool(model, variables, RES, slots=2, window_size=WINDOW)
+        a, b = deep.attach(), deep.attach()
+        # tick 1: a consumes 3 (first mid-attach), b consumes 1 (its first)
+        out_map, preds = deep.push_async_deep({a: wa[:3], b: wb[:1]}, depth=3)
+        preds = np.asarray(preds)
+        assert out_map[a] == [(0, False), (1, True), (2, True)]
+        assert out_map[b] == [(0, False)]
+        got_a = [preds[j, a] for j, has in out_map[a] if has]
+        # tick 2: ragged again — a consumes 2, b consumes 2
+        out_map2, preds2 = deep.push_async_deep({a: wa[3:], b: wb[1:]}, depth=2)
+        preds2 = np.asarray(preds2)
+        got_a += [preds2[j, a] for j, has in out_map2[a] if has]
+        got_b = [preds2[j, b] for j, has in out_map2[b] if has]
+
+        want_a = [p for p in solo_preds(model, variables, wa) if p is not None]
+        want_b = [p for p in solo_preds(model, variables, wb) if p is not None]
+        assert len(got_a) == len(want_a) == 4
+        assert len(got_b) == len(want_b) == 2
+        for g, w in zip(got_a + got_b, want_a + want_b):
+            np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+
+        # prewarm between live ticks is a numeric no-op on every slot
+        # (all-masked ticks pass carry/prev through untouched)
+        # idle slot during a deep tick: untouched (b idles in tick 3)
+        pool2 = StreamPool(model, variables, RES, slots=2, window_size=WINDOW)
+        a2 = pool2.attach()
+        b2 = pool2.attach()
+        pool2.push_async_deep({a2: wa[:2], b2: wb[:2]}, depth=2)
+        pool2.prewarm((1, 2, 4))
+        om, pr = pool2.push_async_deep({a2: wa[2:4]}, depth=2)
+        om2, pr2 = pool2.push_async_deep({b2: [wb[2]]}, depth=2)
+        np.testing.assert_allclose(
+            np.asarray(pr)[1, a2], want_a[2], rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(pr2)[0, b2], want_b[1], rtol=1e-5, atol=1e-6
+        )
