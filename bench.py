@@ -229,6 +229,20 @@ def bench_train_iters_per_sec(n_iters_timed: int = 8, dtype_name: str = "float32
     return n_iters_timed / (time.perf_counter() - t0)
 
 
+def _daemon_loopback_fps(dtype_name: str = "bfloat16") -> float:
+    """End-to-end serving-daemon rate (TCP loopback, 8 pipelining clients,
+    deep ticks): the full production path — sockets, dynamic batching,
+    depth-adaptive scan ticks, rasterize, model.  Evidence that the serving
+    stack preserves the kernel rollout's throughput instead of being
+    eaten by per-dispatch overhead (tools/bench_serving.py)."""
+    from tools.bench_serving import bench_daemon_loopback
+
+    wps, _stats = bench_daemon_loopback(
+        dtype_name, n_clients=8, windows_per_client=256, scan_k=8
+    )
+    return wps
+
+
 def bench_torch_cpu(budget_s: float = 60.0):
     """Same rollout with the reference torch implementation on host CPU.
 
@@ -338,6 +352,14 @@ def child_tpu(state_file: str, budget_s: float) -> None:
         "b1_ms_single_dispatch",
         lambda: 1000.0 / _rollout_fps(1, "bfloat16", chunk=1),
         optional=True,
+    )
+    # full-production-path rate: TCP daemon + deep ticks (needs its own
+    # reserve — the 4-program tick ladder compiles on first run)
+    record(
+        "fps_daemon_loopback",
+        _daemon_loopback_fps,
+        optional=True,
+        reserve_s=900.0,
     )
     # quantize-pass attack modes (the act-quantize passes are 38% of the
     # int8 step): standalone Pallas quantize / chained conv1->conv2 int8

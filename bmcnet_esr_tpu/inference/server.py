@@ -901,9 +901,24 @@ class EventSRClient:
     def push(self, events: np.ndarray) -> Optional[np.ndarray]:
         """Send one ``[4, n]`` window; returns the HR prediction
         ``[kh, kw, 2]`` or ``None`` for the stream's first window."""
+        self.push_nowait(events)
+        return self.read_reply()
+
+    def push_nowait(self, events: np.ndarray) -> None:
+        """Pipelined send: queue one window WITHOUT waiting for its reply.
+
+        Replies arrive in push order via :meth:`read_reply`.  Keep unread
+        pushes under the server's per-slot queue cap (32) or the excess is
+        answered with ERROR; don't interleave :meth:`stats`/:meth:`reload`
+        with unread pushes (their replies are sent at parse time and would
+        arrive out of order).  Pipelining is what lets the server batch this
+        stream's backlog into deep ticks."""
         ev = np.ascontiguousarray(events, np.float32)
         body = struct.pack("<II", self.slot, ev.shape[1]) + ev.tobytes()
         self._sock.sendall(_frame(PUSH, body))
+
+    def read_reply(self) -> Optional[np.ndarray]:
+        """Read one PUSH reply: the HR prediction, or ``None`` (PENDING)."""
         opcode, body = _read_frame(self._sock)
         if opcode == PENDING:
             return None

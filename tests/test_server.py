@@ -1058,3 +1058,26 @@ class TestDeepTicks:
             c.close()
         finally:
             srv.shutdown()
+
+    def test_client_pipelining_api(self, server, model_vars):
+        """push_nowait/read_reply: replies arrive in push order and equal
+        the solo rollout (the flow-controlled client loop bench_serving
+        uses)."""
+        model, variables = model_vars
+        rng = np.random.default_rng(44)
+        wins = make_windows(rng, 6)
+        c = EventSRClient(*server.address)
+        c.attach()
+        for w in wins[:4]:
+            c.push_nowait(w)
+        got = [c.read_reply() for _ in range(4)]
+        for w in wins[4:]:
+            c.push_nowait(w)
+        got += [c.read_reply() for _ in range(2)]
+        solo = StreamingSR(model, variables, RES, window_size=WINDOW)
+        want = [solo.push(w) for w in wins]
+        assert got[0] is None
+        for g, w in zip(got[1:], want[1:]):
+            np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+        c.detach()
+        c.close()
