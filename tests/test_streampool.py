@@ -159,6 +159,34 @@ class TestStreamPool:
             for g, w in zip(got[s], want):
                 np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
 
+    def test_mesh_sharded_deep_tick_matches_solo(self, model_vars):
+        """push_async_deep on a mesh-sharded pool: the [slots, K, 4, N]
+        event stack and [slots, K] masks place onto the slot sharding, and
+        a ragged backlog drains to exactly the solo trajectories.  Also
+        covers prewarm()'s mesh placement of the deep-ladder inputs."""
+        from bmcnet_esr_tpu.parallel import make_mesh
+
+        model, variables = model_vars
+        rng = np.random.default_rng(11)
+        mesh = make_mesh(8)
+        pool = StreamPool(
+            model, variables, RES, slots=8, window_size=WINDOW, mesh=mesh
+        )
+        pool.prewarm([1, 2])  # state untouched, programs warm
+        a, b = pool.attach(), pool.attach()
+        wa, wb = make_windows(rng, 4), make_windows(rng, 2)
+        out_map, preds = pool.push_async_deep({a: wa, b: wb}, depth=4)
+        preds = np.asarray(preds)  # [K, slots, kH, kW, 2]
+        want_a = solo_preds(model, variables, wa)
+        want_b = solo_preds(model, variables, wb)
+        for slot, want in ((a, want_a), (b, want_b)):
+            for (j, has), w in zip(out_map[slot], want):
+                assert has == (w is not None)
+                if has:
+                    np.testing.assert_allclose(
+                        preds[j, slot], w, rtol=1e-5, atol=1e-6
+                    )
+
     def test_empty_push_is_noop_tick(self, model_vars):
         """A tick with no windows leaves every stream's trajectory intact."""
         model, variables = model_vars

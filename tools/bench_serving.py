@@ -115,7 +115,10 @@ def bench_daemon_loopback(
     ]
     for t in threads:
         t.start()
-    start_gate.wait()
+    try:
+        start_gate.wait()
+    except threading.BrokenBarrierError:
+        pass  # a client failed before the gate; its error is raised below
     t0 = time.perf_counter()
     for t in threads:
         t.join()
