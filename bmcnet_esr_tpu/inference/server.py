@@ -79,13 +79,18 @@ replies exceed ``_MAX_WBUF``), and each slot's pending-window queue is
 capped at ``_MAX_QUEUE`` (further pushes get an ERROR reply) so no single
 connection can wedge or OOM the daemon.
 
-Device ticks are **pipelined**: a tick is *dispatched*
-(:meth:`StreamPool.push_async` — JAX enqueues the step and returns) and its
-predictions fetched on a later loop pass once the device reports them ready,
-so socket reads, frame parsing and the next tick's batching window all
-overlap the device compute instead of serializing behind a blocking
-``np.asarray``.  Up to ``_MAX_INFLIGHT`` ticks ride the device queue;
-replies are sent in dispatch order (per-slot FIFO is preserved).
+Device ticks are **pipelined** in three stages: a tick is *dispatched*
+(:meth:`StreamPool.push_async` — JAX enqueues the step and returns), its
+predictions are *fetched* by a dedicated fetcher thread (the blocking
+``np.asarray`` — device→host transfer of the HR images, which on a
+remote-attached chip can cost more than the compute itself), and the
+*replies* go out on the selector thread.  Socket reads, frame parsing, the
+next tick's batching window, the device compute AND the previous tick's
+transfer all overlap.  Up to ``_MAX_INFLIGHT`` ticks ride the pipeline; the
+single fetcher preserves FIFO, so replies are sent in dispatch order
+(per-slot FIFO is preserved).  All socket and pool state stays on the
+selector thread — the fetcher touches only the device array and two
+atomic deques.
 
 Ticks are also **depth-adaptive**: when slot queues back up (pipelining
 clients, bursty cameras), one dispatch drains up to ``scan_k`` windows per
@@ -101,6 +106,7 @@ from __future__ import annotations
 import hmac
 import json
 import os
+import queue
 import selectors
 import socket
 import struct
@@ -148,9 +154,9 @@ _MAX_WBUF = 64 << 20  # buffered unsent replies before a non-reading client
 # is dropped — backpressure must never block the single server thread
 _MAX_QUEUE = 32  # pending windows per slot; the device consumes one per
 # tick, so anything deeper means the client is pushing without reading
-_MAX_INFLIGHT = 2  # device ticks dispatched but not yet fetched: one
-# computing + one queued behind it keeps the device busy back-to-back while
-# the loop services sockets; deeper pipelines only add reply latency
+_MAX_INFLIGHT = 3  # ticks dispatched but not yet replied: one computing +
+# one transferring (fetcher thread) + one queued keeps every pipeline stage
+# busy back-to-back; deeper pipelines only add reply latency
 _DRAIN_TIMEOUT_S = 10.0  # shutdown budget for in-flight device ticks: a
 # hung backend (e.g. the TPU tunnel dropping mid-tick) must not wedge the
 # exit path — after this, remaining ticks are abandoned and clients see EOF
@@ -257,7 +263,12 @@ class EventSRServer:
         self.pendings_sent = 0  # first-window PENDING replies queued
         self.errors_sent = 0  # ERROR replies queued (protocol + device)
         self.conns_closed = 0  # client sockets torn down (any reason)
-        self._inflight = ()  # serve_forever's live pipeline (len() only)
+        self._n_inflight = 0  # ticks dispatched, not yet replied (serve thread)
+        # serve thread -> fetcher: ticks whose np.asarray (device->host
+        # transfer) runs off-loop; fetcher -> serve thread: fetched ticks
+        # awaiting their socket replies.  SimpleQueue/deque ops are atomic.
+        self._fetch_q: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._fetched: deque = deque()
         self._tick_batch = deque(maxlen=2048)  # windows per completed tick
         self._latency = deque(maxlen=2048)  # s, PUSH-parsed -> reply queued
         self._done = deque(maxlen=2048)  # (wall time, n windows) per tick
@@ -353,15 +364,15 @@ class EventSRServer:
 
     def serve_forever(self) -> None:
         first_pending: Optional[float] = None
-        inflight: deque = deque()  # dispatched ticks awaiting their fetch
-        self._inflight = inflight  # exposed (read-only) for stats()
+        fetcher = threading.Thread(target=self._fetch_loop, daemon=True)
+        fetcher.start()
         try:
             while not self._stop.is_set():
                 self._apply_reloads()
                 self._reap_orphans()
                 timeout = 0.05
-                if inflight:
-                    timeout = 0.001  # poll device completion promptly
+                if self._n_inflight:
+                    timeout = 0.001  # poll fetched-tick arrival promptly
                 if first_pending is not None:
                     timeout = min(
                         timeout,
@@ -400,48 +411,56 @@ class EventSRServer:
                     due = ready or overdue
                 else:
                     first_pending = None
-                # fetch completed ticks (FIFO — reply order == dispatch
-                # order); when the pipeline is full and another tick is due,
-                # block on the head fetch so the device never idles waiting
-                # on the batching window
-                while inflight and (
-                    self._tick_ready(inflight[0])
-                    or (due and len(inflight) >= _MAX_INFLIGHT)
-                ):
-                    self._complete_tick(*inflight.popleft())
-                if due and len(inflight) < _MAX_INFLIGHT:
+                # reply to fetched ticks (single fetcher = FIFO, so reply
+                # order == dispatch order)
+                while self._fetched:
+                    self._reply_tick(*self._fetched.popleft())
+                    self._n_inflight -= 1
+                if due and self._n_inflight < _MAX_INFLIGHT:
                     tick = self._dispatch_tick()
                     if tick is not None:
-                        inflight.append(tick)
+                        self._fetch_q.put(tick)
+                        self._n_inflight += 1
                     first_pending = time.monotonic() if self._pending else None
         finally:
             # drain dispatched work so clients blocked on a reply get it —
             # but bounded: a backend that never answers (tunnel down
             # mid-tick) must not wedge this block with the listener still
-            # open, so unready ticks are abandoned at the deadline and the
-            # closes below give those clients EOF instead of a hang.
-            # Backends without completion polling keep the pre-pipelining
-            # blocking fetch (_tick_ready degrades to True).
+            # open, so unfetched ticks are abandoned at the deadline and the
+            # closes below give those clients EOF instead of a hang (the
+            # daemon fetcher thread may stay blocked in its last asarray).
             deadline = time.monotonic() + _DRAIN_TIMEOUT_S
-            while inflight:
-                if self._tick_ready(inflight[0]):
-                    self._complete_tick(*inflight.popleft())
-                elif time.monotonic() >= deadline:
-                    break
-                else:
-                    time.sleep(0.01)
+            while self._n_inflight and time.monotonic() < deadline:
+                while self._fetched:
+                    self._reply_tick(*self._fetched.popleft())
+                    self._n_inflight -= 1
+                time.sleep(0.01)
+            while self._fetched:
+                self._reply_tick(*self._fetched.popleft())
+                self._n_inflight -= 1
+            self._fetch_q.put(None)  # fetcher exits after draining its queue
             for sock in list(self._conn_slots):
                 self._drop(sock)
             self._sel.close()
             self._listener.close()
 
-    @staticmethod
-    def _tick_ready(tick) -> bool:
-        preds = tick[2]
-        is_ready = getattr(preds, "is_ready", None)
-        # a backend without completion polling degrades to blocking fetches
-        # (exactly the pre-pipelining behavior)
-        return bool(is_ready()) if callable(is_ready) else True
+    def _fetch_loop(self) -> None:
+        """Fetcher thread: blocking device->host transfers, FIFO.
+
+        Touches ONLY the handed tick (device array included) and the two
+        atomic queues — never sockets, never the pool — so it needs no
+        locks.  A transfer failure travels to the serve thread as the
+        ``preds`` payload and becomes ERROR replies there."""
+        while True:
+            tick = self._fetch_q.get()
+            if tick is None:
+                return
+            owners, out_map, preds_dev, enqueued, deep = tick
+            try:
+                preds = np.asarray(preds_dev)
+            except Exception as exc:  # noqa: BLE001 — surfaced as ERROR replies
+                preds = exc
+            self._fetched.append((owners, out_map, preds, enqueued, deep))
 
     def _accept(self) -> None:
         conn, _ = self._listener.accept()
@@ -777,13 +796,13 @@ class EventSRServer:
             return None
         return owners, out_map, preds, enqueued, deep
 
-    def _complete_tick(self, owners, out_map, preds_dev, enqueued, deep) -> None:
-        try:
-            preds = np.asarray(preds_dev)  # the (possibly blocking) fetch
-        except Exception as exc:  # noqa: BLE001 — report to every pusher
+    def _reply_tick(self, owners, out_map, preds, enqueued, deep) -> None:
+        """Send a fetched tick's replies (serve thread; ``preds`` is the
+        host ndarray, or the fetch's exception to report to every pusher)."""
+        if isinstance(preds, Exception):
             for sock in owners.values():
                 if sock is not None and sock in self._bufs:
-                    self._send_error(sock, str(exc))
+                    self._send_error(sock, str(preds))
             return
         self.ticks += 1
         now = time.monotonic()
@@ -850,7 +869,7 @@ class EventSRServer:
             "slots_total": self.pool.slots,
             "window_size": self.pool.window_size,
             "pending_windows": sum(len(q) for q in self._pending.values()),
-            "inflight_ticks": len(self._inflight),
+            "inflight_ticks": self._n_inflight,
             "scan_k": self.scan_k,
             "batch_occupancy_mean": (
                 round(sum(batches) / len(batches), 3) if batches else None

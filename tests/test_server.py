@@ -1081,3 +1081,70 @@ class TestDeepTicks:
             np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
         c.detach()
         c.close()
+
+
+class TestAsyncFetch:
+    def test_dispatch_and_stats_stay_live_during_a_blocked_transfer(
+        self, server, model_vars
+    ):
+        """The device->host prediction transfer runs on the fetcher thread:
+        while tick N's ``np.asarray`` is mid-transfer (gated here), the
+        serve loop must still DISPATCH tick N+1 and answer STATS — on a
+        remote-attached chip the transfer costs more than the compute, and
+        the old inline fetch serialized the whole loop behind it.  Replies
+        must still drain in FIFO order with solo-rollout values."""
+        import time as time_mod
+
+        pool = server.pool
+        orig = pool.push_async
+        gate = threading.Event()  # held: every transfer blocks
+        transfer_started = threading.Event()
+        dispatch_times = []
+
+        class GatedPreds:
+            def __init__(self, arr):
+                self.arr = arr
+
+            def __array__(self, dtype=None, copy=None):
+                transfer_started.set()
+                assert gate.wait(30), "test gate never opened"
+                a = np.asarray(self.arr)
+                return a.astype(dtype) if dtype is not None else a
+
+        def gated_push_async(windows):
+            out_slots, preds = orig(windows)
+            dispatch_times.append(time_mod.monotonic())
+            return out_slots, GatedPreds(np.asarray(preds))
+
+        pool.push_async = gated_push_async
+        try:
+            rng = np.random.default_rng(45)
+            wins = make_windows(rng, 2)
+            c = EventSRClient(*server.address)
+            c.attach()
+            c.push_nowait(wins[0])
+            assert transfer_started.wait(30)  # tick 1 is mid-transfer
+            c.push_nowait(wins[1])
+            deadline = time_mod.monotonic() + 10
+            while len(dispatch_times) < 2:  # tick 2 dispatches regardless
+                assert time_mod.monotonic() < deadline, (
+                    "dispatch blocked behind an in-flight transfer"
+                )
+                time_mod.sleep(0.002)
+            # ...and the control plane stays responsive too
+            mon = EventSRClient(*server.address)
+            stats = mon.stats()
+            assert stats["inflight_ticks"] >= 1
+            mon.close()
+            gate.set()
+            got = [c.read_reply(), c.read_reply()]
+        finally:
+            gate.set()
+            pool.push_async = orig
+        model, variables = model_vars
+        solo = StreamingSR(model, variables, RES, window_size=WINDOW)
+        want = [solo.push(w) for w in wins]
+        assert got[0] is None
+        np.testing.assert_allclose(got[1], want[1], rtol=1e-5, atol=1e-6)
+        c.detach()
+        c.close()
