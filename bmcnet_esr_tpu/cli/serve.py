@@ -146,7 +146,12 @@ def main(argv=None):
             # stops with the server (tests monkeypatch serve_forever and
             # return from main — a bare while True would tick forever)
             while not server._stop.wait(args.stats_every):
-                log.info("stats %s", json.dumps(server.stats()))
+                try:
+                    log.info("stats %s", json.dumps(server.stats()))
+                except Exception:  # noqa: BLE001 — a torn monitoring
+                    # sample must not kill the reporter for the daemon's
+                    # lifetime; skip the tick and try again next period
+                    log.exception("stats report failed")
 
         threading.Thread(target=_report, daemon=True).start()
     try:

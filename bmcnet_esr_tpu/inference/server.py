@@ -232,9 +232,10 @@ class EventSRServer:
         self.weight_loader = weight_loader
         self.weights_version = 1
         self.reloads_failed = 0
-        # (sock|None, variables|Exception) produced by loader threads /
-        # reload(); consumed by the server thread between ticks.  deque
-        # append/popleft are atomic — no lock needed.
+        # (sock|None, variables|Exception, from_loader) produced by loader
+        # threads / reload(); consumed by the server thread between ticks.
+        # deque append/popleft are atomic — no lock needed.  from_loader
+        # marks entries that own (and must release) _reload_inflight.
         self._reload_q: deque = deque()
         self._reload_inflight = threading.Event()
         self._listener = socket.create_server((host, port))
@@ -305,7 +306,7 @@ class EventSRServer:
         The server thread applies the swap between device ticks; live
         streams keep their recurrent state.  Validation failures count in
         ``reloads_failed`` and leave the old weights serving."""
-        self._reload_q.append((None, variables))
+        self._reload_q.append((None, variables, False))
 
     def trigger_reload(self) -> None:
         """Run ``weight_loader`` on a worker thread, then hot-swap (what
@@ -336,15 +337,20 @@ class EventSRServer:
                 result = self.weight_loader()
             except Exception as exc:  # noqa: BLE001 — reported via queue
                 result = exc
-            self._reload_q.append((sock, result))
+            self._reload_q.append((sock, result, True))
 
         threading.Thread(target=_load, daemon=True).start()
 
     def _apply_reloads(self) -> None:
         """Server-thread half of a reload: swap + reply, between ticks."""
         while self._reload_q:
-            sock, payload = self._reload_q.popleft()
-            self._reload_inflight.clear()
+            sock, payload, from_loader = self._reload_q.popleft()
+            if from_loader:
+                # only a finished LOADER owns the single-inflight flag; an
+                # operator reload(variables) never set it, and clearing it
+                # here would let RELOAD opcodes stack loader threads behind
+                # a still-running load (and race their completion order)
+                self._reload_inflight.clear()
             if not isinstance(payload, Exception):
                 try:
                     self.pool.reload(payload)
@@ -790,9 +796,14 @@ class EventSRServer:
                 out_map, preds = self.pool.push_async_deep(windows, depth)
                 deep = True
         except Exception as exc:  # noqa: BLE001 — report to every pusher
-            for sock in owners.values():
+            # one ERROR per CONSUMED window, not per slot: a pipelining
+            # client counts one reply per PUSH, and a deep tick may have
+            # drained several of its windows — under-replying would leave
+            # it blocked in read_reply() forever
+            for slot, sock in owners.items():
                 if sock is not None:
-                    self._send_error(sock, str(exc))
+                    for _ in enqueued[slot]:
+                        self._send_error(sock, str(exc))
             return None
         return owners, out_map, preds, enqueued, deep
 
@@ -800,8 +811,12 @@ class EventSRServer:
         """Send a fetched tick's replies (serve thread; ``preds`` is the
         host ndarray, or the fetch's exception to report to every pusher)."""
         if isinstance(preds, Exception):
-            for sock in owners.values():
-                if sock is not None and sock in self._bufs:
+            # one ERROR per consumed window (see _dispatch_tick's error
+            # path): the tick may have drained several windows per slot
+            for slot, sock in owners.items():
+                if sock is None or sock not in self._bufs:
+                    continue
+                for _ in enqueued[slot]:
                     self._send_error(sock, str(preds))
             return
         self.ticks += 1
@@ -868,7 +883,11 @@ class EventSRServer:
             "slots_orphaned": len(self._orphans),
             "slots_total": self.pool.slots,
             "window_size": self.pool.window_size,
-            "pending_windows": sum(len(q) for q in self._pending.values()),
+            # list() the dict's values FIRST (atomic, like the deques
+            # above): the serve thread inserts/deletes _pending entries
+            # mid-tick, and iterating the live dict from a monitoring
+            # thread raises "dictionary changed size during iteration"
+            "pending_windows": sum(len(q) for q in list(self._pending.values())),
             "inflight_ticks": self._n_inflight,
             "scan_k": self.scan_k,
             "batch_occupancy_mean": (

@@ -384,7 +384,6 @@ class StreamPool:
                 first[slot, j] = is_first
                 entries.append((j, not is_first))
             out_map[slot] = entries
-            self._seen[slot] += len(wins)
         step = self._deep_steps.get(depth)
         if step is None:
             step = self._deep_steps[depth] = self._build_deep_step(depth)
@@ -398,6 +397,11 @@ class StreamPool:
         self._carry, self._prev, preds = step(
             self.variables, self._carry, self._prev, ev, up, fi
         )
+        # advance _seen only after a successful dispatch (matching
+        # push_async): a raise above must leave first-window semantics
+        # intact, or a retried window would silently skip its state reset
+        for slot, wins in windows.items():
+            self._seen[slot] += len(wins)
         return out_map, preds
 
     def prewarm(self, depths=(1,)) -> None:

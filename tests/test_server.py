@@ -905,6 +905,62 @@ class TestResume:
             release.set()
             srv.shutdown()
 
+    def test_operator_reload_does_not_release_a_running_loaders_guard(
+        self, model_vars
+    ):
+        """reload(variables) (the operator API) never set _reload_inflight,
+        so applying it must NOT clear the flag a still-running RELOAD
+        loader owns — otherwise RELOAD spam could stack loader threads
+        behind a slow load and race their completion order."""
+        import threading
+        import time
+
+        model, v1 = model_vars
+        h, w = RES
+        dummy = jnp.zeros((1, 2, h, w, 2))
+        v2 = model.init(jax.random.key(6), dummy, *model.init_state(1, h, w))
+        release = threading.Event()
+        loads = []
+
+        def slow_loader():
+            loads.append(1)
+            release.wait(10)
+            return v2
+
+        srv = EventSRServer(
+            model, v1, RES, slots=2, window_size=WINDOW, port=0,
+            batch_window_ms=1.0, weight_loader=slow_loader,
+        )
+        srv.start()
+        try:
+            from bmcnet_esr_tpu.inference import server as server_mod
+
+            c = EventSRClient(*srv.address)
+            c._sock.sendall(server_mod._frame(server_mod.RELOAD))
+            deadline = time.monotonic() + 5.0
+            while not loads:
+                assert time.monotonic() < deadline
+                time.sleep(0.01)
+            # an operator hot swap lands while the loader still runs...
+            srv.reload(v2)
+            deadline = time.monotonic() + 5.0
+            while c.stats()["weights_version"] != 2:
+                assert time.monotonic() < deadline
+                time.sleep(0.02)
+            # ...and must not have released the loader's single-inflight
+            # guard: further RELOADs are still refused, no loader stacked
+            with pytest.raises(RuntimeError, match="already in progress"):
+                c.reload()
+            assert len(loads) == 1
+            release.set()
+            opcode, body = server_mod._read_frame(c._sock)
+            assert opcode == server_mod.RELOAD_OK
+            assert c.stats()["weights_version"] == 3
+            c.close()
+        finally:
+            release.set()
+            srv.shutdown()
+
     def test_nonresumable_slot_frees_on_disconnect(self, server):
         import time
 
@@ -1147,4 +1203,84 @@ class TestAsyncFetch:
         assert got[0] is None
         np.testing.assert_allclose(got[1], want[1], rtol=1e-5, atol=1e-6)
         c.detach()
+        c.close()
+
+
+class TestErrorReplies:
+    """A failed tick must send one ERROR per CONSUMED window — a pipelining
+    client counts one reply per PUSH, and a deep tick may have drained
+    several of its windows; under-replying would strand it in read_reply()."""
+
+    N = 6
+
+    def _blast_and_read(self, server, n):
+        """Push n windows without reading, then collect n reply frames."""
+        from bmcnet_esr_tpu.inference import server as server_mod
+
+        rng = np.random.default_rng(61)
+        wins = make_windows(rng, n)
+        c = EventSRClient(*server.address)
+        c.attach()
+        c._sock.settimeout(30.0)
+        for w in wins:
+            c.push_nowait(w)
+        frames = [server_mod._read_frame(c._sock) for _ in range(n)]
+        return c, frames
+
+    def test_deep_tick_dispatch_failure_errors_every_consumed_window(
+        self, server
+    ):
+        from bmcnet_esr_tpu.inference import server as server_mod
+
+        pool = server.pool
+        orig_deep, orig_shallow = pool.push_async_deep, pool.push_async
+
+        def boom(*args, **kwargs):
+            raise RuntimeError("device rejected the dispatch")
+
+        pool.push_async_deep = boom
+        pool.push_async = boom
+        try:
+            c, frames = self._blast_and_read(server, self.N)
+        finally:
+            pool.push_async_deep = orig_deep
+            pool.push_async = orig_shallow
+        assert [op for op, _ in frames] == [server_mod.ERROR] * self.N
+        # the daemon survives and serves the same connection afterwards
+        rng = np.random.default_rng(62)
+        more = make_windows(rng, 2)
+        assert c.push(more[0]) is None  # ERROR ticks consumed the windows;
+        got = c.push(more[1])           # the stream restarts cleanly
+        assert got is not None
+        c.detach()
+        c.close()
+
+    def test_fetch_failure_errors_every_consumed_window(self, server):
+        """Same contract on the OTHER failure path: the device->host
+        transfer (fetcher thread) raising mid-tick."""
+        from bmcnet_esr_tpu.inference import server as server_mod
+
+        pool = server.pool
+        orig_deep, orig_shallow = pool.push_async_deep, pool.push_async
+
+        class FailingPreds:
+            def __array__(self, dtype=None, copy=None):
+                raise RuntimeError("transfer died")
+
+        def deep(windows, depth):
+            out_map, _ = orig_deep(windows, depth)
+            return out_map, FailingPreds()
+
+        def shallow(windows):
+            out_slots, _ = orig_shallow(windows)
+            return out_slots, FailingPreds()
+
+        pool.push_async_deep = deep
+        pool.push_async = shallow
+        try:
+            c, frames = self._blast_and_read(server, self.N)
+        finally:
+            pool.push_async_deep = orig_deep
+            pool.push_async = orig_shallow
+        assert [op for op, _ in frames] == [server_mod.ERROR] * self.N
         c.close()

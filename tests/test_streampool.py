@@ -343,3 +343,33 @@ class TestStreamPool:
         np.testing.assert_allclose(
             np.asarray(pr2)[0, b2], want_b[1], rtol=1e-5, atol=1e-6
         )
+
+    def test_deep_dispatch_failure_keeps_first_window_semantics(self, model_vars):
+        """A deep tick whose dispatch raises must leave the slot's
+        first-window accounting untouched (matching push_async): the
+        retried window still resets state and returns PENDING, so the
+        stream equals its solo rollout instead of silently running from a
+        zero carry."""
+        model, variables = model_vars
+        rng = np.random.default_rng(71)
+        wins = make_windows(rng, 3)
+
+        pool = StreamPool(model, variables, RES, slots=2, window_size=WINDOW)
+        slot = pool.attach()
+
+        def boom(*args, **kwargs):
+            raise RuntimeError("dispatch died")
+
+        pool._deep_steps[2] = boom  # pre-seed the ladder with a failing step
+        with pytest.raises(RuntimeError, match="dispatch died"):
+            pool.push_async_deep({slot: wins[:2]}, 2)
+        assert pool.windows_seen(slot) == 0  # nothing was consumed
+        del pool._deep_steps[2]
+
+        # the retry runs the full stream from scratch == solo rollout
+        want = solo_preds(model, variables, wins)
+        assert slot not in pool.push({slot: wins[0]})  # first window: PENDING
+        for w, exp in zip(wins[1:], want[1:]):
+            np.testing.assert_allclose(
+                pool.push({slot: w})[slot], exp, rtol=1e-5, atol=1e-6
+            )

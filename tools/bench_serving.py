@@ -55,7 +55,15 @@ def bench_daemon_loopback(
     from bmcnet_esr_tpu.models import BMCNet
 
     h, w = resolution
-    quant = {"bfloat16": False, "int8": True}.get(dtype_name, dtype_name)
+    # same dtype-name surface as the infer/serve CLIs (engine.py): plain
+    # names map to quant=False, int8_* names to their QUANT_MODES route —
+    # an unknown name must fail in this dict, not inside BMCNet.setup
+    quant = {
+        "float32": False, "bfloat16": False, "int8": True,
+        "int8_pconv": "pconv", "int8_p1x1": "p1x1", "int8_pall": "pall",
+        "int8_pquant": "pquant", "int8_chain": "chain",
+        "int8_chainq": "chainq",
+    }[dtype_name]
     dtype = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
     model = BMCNet(scale=SCALE, n_c=128, n_b=5, dtype=dtype, quant=quant)
     dummy = jnp.zeros((1, 2, h, w, 2))
