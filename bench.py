@@ -22,30 +22,49 @@ string carries that caveat.  ``aux`` adds the other axes:
   fused-quant routes, captured so the int8 routing decision record
   (docs/DESIGN.md §6) rests on driver-captured numbers.
 
-FAILURE MODES ARE BOUNDED (round-2 lesson: a down tunnel must never turn
-the round's perf budget into rc=124 with no artifact):
+FAILURE MODES ARE BOUNDED (round-2/3 lesson: a down or flapping tunnel
+must never turn the round's perf budget into rc=124 with no artifact):
 
+* A GLOBAL wall-clock deadline (``BENCH_TOTAL_BUDGET_S``, default 2400 s)
+  bounds everything; probe/child/fallback budgets are sized WITHIN it and
+  the emission path always runs before it expires.
+* The parent installs SIGTERM/SIGINT handlers that kill any live child and
+  print the JSON line with the partials gathered so far — the driver's
+  timeout delivers SIGTERM before SIGKILL, so even an external kill
+  produces an artifact.
 * The parent process NEVER imports jax.  Chip probing, TPU measurement,
   and the CPU fallback all run in killable child processes.
 * The TPU child checkpoints each metric to a state file the moment it is
-  measured; if the child hangs (axon wedges silently, CLAUDE.md) or
-  exceeds its budget, the parent kills it and reports the partials.
+  measured, plus a ``_phase`` marker — a child that never gets past axon
+  plugin init (the observed round-3 wedge) is killed after
+  ``BENCH_DEVICE_INIT_S`` (~4 min) instead of burning a 25-minute stall
+  budget; a child that reached the device but lands no metric (cold
+  compile is ~400 s) gets ``BENCH_FIRST_METRIC_S``.
+* Every successful run appends its emitted line to ``BENCH_HISTORY.jsonl``
+  (committed).  When live capture fails, the newest history entry is
+  embedded in aux as ``last_good`` with its timestamp, so the artifact
+  still carries the most recent machine-verified numbers.
 * If the chip never answers the probe, the same rollout is measured with
   JAX on host CPU (a real execution of this framework's hot path) so the
-  emitted line still carries a machine-verified number, flagged
+  emitted line still carries a live machine-verified number, flagged
   ``status: "chip_unavailable"``.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "aux"} —
-always, on every path.
+always, on every path.  ``aux`` carries the numeric north-star fields:
+``vs_torch_cpu`` (measured) and ``vs_gpu_est_low``/``vs_gpu_est_high``
+(vs docs/DESIGN.md §8's estimated 120-250 fps PyTorch-GPU band).
 
 Budgets (override via env):
-  BENCH_PROBE_BUDGET_S   total chip-probe window       (default 1200)
-  BENCH_TPU_BUDGET_S     TPU child wall-clock cap      (default 3900)
-  BENCH_STALL_S          kill child if no new metric   (default 1500)
+  BENCH_TOTAL_BUDGET_S    global wall-clock deadline            (default 2400)
+  BENCH_PROBE_BUDGET_S    chip-probe window                     (default 900)
+  BENCH_DEVICE_INIT_S     kill child stuck at plugin init       (default 240)
+  BENCH_FIRST_METRIC_S    kill child with device but no metric  (default 600)
+  BENCH_STALL_S           kill child if no new metric lands     (default 600)
 """
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import tempfile
@@ -59,9 +78,16 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cac
 
 import numpy as np
 
-PROBE_BUDGET_S = float(os.environ.get("BENCH_PROBE_BUDGET_S", 1200))
-TPU_BUDGET_S = float(os.environ.get("BENCH_TPU_BUDGET_S", 3900))
-STALL_S = float(os.environ.get("BENCH_STALL_S", 1500))
+TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", 2400))
+PROBE_BUDGET_S = float(os.environ.get("BENCH_PROBE_BUDGET_S", 900))
+DEVICE_INIT_S = float(os.environ.get("BENCH_DEVICE_INIT_S", 240))
+FIRST_METRIC_S = float(os.environ.get("BENCH_FIRST_METRIC_S", 600))
+STALL_S = float(os.environ.get("BENCH_STALL_S", 600))
+HISTORY_PATH = os.path.join(_REPO, "BENCH_HISTORY.jsonl")
+# docs/DESIGN.md §8: estimated PyTorch-GPU band for the reference at these
+# shapes (10-20% sustained utilization of an A100-class part, launch-bound
+# one-window dispatch) — the north-star denominator, clearly an estimate
+GPU_EST_BAND_FPS = (120.0, 250.0)
 
 B = 8          # batched independent streams per chip
 H, W = 45, 80  # NFS down8 input resolution
@@ -69,7 +95,7 @@ SCALE = 4
 # fastest torch-CPU baseline throughput ever measured on this host (quiet
 # box); floors the vs_baseline denominator so contention during the bench
 # can never inflate the published speedup (see bench_torch_cpu docstring)
-TORCH_CPU_BEST_FPS = 0.67
+TORCH_CPU_BEST_FPS = 0.86  # 2026-08-19 round 4 (was 0.67 earlier that day)
 N_EVENTS = 2048
 CHUNK = 512    # windows per scan chunk (amortizes ~33 ms per-dispatch overhead;
                # measured on v5e: 64 -> 895 fps, 128 -> 914, 256 -> 926, 512 -> 932)
@@ -298,15 +324,26 @@ def child_tpu(state_file: str, budget_s: float) -> None:
     """Run the TPU measurements, checkpointing each metric as it lands.
 
     Ordered so the headline + VERDICT-required aux come first; the optional
-    Pallas-route probes and extras run only while budget remains.
+    Pallas-route probes and extras run only while budget remains.  Writes
+    ``_phase`` markers around plugin init so the parent watchdog can kill a
+    child wedged there (the round-3 failure: axon answered the probe, then
+    the child hung at init for the whole 1500 s stall budget) within
+    ``BENCH_DEVICE_INIT_S`` instead.
     """
+    aux: dict = {"_phase": "importing_jax"}
+    _write_state(state_file, aux)
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    aux["_phase"] = "jax_imported"
+    _write_state(state_file, aux)
+    aux["_devices"] = repr(jax.devices())  # plugin init happens HERE
+    aux["_phase"] = "device_ok"
+    _write_state(state_file, aux)
 
     t_end = time.monotonic() + budget_s
-    aux: dict = {}
 
     def record(name, fn, *, optional=False, reserve_s=120.0):
         # `reserve_s` keeps headroom for the parent to collect partials
@@ -415,15 +452,24 @@ def _wait_for_chip(budget_s: float, probe_timeout_s: float = 120.0) -> bool:
     )
     deadline = time.monotonic() + budget_s
     while True:
+        # Popen + _CHILDREN (not subprocess.run) so the SIGTERM handler can
+        # kill a probe wedged at plugin init — an orphaned axon client would
+        # block every later chip job (single-client rule, CLAUDE.md)
+        proc = subprocess.Popen(
+            [sys.executable, "-c", probe],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        _CHILDREN.append(proc)
         try:
-            subprocess.run(
-                [sys.executable, "-c", probe],
-                timeout=probe_timeout_s,
-                check=True,
-                capture_output=True,
-            )
-            return True
+            rc = proc.wait(timeout=probe_timeout_s)
+            if rc == 0:
+                return True
+            raise subprocess.CalledProcessError(rc, "probe")
         except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            proc.kill()
+            proc.wait()
+            if proc in _CHILDREN:
+                _CHILDREN.remove(proc)
             remaining = deadline - time.monotonic()
             if remaining <= 0:
                 print(
@@ -437,35 +483,74 @@ def _wait_for_chip(budget_s: float, probe_timeout_s: float = 120.0) -> bool:
             time.sleep(min(60, max(remaining, 1)))
 
 
-def _run_child(mode: str, state_file: str, budget_s: float, stall_s: float, env=None) -> dict:
-    """Run a measurement child; kill it on stall/budget; return its partials."""
-    args = [sys.executable, os.path.abspath(__file__), mode, state_file, str(budget_s)]
-    # children report via the state file; their stdout goes to OUR stderr so
-    # stray library prints can never pollute the parent's single JSON line
-    proc = subprocess.Popen(args, env=env, cwd=_REPO, stdout=sys.stderr.fileno())
-    t_end = time.monotonic() + budget_s
-    last_change = time.monotonic()
-    last_mtime = 0.0
-    while proc.poll() is None:
-        time.sleep(5)
-        try:
-            mtime = os.stat(state_file).st_mtime
-        except OSError:
-            mtime = 0.0
-        if mtime != last_mtime:
-            last_mtime, last_change = mtime, time.monotonic()
-        now = time.monotonic()
-        if now > t_end or now - last_change > stall_s:
-            why = "budget" if now > t_end else "stall"
-            print(f"bench: killing {mode} child ({why})", file=sys.stderr, flush=True)
-            proc.kill()
-            proc.wait()
-            break
+def _read_state(state_file: str) -> dict:
     try:
         with open(state_file) as f:
             return json.load(f)
     except (OSError, json.JSONDecodeError):
         return {}
+
+
+def _has_metric(state: dict) -> bool:
+    """True once any real measurement key (not a ``_phase`` marker) landed."""
+    return any(not k.startswith("_") for k in state)
+
+
+def _run_child(
+    mode: str, state_file: str, budget_s: float, stall_s: float,
+    env=None, phase_aware: bool = False,
+) -> dict:
+    """Run a measurement child; kill it on wedge/stall/budget; return partials.
+
+    Phase-aware policy (TPU child): a child that never reports
+    ``_phase: device_ok`` is stuck at axon plugin init — kill it after
+    ``DEVICE_INIT_S``.  A child with a device but no first metric gets
+    ``FIRST_METRIC_S`` (cold bf16 compile is ~400 s).  After the first
+    metric, ``stall_s`` applies between metrics.  All of it is additionally
+    bounded by ``budget_s`` and the caller's global deadline.
+    """
+    args = [sys.executable, os.path.abspath(__file__), mode, state_file, str(budget_s)]
+    # children report via the state file; their stdout goes to OUR stderr so
+    # stray library prints can never pollute the parent's single JSON line
+    proc = subprocess.Popen(args, env=env, cwd=_REPO, stdout=sys.stderr.fileno())
+    _CHILDREN.append(proc)
+    t0 = time.monotonic()
+    t_end = t0 + budget_s
+    t_device_ok = None
+    last_change = t0
+    last_mtime = 0.0
+    try:
+        while proc.poll() is None:
+            time.sleep(5)
+            now = time.monotonic()
+            try:
+                mtime = os.stat(state_file).st_mtime
+            except OSError:
+                mtime = 0.0
+            if mtime != last_mtime:
+                last_mtime, last_change = mtime, now
+            state = _read_state(state_file) if phase_aware else {}
+            if phase_aware and t_device_ok is None and state.get("_phase") == "device_ok":
+                t_device_ok = now
+            why = None
+            if now > t_end:
+                why = "budget"
+            elif phase_aware and t_device_ok is None and now - t0 > DEVICE_INIT_S:
+                why = "plugin-init wedge"
+            elif phase_aware and t_device_ok is not None and not _has_metric(state) \
+                    and now - t_device_ok > FIRST_METRIC_S:
+                why = "no first metric"
+            elif now - last_change > stall_s and (not phase_aware or _has_metric(state)):
+                why = "stall"
+            if why:
+                print(f"bench: killing {mode} child ({why})", file=sys.stderr, flush=True)
+                proc.kill()
+                proc.wait()
+                break
+    finally:
+        if proc in _CHILDREN:
+            _CHILDREN.remove(proc)
+    return _read_state(state_file)
 
 
 def _cpu_env() -> dict:
@@ -477,57 +562,67 @@ def _cpu_env() -> dict:
     return env
 
 
-def main():
-    t_start = time.monotonic()
-    chip_ok = _wait_for_chip(PROBE_BUDGET_S)
+# shared with the SIGTERM/SIGINT handler: live children to kill, state
+# files to harvest partials from, and a latch so the line prints once
+_CHILDREN: list = []
+_STATE_FILES: list = []
+_EMITTED = False
+_T_START = time.monotonic()
+_DEADLINE = _T_START + TOTAL_BUDGET_S
+_RESERVE_S = 120.0  # headroom for the torch baseline + emission + history
 
-    tmpdir = tempfile.mkdtemp(prefix="bench_state_")
-    aux: dict = {}
-    status = "ok"
-    if chip_ok:
-        aux = _run_child("--child-tpu", os.path.join(tmpdir, "tpu.json"), TPU_BUDGET_S, STALL_S)
-        if not aux and _wait_for_chip(min(PROBE_BUDGET_S, 600.0)):
-            # the tunnel can flap: answer one probe, then wedge the child at
-            # plugin init before ANY metric lands (observed).  If it answers
-            # again now, the child gets ONE bounded retry.
-            print("bench: empty first TPU attempt, chip answers — retrying once",
-                  file=sys.stderr, flush=True)
-            aux = _run_child(
-                "--child-tpu", os.path.join(tmpdir, "tpu2.json"), TPU_BUDGET_S, STALL_S
-            )
-        complete = aux.pop("tpu_bench_complete", False)
-        # only NUMERIC fps entries count as measurements — fps_*_error /
-        # fps_*_skipped markers must not mask a run where every rollout
-        # failed (that run needs the CPU-verified fallback, not "partial")
-        measured = any(
-            k.startswith("fps") and isinstance(v, (int, float))
-            for k, v in aux.items()
-        )
-        if not measured:
-            status = "chip_unavailable"
-        elif not complete:
-            status = "partial"
-    else:
-        status = "chip_unavailable"
-    if status == "chip_unavailable":
-        aux.update(
-            _run_child(
-                "--child-cpu", os.path.join(tmpdir, "cpu.json"),
-                900.0, 900.0, env=_cpu_env(),
-            )
-        )
 
+def _remaining() -> float:
+    return _DEADLINE - time.monotonic()
+
+
+def _load_last_good() -> dict | None:
+    """Newest BENCH_HISTORY.jsonl entry with a numeric value, if any."""
     try:
-        fps_torch_live = bench_torch_cpu()
-        # Conservative denominator: box contention can only slow the torch
-        # baseline (inflating the ratio), so take the faster of the live
-        # measurement and the best ever observed on this host (0.67 fps,
-        # quiet box, 2026-08-19).  aux records both.
-        fps_torch = max(fps_torch_live, TORCH_CPU_BEST_FPS)
-        aux["torch_cpu_fps_live"] = round(fps_torch_live, 2)
-        aux["torch_cpu_fps"] = round(fps_torch, 2)
-    except Exception:
-        fps_torch = None
+        with open(HISTORY_PATH) as f:
+            lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        for ln in reversed(lines):
+            entry = json.loads(ln)
+            if isinstance(entry.get("value"), (int, float)):
+                return entry
+    except (OSError, json.JSONDecodeError):
+        pass
+    return None
+
+
+def _append_history(line_obj: dict) -> None:
+    entry = dict(line_obj)
+    entry["ts"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    entry["argv"] = " ".join(sys.argv)
+    try:
+        with open(HISTORY_PATH, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+    except OSError:
+        pass  # history is best-effort; the stdout line is the artifact
+
+
+def _emit(aux: dict, status: str, torch_live=None) -> None:
+    """Build and print THE one JSON line; append to history when measured.
+
+    Callable from the normal path and from the signal handler — whichever
+    runs first wins (``_EMITTED`` latch).
+    """
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    aux = {k: v for k, v in aux.items() if not k.startswith("_")}
+    aux.pop("tpu_bench_complete", None)
+
+    # Conservative denominator: box contention can only slow the torch
+    # baseline (inflating the ratio), so take the faster of the live
+    # measurement and the best ever observed on this host (0.67 fps,
+    # quiet box, 2026-08-19).  aux records both.
+    fps_torch = TORCH_CPU_BEST_FPS
+    if torch_live:
+        fps_torch = max(torch_live, TORCH_CPU_BEST_FPS)
+        aux["torch_cpu_fps_live"] = round(torch_live, 2)
+    aux["torch_cpu_fps"] = round(fps_torch, 2)
 
     # headline: fastest serving config (int8 W8A8 3x3 convs when it wins,
     # else bf16 — both carry the same tested <5e-2 rel-RMSE drift bound;
@@ -546,7 +641,7 @@ def main():
             ("fps_int8_chainq", "int8+chain+pquant"),
             ("fps_int8_chain_b16", "int8+chain@B16"),
         ]
-        if aux.get(k)
+        if isinstance(aux.get(k), (int, float))
     ]
     if candidates:
         fps_best, mode = max(candidates)
@@ -559,7 +654,13 @@ def main():
             "this host's CPU"
         )
         unit = "frames/sec"
-    elif aux.get("fps_jax_cpu"):
+        # numeric north star (BASELINE.json: ">=5x PyTorch-GPU"): the GPU
+        # denominator is docs/DESIGN.md §8's ESTIMATED 120-250 fps band
+        # (no CUDA in this environment) — flagged as an estimate
+        aux["vs_gpu_est_low"] = round(fps_best / GPU_EST_BAND_FPS[1], 2)
+        aux["vs_gpu_est_high"] = round(fps_best / GPU_EST_BAND_FPS[0], 2)
+        aux["gpu_est_band_fps"] = list(GPU_EST_BAND_FPS)
+    elif isinstance(aux.get("fps_jax_cpu"), (int, float)):
         # child_cpu measures fp32 deliberately (bf16 is emulated on CPU and
         # would understate the framework vs the fp32 torch baseline)
         fps_best, mode = aux["fps_jax_cpu"], "fp32-on-host-CPU"
@@ -572,31 +673,126 @@ def main():
         unit = "frames/sec"
     else:
         fps_best, mode, metric, unit = None, None, (
-            "bench could not execute the rollout (chip down and CPU "
-            "fallback failed); see aux for partial diagnostics"
+            "bench could not execute the rollout this run (chip down); "
+            "aux.last_good carries the newest committed measured line"
         ), "frames/sec"
-        status = "failed"
+        if status not in ("interrupted",):
+            status = "failed"
+    if not candidates:
+        # live TPU capture failed: surface the newest committed measurement
+        # so the artifact still answers the perf question, clearly labeled
+        last_good = _load_last_good()
+        if last_good is not None:
+            aux["last_good"] = last_good
     vs = (fps_best / fps_torch) if (fps_best and fps_torch) else None
     aux["status"] = status
     aux["serving_mode"] = mode
-    aux["bench_wall_s"] = round(time.monotonic() - t_start, 1)
+    aux["vs_torch_cpu"] = round(vs, 2) if vs else None
+    aux["bench_wall_s"] = round(time.monotonic() - _T_START, 1)
     aux["gpu_ceiling_note"] = (
-        "no CUDA here; vs an ESTIMATED PyTorch-GPU ceiling from exact "
-        "per-window FLOPs (XLA cost analysis, docs/DESIGN.md #8) the TPU "
-        "serving number is ~4-7x"
+        "no CUDA here; vs_gpu_est_low/high compare the headline to the "
+        "ESTIMATED PyTorch-GPU band from exact per-window FLOPs "
+        "(XLA cost analysis, docs/DESIGN.md #8)"
     )
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(fps_best, 2) if fps_best else None,
-                "unit": unit,
-                "vs_baseline": round(vs, 2) if vs else None,
-                "aux": aux,
-            }
-        ),
-        flush=True,
+    line = {
+        "metric": metric,
+        "value": round(fps_best, 2) if fps_best else None,
+        "unit": unit,
+        "vs_baseline": round(vs, 2) if vs else None,
+        "aux": aux,
+    }
+    print(json.dumps(line), flush=True)
+    if status in ("ok", "partial") and isinstance(line["value"], (int, float)):
+        _append_history(line)
+
+
+def _harvest_partials() -> dict:
+    aux: dict = {}
+    for sf in _STATE_FILES:
+        aux.update(_read_state(sf))
+    return aux
+
+
+def _on_signal(signum, frame):
+    """SIGTERM/SIGINT (the driver's timeout sends SIGTERM before SIGKILL):
+    kill children, emit the line with whatever partials exist, exit 0."""
+    for proc in list(_CHILDREN):
+        try:
+            proc.kill()
+        except OSError:
+            pass
+    aux = _harvest_partials()
+    measured = any(
+        k.startswith("fps") and isinstance(v, (int, float)) for k, v in aux.items()
     )
+    aux["interrupted_by"] = signal.Signals(signum).name
+    _emit(aux, status="partial" if measured else "interrupted")
+    os._exit(0)
+
+
+def main():
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
+    tmpdir = tempfile.mkdtemp(prefix="bench_state_")
+    probe_budget = max(0.0, min(PROBE_BUDGET_S, _remaining() - _RESERVE_S))
+    chip_ok = _wait_for_chip(probe_budget)
+
+    aux: dict = {}
+    status = "ok"
+    if chip_ok:
+        sf = os.path.join(tmpdir, "tpu.json")
+        _STATE_FILES.append(sf)
+        aux = _run_child(
+            "--child-tpu", sf, max(0.0, _remaining() - _RESERVE_S), STALL_S,
+            phase_aware=True,
+        )
+        measured = any(
+            k.startswith("fps") and isinstance(v, (int, float))
+            for k, v in aux.items()
+        )
+        if not measured and _remaining() > _RESERVE_S + 420 and _wait_for_chip(
+            min(300.0, _remaining() - _RESERVE_S - 120)
+        ):
+            # the tunnel can flap: answer one probe, then wedge the child at
+            # plugin init before ANY metric lands (observed).  If it answers
+            # again now, the child gets ONE bounded retry.
+            print("bench: empty first TPU attempt, chip answers — retrying once",
+                  file=sys.stderr, flush=True)
+            sf2 = os.path.join(tmpdir, "tpu2.json")
+            _STATE_FILES.append(sf2)
+            aux.update(_run_child(
+                "--child-tpu", sf2, max(0.0, _remaining() - _RESERVE_S),
+                STALL_S, phase_aware=True,
+            ))
+        complete = aux.get("tpu_bench_complete", False)
+        # only NUMERIC fps entries count as measurements — fps_*_error /
+        # fps_*_skipped markers must not mask a run where every rollout
+        # failed (that run needs the CPU-verified fallback, not "partial")
+        measured = any(
+            k.startswith("fps") and isinstance(v, (int, float))
+            for k, v in aux.items()
+        )
+        if not measured:
+            status = "chip_unavailable"
+        elif not complete:
+            status = "partial"
+    else:
+        status = "chip_unavailable"
+    if status == "chip_unavailable" and _remaining() > _RESERVE_S + 120:
+        cpu_budget = min(900.0, _remaining() - _RESERVE_S)
+        sf_cpu = os.path.join(tmpdir, "cpu.json")
+        _STATE_FILES.append(sf_cpu)
+        aux.update(_run_child("--child-cpu", sf_cpu, cpu_budget, cpu_budget,
+                              env=_cpu_env()))
+
+    torch_live = None
+    if _remaining() > 30:
+        try:
+            torch_live = bench_torch_cpu(budget_s=min(60.0, _remaining() - 15))
+        except Exception:
+            torch_live = None
+    _emit(aux, status, torch_live)
 
 
 if __name__ == "__main__":

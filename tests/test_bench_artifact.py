@@ -1,0 +1,144 @@
+"""The bench artifact guarantee: one JSON line on EVERY path.
+
+Rounds 2 and 3 produced rc=124 with no artifact because the driver's
+timeout killed bench before its emission path ran.  These tests pin the
+round-4 fixes: a SIGTERM partial-dump (the driver's timeout delivers
+SIGTERM before SIGKILL), the global wall-clock deadline, and the
+``BENCH_HISTORY.jsonl`` last-good embedding, so a flapping chip can never
+again turn the perf round into an empty file.
+"""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+import bench  # noqa: E402  (repo root is on sys.path via conftest)
+
+
+def _parse_last_json_line(text: str) -> dict:
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise AssertionError(f"no JSON line in output: {text!r}")
+
+
+@pytest.fixture
+def fresh_emit(monkeypatch, tmp_path):
+    """Reset the one-shot emission latch and isolate the history file."""
+    monkeypatch.setattr(bench, "_EMITTED", False)
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(tmp_path / "hist.jsonl"))
+    return tmp_path / "hist.jsonl"
+
+
+class TestSigtermPartialDump:
+    def test_sigterm_mid_run_still_prints_one_json_line(self):
+        """Kill bench.py with SIGTERM seconds in (mid-probe or mid-child):
+        it must exit 0 having printed a parseable line with a status."""
+        env = dict(os.environ)
+        env["BENCH_TOTAL_BUDGET_S"] = "600"
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            cwd=REPO, env=env, text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        )
+        time.sleep(3.0)
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=60)
+        assert proc.returncode == 0
+        line = _parse_last_json_line(out)
+        assert set(line) == {"metric", "value", "unit", "vs_baseline", "aux"}
+        assert line["aux"]["status"] in ("interrupted", "partial")
+        assert line["aux"]["interrupted_by"] == "SIGTERM"
+
+
+class TestEmissionPaths:
+    def test_measured_line_carries_numeric_north_star(self, fresh_emit, capsys):
+        bench._emit({"fps_bf16_serving": 900.0}, status="ok", torch_live=0.5)
+        line = _parse_last_json_line(capsys.readouterr().out)
+        assert line["value"] == 900.0
+        aux = line["aux"]
+        # conservative denominator: the live 0.5 is slower than the best
+        # ever observed, so the floor wins and vs_baseline can't inflate
+        assert aux["torch_cpu_fps"] == bench.TORCH_CPU_BEST_FPS
+        assert line["vs_baseline"] == aux["vs_torch_cpu"] == round(
+            900.0 / bench.TORCH_CPU_BEST_FPS, 2
+        )
+        lo, hi = bench.GPU_EST_BAND_FPS
+        assert aux["vs_gpu_est_low"] == round(900.0 / hi, 2)
+        assert aux["vs_gpu_est_high"] == round(900.0 / lo, 2)
+        # a measured ok line lands in the history file with a timestamp
+        entries = [json.loads(ln) for ln in fresh_emit.read_text().splitlines()]
+        assert len(entries) == 1 and entries[0]["value"] == 900.0
+        assert "ts" in entries[0]
+
+    def test_phase_markers_are_stripped_and_emit_is_once(self, fresh_emit, capsys):
+        bench._emit(
+            {"_phase": "device_ok", "_devices": "x", "fps_int8_serving": 1100.0},
+            status="partial",
+        )
+        bench._emit({"fps_int8_serving": 2.0}, status="ok")  # latched: ignored
+        out = capsys.readouterr().out
+        assert len([ln for ln in out.splitlines() if ln.strip()]) == 1
+        line = _parse_last_json_line(out)
+        assert line["value"] == 1100.0
+        assert not any(k.startswith("_") for k in line["aux"])
+
+    def test_failed_run_embeds_last_good_from_history(self, fresh_emit, capsys):
+        old = {"value": 800.0, "aux": {"status": "ok"}, "ts": "t0"}
+        new = {"value": 1200.0, "aux": {"status": "ok"}, "ts": "t1"}
+        fresh_emit.write_text(json.dumps(old) + "\n" + json.dumps(new) + "\n")
+        bench._emit({}, status="chip_unavailable")
+        line = _parse_last_json_line(capsys.readouterr().out)
+        assert line["value"] is None
+        assert line["aux"]["status"] == "failed"
+        assert line["aux"]["last_good"]["value"] == 1200.0
+        assert line["aux"]["last_good"]["ts"] == "t1"
+        # a no-measurement line must NOT append to history
+        assert len(fresh_emit.read_text().splitlines()) == 2
+
+    def test_cpu_fallback_line_keeps_chip_unavailable_status(
+        self, fresh_emit, capsys
+    ):
+        bench._emit({"fps_jax_cpu": 3.1}, status="chip_unavailable")
+        line = _parse_last_json_line(capsys.readouterr().out)
+        assert line["value"] == 3.1
+        assert line["aux"]["status"] == "chip_unavailable"
+        assert line["aux"]["serving_mode"] == "fp32-on-host-CPU"
+        # estimates only accompany real TPU measurements
+        assert "vs_gpu_est_low" not in line["aux"]
+
+
+class TestWatchdogPolicy:
+    def test_plugin_init_wedge_killed_fast(self, tmp_path, monkeypatch):
+        """A child that never reports device_ok dies after DEVICE_INIT_S,
+        not after the (much longer) stall budget — the round-3 failure."""
+        monkeypatch.setattr(bench, "DEVICE_INIT_S", 1.0)
+        state = tmp_path / "s.json"
+        # a "child" that writes the importing_jax phase then hangs forever
+        wedge = tmp_path / "wedge.py"
+        wedge.write_text(
+            "import json,sys,time\n"
+            "json.dump({'_phase': 'importing_jax'}, open(sys.argv[2], 'w'))\n"
+            "time.sleep(3600)\n"
+        )
+        real_popen = subprocess.Popen
+
+        def fake_popen(args, **kw):
+            return real_popen([sys.executable, str(wedge), "x", str(state)])
+
+        monkeypatch.setattr(bench.subprocess, "Popen", fake_popen)
+        real_sleep = time.sleep  # bench.time IS this module's time
+        monkeypatch.setattr(bench.time, "sleep", lambda s: real_sleep(min(s, 0.2)))
+        t0 = time.monotonic()
+        out = bench._run_child("--child-tpu", str(state), 600.0, 600.0,
+                               phase_aware=True)
+        assert time.monotonic() - t0 < 30.0
+        assert out.get("_phase") == "importing_jax"

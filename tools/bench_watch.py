@@ -1,0 +1,128 @@
+"""Opportunistic bench capture for a flapping chip.
+
+The axon TPU attachment can go down for hours and then flap in ~5-minute
+windows (CLAUDE.md).  This watcher probes the chip cheaply on an interval
+and, whenever a window opens, runs ``bench.py`` (which has its own global
+deadline, per-metric checkpointing and SIGTERM partial-dump), letting it
+append any successful line to ``BENCH_HISTORY.jsonl``.  The round can then
+always present the newest machine-verified numbers even if the chip is down
+at the moment the driver runs.
+
+Usage:
+    python tools/bench_watch.py [--interval 180] [--max-captures 2] \
+        [--probe-only] [--bench-budget 2400] [--max-wall-s 14400] \
+        [--stop-file /tmp/bench_watch_stop] [--pid-file /tmp/bench_watch.pid]
+
+SINGLE-CLIENT RULE (CLAUDE.md): a second concurrent axon client can hang
+both processes at plugin init.  Before starting any other chip-holding job,
+stop the watcher: ``touch <stop-file>`` and wait for the "stopped" log line
+(it never probes after seeing the stop file), or ``kill $(cat <pid-file>)``
+— never kill by pattern.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PROBE = (
+    "import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); "
+    "print(float((x @ x).sum()))"
+)
+
+
+def log(msg: str) -> None:
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def probe_chip(timeout_s: float = 120.0) -> bool:
+    proc = subprocess.Popen(
+        [sys.executable, "-c", PROBE],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    try:
+        return proc.wait(timeout=timeout_s) == 0
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.wait()
+        return False
+
+
+def run_bench(budget_s: float) -> dict | None:
+    """One bounded bench.py run; returns the parsed line or None."""
+    env = dict(os.environ)
+    env["BENCH_TOTAL_BUDGET_S"] = str(budget_s)
+    # the chip just answered a probe: skip most of the probe window so the
+    # budget goes to measurements while the flap window is open
+    env.setdefault("BENCH_PROBE_BUDGET_S", "180")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(_REPO, "bench.py")],
+            env=env, cwd=_REPO, capture_output=True, text=True,
+            timeout=budget_s + 300,
+        ).stdout
+    except subprocess.TimeoutExpired:
+        return None
+    for line in reversed(out.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--interval", type=float, default=180.0)
+    p.add_argument("--max-captures", type=int, default=2)
+    p.add_argument("--probe-only", action="store_true",
+                   help="only log UP/down transitions; never hold the chip "
+                   "longer than one trivial matmul")
+    p.add_argument("--bench-budget", type=float, default=2400.0)
+    p.add_argument("--max-wall-s", type=float, default=14400.0)
+    p.add_argument("--stop-file", default="/tmp/bench_watch_stop")
+    p.add_argument("--pid-file", default="/tmp/bench_watch.pid")
+    args = p.parse_args()
+
+    with open(args.pid_file, "w") as f:
+        f.write(str(os.getpid()))
+    deadline = time.monotonic() + args.max_wall_s
+    captures = 0
+    log(f"watching (interval {args.interval:.0f}s, "
+        f"{'probe-only' if args.probe_only else f'max {args.max_captures} captures'})")
+    while time.monotonic() < deadline:
+        if os.path.exists(args.stop_file):
+            log("stop file seen — stopped")
+            return
+        up = probe_chip()
+        log("chip UP" if up else "chip down")
+        if up and not args.probe_only:
+            if os.path.exists(args.stop_file):  # re-check: bench holds the chip
+                log("stop file seen — stopped")
+                return
+            log(f"running bench (budget {args.bench_budget:.0f}s)...")
+            line = run_bench(args.bench_budget)
+            if line is None:
+                log("bench produced no line")
+            else:
+                status = (line.get("aux") or {}).get("status")
+                log(f"bench: status={status} value={line.get('value')}")
+                if status in ("ok", "partial") and isinstance(
+                    line.get("value"), (int, float)
+                ):
+                    captures += 1
+                    if captures >= args.max_captures:
+                        log(f"{captures} captures — done")
+                        return
+        time.sleep(args.interval)
+    log("max wall clock reached — stopped")
+
+
+if __name__ == "__main__":
+    main()
