@@ -124,6 +124,7 @@ def main(argv=None):
     log.info("prewarming tick programs (scan_k=%d)...", args.scan_k)
     server.prewarm()
     try:
+        import os
         import signal
 
         def _on_hup(signum, frame):
@@ -131,8 +132,29 @@ def main(argv=None):
             server.trigger_reload()
 
         signal.signal(signal.SIGHUP, _on_hup)
+
+        # SIGTERM — what init systems and container runtimes actually send —
+        # must get the same bounded drain SIGINT gets: serve_forever's
+        # finally block dispatches accepted windows, replies to in-flight
+        # ticks, and FINs each connection so blocked clients receive their
+        # reply then clean EOF instead of RST.  Same escalation convention
+        # as the trainer (training/trainer.py): TERM = drain, TERM TERM =
+        # immediate (a daemon stuck in a long compile would otherwise
+        # linger until SIGKILL).
+        term_count = {"n": 0}
+
+        def _on_term(signum, frame):
+            term_count["n"] += 1
+            if term_count["n"] > 1:
+                signal.signal(signal.SIGTERM, signal.SIG_DFL)
+                os.kill(os.getpid(), signal.SIGTERM)
+                return
+            log.info("SIGTERM: draining in-flight work and shutting down")
+            server.shutdown()
+
+        signal.signal(signal.SIGTERM, _on_term)
     except (ValueError, AttributeError):
-        pass  # non-main thread (tests) or platform without SIGHUP
+        pass  # non-main thread (tests) or platform without these signals
     log.info(
         "serving %s x%d (%s) on %s:%d — %d slots, window %d",
         args.variant, args.scale, args.dtype, *server.address,

@@ -429,13 +429,30 @@ class EventSRServer:
                         self._n_inflight += 1
                     first_pending = time.monotonic() if self._pending else None
         finally:
-            # drain dispatched work so clients blocked on a reply get it —
+            # drain accepted work so clients blocked on a reply get it —
             # but bounded: a backend that never answers (tunnel down
             # mid-tick) must not wedge this block with the listener still
             # open, so unfetched ticks are abandoned at the deadline and the
             # closes below give those clients EOF instead of a hang (the
             # daemon fetcher thread may stay blocked in its last asarray).
             deadline = time.monotonic() + _DRAIN_TIMEOUT_S
+            # 1) dispatch accepted-but-undispatched windows: a PUSH the
+            # daemon already parsed is acknowledged work — a pipelining
+            # client counts one reply per push, so dropping pending windows
+            # here would strand it mid-count even though the in-flight
+            # drain below faithfully replies to everything dispatched
+            while self._pending and time.monotonic() < deadline:
+                while self._fetched:
+                    self._reply_tick(*self._fetched.popleft())
+                    self._n_inflight -= 1
+                if self._n_inflight < _MAX_INFLIGHT:
+                    tick = self._dispatch_tick()
+                    if tick is not None:
+                        self._fetch_q.put(tick)
+                        self._n_inflight += 1
+                else:
+                    time.sleep(0.005)
+            # 2) drain dispatched ticks
             while self._n_inflight and time.monotonic() < deadline:
                 while self._fetched:
                     self._reply_tick(*self._fetched.popleft())
@@ -445,10 +462,39 @@ class EventSRServer:
                 self._reply_tick(*self._fetched.popleft())
                 self._n_inflight -= 1
             self._fetch_q.put(None)  # fetcher exits after draining its queue
-            for sock in list(self._conn_slots):
-                self._drop(sock)
+            # 3) flush + FIN instead of a hard close: close() with unread
+            # pipelined bytes in the receive queue sends RST, which would
+            # destroy the very replies the drain above just queued
+            self._graceful_close_all()
             self._sel.close()
             self._listener.close()
+
+    def _graceful_close_all(self, grace_s: float = 1.0) -> None:
+        """Shutdown-path version of ``_close_gently`` for every connection:
+        flush queued replies, send FIN once each write buffer empties, and
+        wait (bounded) for peers to read, so a client blocked in
+        ``read_reply()`` gets its reply then a clean EOF — not RST."""
+        for sock in list(self._bufs):
+            self._close_gently(sock, grace_s=grace_s)
+        deadline = time.monotonic() + grace_s + 0.5
+        while self._closing and time.monotonic() < deadline:
+            for s in list(self._closing):
+                self._flush(s)  # completes SHUT_WR once the buffer drains
+            try:
+                events = self._sel.select(0.05)
+            except OSError:
+                break
+            for key, mask in events:
+                if key.data == "accept":
+                    continue
+                if mask & selectors.EVENT_READ and key.fileobj in self._bufs:
+                    self._read_client(key.fileobj)  # discard inbound / see EOF
+            now = time.monotonic()
+            for s, dl in list(self._closing.items()):
+                if now >= dl:
+                    self._drop(s)
+        for sock in list(self._bufs):
+            self._drop(sock)
 
     def _fetch_loop(self) -> None:
         """Fetcher thread: blocking device->host transfers, FIFO.
@@ -800,7 +846,13 @@ class EventSRServer:
             # client counts one reply per PUSH, and a deep tick may have
             # drained several of its windows — under-replying would leave
             # it blocked in read_reply() forever
+            now = time.monotonic()
             for slot, sock in owners.items():
+                for t in enqueued[slot]:
+                    # errored windows still count as latency samples so an
+                    # error burst shows up in the percentiles instead of
+                    # silently vanishing from observability
+                    self._latency.append(now - t)
                 if sock is not None:
                     for _ in enqueued[slot]:
                         self._send_error(sock, str(exc))
@@ -813,7 +865,11 @@ class EventSRServer:
         if isinstance(preds, Exception):
             # one ERROR per consumed window (see _dispatch_tick's error
             # path): the tick may have drained several windows per slot
+            now = time.monotonic()
             for slot, sock in owners.items():
+                for t in enqueued[slot]:
+                    self._latency.append(now - t)  # errors stay visible in
+                    # the percentiles (see _dispatch_tick's error path)
                 if sock is None or sock not in self._bufs:
                     continue
                 for _ in enqueued[slot]:
@@ -848,7 +904,8 @@ class EventSRServer:
 
         Latency is measured from PUSH-frame parse to reply-queued (the full
         in-daemon service time: batching window + device queue + compute +
-        fetch), over the most recent ≤2048 windows.  ``throughput_wps_10s``
+        fetch), over the most recent ≤2048 windows; errored windows count
+        too, so dispatch/fetch failure bursts show in the percentiles.  ``throughput_wps_10s``
         counts windows completed in the trailing 10 s.  Safe to call from
         any thread — counters are only ever appended by the server thread
         and a torn read merely skews one monitoring sample.

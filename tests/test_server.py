@@ -1246,6 +1246,10 @@ class TestErrorReplies:
             pool.push_async_deep = orig_deep
             pool.push_async = orig_shallow
         assert [op for op, _ in frames] == [server_mod.ERROR] * self.N
+        # errored windows still land latency samples, so an error burst is
+        # visible in the percentiles instead of vanishing from stats()
+        assert len(server._latency) >= self.N
+        assert server.stats()["latency_ms_p50"] is not None
         # the daemon survives and serves the same connection afterwards
         rng = np.random.default_rng(62)
         more = make_windows(rng, 2)
@@ -1283,4 +1287,86 @@ class TestErrorReplies:
             pool.push_async_deep = orig_deep
             pool.push_async = orig_shallow
         assert [op for op, _ in frames] == [server_mod.ERROR] * self.N
+        assert len(server._latency) >= self.N  # error burst visible in stats
         c.close()
+
+
+class TestServeCliSigterm:
+    """SIGTERM — what init systems and container runtimes send — must get
+    the bounded graceful drain: the daemon dispatches accepted windows,
+    delivers in-flight replies, FINs each connection (reply then clean EOF,
+    never RST), and exits 0.  Mirrors the trainer's preemption handling."""
+
+    def test_sigterm_mid_stream_replies_then_eof(self):
+        import os
+        import re
+        import signal
+        import subprocess
+        import sys
+        import time
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)  # clean CPU env (no axon plugin)
+        parts = [
+            p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+            if p and "axon" not in p
+        ]
+        env["PYTHONPATH"] = os.pathsep.join([repo] + parts)
+        ckpt = os.path.join(os.path.dirname(__file__), "goldens", "plain_small.npz")
+        proc = subprocess.Popen(
+            [
+                sys.executable, "-m", "bmcnet_esr_tpu.cli.serve",
+                "--model_path", ckpt, "--variant", "plain", "--scale", "2",
+                "--n_c", "8", "--n_b", "2", "--resolution", "16x16",
+                "--window", str(WINDOW), "--port", "0", "--stats_every", "0",
+                "--scan_k", "2",
+            ],
+            env=env, stderr=subprocess.PIPE, text=True,
+        )
+        port = None
+        try:
+            deadline = time.time() + 240
+            seen = []
+            while time.time() < deadline:
+                line = proc.stderr.readline()
+                if not line:
+                    break
+                seen.append(line)
+                m = re.search(r"serving .* on 127\.0\.0\.1:(\d+)", line)
+                if m:
+                    port = int(m.group(1))
+                    break
+            assert port, f"daemon never announced its port:\n{''.join(seen)}"
+            client = EventSRClient("127.0.0.1", port)
+            client.attach()
+            rng = np.random.default_rng(3)
+            w1, w2 = make_windows(rng, 2)
+            assert client.push(w1) is None  # first window: PENDING (warm)
+            client.push_nowait(w2)  # leave one window in flight ...
+            # give the serve loop one beat to PARSE the frame: bytes still
+            # in the kernel buffer are not yet accepted work, but once
+            # parsed the window is owed a reply whether it is pending,
+            # dispatched, or fetched when the signal lands
+            time.sleep(0.5)
+            proc.send_signal(signal.SIGTERM)  # ... and preempt the daemon
+            pred = client.read_reply()  # the drain must still deliver it
+            assert pred is not None and pred.shape == (32, 32, 2)
+            with pytest.raises(ConnectionError):  # then clean EOF, no hang
+                client.read_reply()
+            assert proc.wait(timeout=60) == 0
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait()
+
+
+class TestBenchServingDtype:
+    def test_unknown_dtype_raises_with_choices(self):
+        """tools/bench_serving must reject unknown dtype names with the
+        accepted list (mirroring the CLIs' argparse choices), not a bare
+        KeyError."""
+        from tools.bench_serving import bench_daemon_loopback
+
+        with pytest.raises(ValueError, match="int8_pall"):
+            bench_daemon_loopback("int8x", n_clients=1, windows_per_client=1)

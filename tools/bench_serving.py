@@ -58,12 +58,19 @@ def bench_daemon_loopback(
     # same dtype-name surface as the infer/serve CLIs (engine.py): plain
     # names map to quant=False, int8_* names to their QUANT_MODES route —
     # an unknown name must fail in this dict, not inside BMCNet.setup
-    quant = {
+    quant_by_name = {
         "float32": False, "bfloat16": False, "int8": True,
         "int8_pconv": "pconv", "int8_p1x1": "p1x1", "int8_pall": "pall",
         "int8_pquant": "pquant", "int8_chain": "chain",
         "int8_chainq": "chainq",
-    }[dtype_name]
+    }
+    try:
+        quant = quant_by_name[dtype_name]
+    except KeyError:
+        raise ValueError(
+            f"unknown dtype {dtype_name!r}; choose one of "
+            f"{sorted(quant_by_name)}"
+        ) from None
     dtype = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
     model = BMCNet(scale=SCALE, n_c=128, n_b=5, dtype=dtype, quant=quant)
     dummy = jnp.zeros((1, 2, h, w, 2))
