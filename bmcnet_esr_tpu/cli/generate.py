@@ -1,5 +1,6 @@
 """Dataset generation CLI (reference ``generate_dataset/`` scripts).
 
+    python -m bmcnet_esr_tpu.cli.generate demo   # quickstart: h5s + datalists
     python -m bmcnet_esr_tpu.cli.generate nfs --root_data_path /nfs --path_to_h5 /nfs/h5
     python -m bmcnet_esr_tpu.cli.generate rgb ...
     python -m bmcnet_esr_tpu.cli.generate eventzoom ...
@@ -19,6 +20,22 @@ import json
 def main(argv=None):
     p = argparse.ArgumentParser(description="dataset generation tools")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser(
+        "demo",
+        help="self-contained quickstart: simulate tiny multi-scale h5 files "
+        "and write datalist/{train,valid}_nfs.txt so the stock "
+        "configs/train_nfs.yml recipe runs verbatim (data/demo.py)",
+    )
+    sp.add_argument("--out_dir", default="datalist/demo")
+    sp.add_argument("--datalist_dir", default="datalist")
+    sp.add_argument("--train_files", type=int, default=2)
+    sp.add_argument("--valid_files", type=int, default=1)
+    sp.add_argument("--frames", type=int, default=40)
+    sp.add_argument("--resolution", nargs=2, type=int, default=(96, 128),
+                    help="ori grid; the NFS recipe reads down8 input / "
+                    "down2 GT derived from it")
+    sp.add_argument("--seed", type=int, default=0)
 
     for preset in ("nfs", "rgb", "eventzoom"):
         sp = sub.add_parser(preset, help=f"synthesize {preset} multi-scale h5")
@@ -48,7 +65,17 @@ def main(argv=None):
 
     from bmcnet_esr_tpu.data import synthesis
 
-    if args.cmd in ("nfs", "rgb", "eventzoom"):
+    if args.cmd == "demo":
+        from bmcnet_esr_tpu.data.demo import generate_demo
+
+        summary = generate_demo(
+            args.out_dir, args.datalist_dir,
+            n_train=args.train_files, n_valid=args.valid_files,
+            n_frames=args.frames, resolution=tuple(args.resolution),
+            seed=args.seed,
+        )
+        print(json.dumps(summary, indent=2))
+    elif args.cmd in ("nfs", "rgb", "eventzoom"):
         outs = synthesis.synthesize_dataset(args.root_data_path, args.path_to_h5, args.cmd)
         print(f"wrote {len(outs)} files")
     elif args.cmd == "txt":
