@@ -391,7 +391,10 @@ def child_tpu(state_file: str, budget_s: float) -> None:
         optional=True,
     )
     # full-production-path rate: TCP daemon + deep ticks (needs its own
-    # reserve — the 4-program tick ladder compiles on first run)
+    # reserve — the 4-program tick ladder compiles on first run).  Runs
+    # BEFORE the int8 route probes: those re-measure a decision record
+    # whose values are stable (docs/DESIGN.md §6), while this is the one
+    # serving-stack number with no captured artifact yet (VERDICT r3 #2)
     record(
         "fps_daemon_loopback",
         _daemon_loopback_fps,
