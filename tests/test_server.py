@@ -1370,3 +1370,39 @@ class TestBenchServingDtype:
 
         with pytest.raises(ValueError, match="int8_pall"):
             bench_daemon_loopback("int8x", n_clients=1, windows_per_client=1)
+
+
+class TestShutdownDrain:
+    def test_shutdown_answers_pending_windows_then_eof(self, server):
+        """shutdown() while a pipelining client has several unread pushes:
+        every ACCEPTED window still gets its reply (pending ones are
+        dispatched by the drain, not dropped), the socket then FINs cleanly
+        — the unread pipelined bytes in the server's receive queue must not
+        turn the close into an RST that destroys queued replies."""
+        from bmcnet_esr_tpu.inference import server as server_mod
+
+        server.prewarm()  # the serve CLI always prewarns; without it the
+        # first tick's compile eats the bounded drain window
+        rng = np.random.default_rng(77)
+        wins = make_windows(rng, 8)
+        c = EventSRClient(*server.address)
+        c.attach()
+        c._sock.settimeout(30.0)
+        for w in wins:
+            c.push_nowait(w)
+        # let the serve loop parse the frames (accepted work), then stop it
+        # before it can possibly have replied to all of them
+        import time as time_mod
+
+        time_mod.sleep(0.3)
+        server.shutdown()
+        got = 0
+        while True:
+            try:
+                opcode, _ = server_mod._read_frame(c._sock)
+            except ConnectionError:
+                break  # clean EOF after the replies
+            assert opcode in (server_mod.PRED, server_mod.PENDING)
+            got += 1
+        assert got == len(wins), f"only {got}/{len(wins)} replies before EOF"
+        c.close()
