@@ -95,7 +95,7 @@ SCALE = 4
 # fastest torch-CPU baseline throughput ever measured on this host (quiet
 # box); floors the vs_baseline denominator so contention during the bench
 # can never inflate the published speedup (see bench_torch_cpu docstring)
-TORCH_CPU_BEST_FPS = 0.86  # 2026-08-19 round 4 (was 0.67 earlier that day)
+TORCH_CPU_BEST_FPS = 0.9  # 2026-08-20 (BENCH_HISTORY torch_cpu_fps_live)
 N_EVENTS = 2048
 CHUNK = 512    # windows per scan chunk (amortizes ~33 ms per-dispatch overhead;
                # measured on v5e: 64 -> 895 fps, 128 -> 914, 256 -> 926, 512 -> 932)
@@ -255,18 +255,69 @@ def bench_train_iters_per_sec(n_iters_timed: int = 8, dtype_name: str = "float32
     return n_iters_timed / (time.perf_counter() - t0)
 
 
-def _daemon_loopback_fps(dtype_name: str = "bfloat16") -> float:
+def _daemon_loopback_fps(
+    dtype_name: str = "bfloat16", wire_dtype: str = "float32", aux: dict = None
+) -> float:
     """End-to-end serving-daemon rate (TCP loopback, 8 pipelining clients,
     deep ticks): the full production path — sockets, dynamic batching,
-    depth-adaptive scan ticks, rasterize, model.  Evidence that the serving
-    stack preserves the kernel rollout's throughput instead of being
-    eaten by per-dispatch overhead (tools/bench_serving.py)."""
+    depth-adaptive scan ticks, rasterize, model.  On the tunneled chip this
+    is bounded by the device->host transfer of the HR predictions (compare
+    ``d2h_mbps``: each window's reply is 460 KB f32 / 230 KB f16 / 115 KB
+    i8), NOT by compute — ``wire_dtype`` is the lever
+    (tools/bench_serving.py, server.py protocol v3).  Stashes the server's
+    own observability snapshot in ``aux`` for the artifact."""
     from tools.bench_serving import bench_daemon_loopback
 
-    wps, _stats = bench_daemon_loopback(
-        dtype_name, n_clients=8, windows_per_client=256, scan_k=8
+    wps, stats = bench_daemon_loopback(
+        dtype_name, n_clients=8, windows_per_client=256, scan_k=8,
+        wire_dtype=wire_dtype,
     )
+    if aux is not None:
+        aux[f"daemon_stats_{wire_dtype}"] = {
+            k: stats.get(k)
+            for k in (
+                "ticks", "windows_served", "batch_occupancy_mean",
+                "latency_ms_p50", "latency_ms_p99",
+            )
+        }
     return wps
+
+
+def bench_link_mbps(aux: dict) -> float:
+    """Host<->device link bandwidth at the daemon's actual transfer shape.
+
+    The serving daemon's dominant byte stream is the deep tick's HR
+    prediction stack ([K=8, B=8, 180, 320, 2] — 29.5 MB f32 / 14.7 MB
+    bf16); on the tunneled attachment this link, not the MXU, bounds
+    ``fps_daemon_loopback``.  Measures device->host (``d2h_mbps``, the
+    reply fetch) and host->device (``h2d_mbps``, the event upload) so the
+    artifact carries the decomposition; returns d2h for the record() value.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((8, 8, 180, 320, 2), jnp.bfloat16)  # 14.7 MB on device
+    jax.block_until_ready(x)
+    nbytes = x.size * 2
+    _ = jax.device_get(x)  # warm the path
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = jax.device_get(x)
+        times.append(time.perf_counter() - t0)
+    d2h = nbytes / float(np.median(times)) / 2**20
+
+    host = np.ones((8, 8, 180, 320, 2), np.float32)  # 29.5 MB upload
+    dev = jax.device_put(host)
+    jax.block_until_ready(dev)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dev = jax.device_put(host)
+        jax.block_until_ready(dev)
+        times.append(time.perf_counter() - t0)
+    aux["h2d_mbps"] = round(host.nbytes / float(np.median(times)) / 2**20, 1)
+    return d2h
 
 
 def bench_torch_cpu(budget_s: float = 60.0):
@@ -390,6 +441,9 @@ def child_tpu(state_file: str, budget_s: float) -> None:
         lambda: 1000.0 / _rollout_fps(1, "bfloat16", chunk=1),
         optional=True,
     )
+    # the link-bandwidth decomposition first (cheap, no compiles): shows
+    # WHY the daemon numbers sit where they do on a tunneled attachment
+    record("d2h_mbps", lambda: bench_link_mbps(aux), optional=True)
     # full-production-path rate: TCP daemon + deep ticks (needs its own
     # reserve — the 4-program tick ladder compiles on first run).  Runs
     # BEFORE the int8 route probes: those re-measure a decision record
@@ -397,9 +451,23 @@ def child_tpu(state_file: str, budget_s: float) -> None:
     # serving-stack number with no captured artifact yet (VERDICT r3 #2)
     record(
         "fps_daemon_loopback",
-        _daemon_loopback_fps,
+        lambda: _daemon_loopback_fps(aux=aux),
         optional=True,
         reserve_s=900.0,
+    )
+    # wire-dtype lever (protocol v3): the same daemon with f16 / i8 PRED
+    # payloads — halves / quarters the d2h + socket bytes per window
+    record(
+        "fps_daemon_loopback_f16",
+        lambda: _daemon_loopback_fps(wire_dtype="float16", aux=aux),
+        optional=True,
+        reserve_s=600.0,
+    )
+    record(
+        "fps_daemon_loopback_i8",
+        lambda: _daemon_loopback_fps(wire_dtype="int8", aux=aux),
+        optional=True,
+        reserve_s=600.0,
     )
     # quantize-pass attack modes (the act-quantize passes are 38% of the
     # int8 step): standalone Pallas quantize / chained conv1->conv2 int8

@@ -64,6 +64,15 @@ def main(argv=None):
         "checkpoint (requires trainer.ema in the run's recipe)",
     )
     p.add_argument(
+        "--wire_dtype", type=str, default="float32",
+        choices=["float32", "float16", "int8"],
+        help="PRED payload encoding (protocol v3): float16 halves / int8 "
+        "quarters the prediction bytes over both the device->host link and "
+        "the socket — the daemon's dominant byte streams.  float16 is "
+        "lossless for bfloat16 compute modes; int8 quantizes per window "
+        "with an on-device max-abs scale (clients dequantize transparently)",
+    )
+    p.add_argument(
         "--scan_k", type=int, default=8,
         help="max deep-tick depth: under backlog one dispatch drains up to "
         "N windows per slot via a scanned program (amortizes dispatch "
@@ -120,6 +129,7 @@ def main(argv=None):
         batch_window_ms=args.batch_window_ms,
         weight_loader=lambda: load_variables()[1],
         scan_k=args.scan_k,
+        wire_dtype=args.wire_dtype,
     )
     log.info("prewarming tick programs (scan_k=%d)...", args.scan_k)
     server.prewarm()

@@ -29,7 +29,10 @@ response   0x80    HELLO_OK ``u8 version`` (the server's)
            0x81    ATTACHED ``u32 slot, u8[16] token`` (token is all-zero
                            for non-resumable slots)
            0x82    DETACHED
-           0x83    PRED    ``u32 kh, u32 kw, u32 c, f32[kh*kw*c]``
+           0x83    PRED    ``u8 dtype, u32 kh, u32 kw, u32 c, f32 scale,
+                           payload`` — dtype 0: f32 payload (scale unused);
+                           1: f16 payload; 2: i8 payload, dequantize as
+                           ``payload * scale``
            0x84    PENDING (stream's first window — no output yet)
            0x85    ERROR   utf-8 message
            0x86    STATS_OK utf-8 JSON (see :meth:`EventSRServer.stats`)
@@ -40,7 +43,10 @@ response   0x80    HELLO_OK ``u8 version`` (the server's)
 Protocol history: v2 widened ATTACHED with the resume token (a v1 client
 would misparse it, hence the bump — exactly what the HELLO handshake is
 for); STATS/RELOAD/RESUME opcodes are additive (older servers answer a
-clean ERROR).
+clean ERROR); v3 prefixed PRED with a dtype tag + scale so the server's
+``wire_dtype`` (float32/float16/int8 — the HR images dominate both the
+device->host link and the socket, see :data:`~bmcnet_esr_tpu.inference.
+streaming.WIRE_MODES`) reaches the client self-describing.
 
 **Session resume** (resumable ATTACH + RESUME): an event camera's recurrent
 state is the product of its whole history — a TCP blip must not reset it.
@@ -120,8 +126,17 @@ import numpy as np
 from bmcnet_esr_tpu.inference.streaming import StreamPool
 
 _U32 = struct.Struct("<I")
+_PRED_HEAD = struct.Struct("<BIIIf")  # dtype code, kh, kw, c, scale
 
-PROTOCOL_VERSION = 2  # v2: ATTACHED carries the resume token
+PROTOCOL_VERSION = 3  # v3: PRED carries a dtype tag + scale (wire_dtype)
+
+#: PRED dtype codes on the wire -> (numpy dtype, StreamPool out_wire mode)
+WIRE_DTYPES = {
+    "float32": (0, np.float32, "f32"),
+    "float16": (1, np.float16, "f16"),
+    "int8": (2, np.int8, "i8"),
+}
+_CODE_TO_NP = {code: np_dtype for code, np_dtype, _ in WIRE_DTYPES.values()}
 
 HELLO, ATTACH, DETACH, PUSH, STATS, RELOAD, RESUME = (
     0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06,
@@ -207,6 +222,7 @@ class EventSRServer:
         weight_loader=None,
         resume_grace_s: float = 30.0,
         scan_k: int = 8,
+        wire_dtype: str = "float32",
     ):
         """``weight_loader``: optional zero-arg callable returning a fresh
         ``variables`` pytree (same structure/shapes as the serving one) —
@@ -222,10 +238,29 @@ class EventSRServer:
         dispatch drains up to ``scan_k`` windows per slot via a scanned
         program (amortizes per-dispatch overhead under load; 1 disables).
         Call :meth:`prewarm` before taking traffic so the ladder of deep
-        programs compiles up front instead of stalling a live tick."""
+        programs compiles up front instead of stalling a live tick.
+
+        ``wire_dtype``: PRED payload encoding (float32 | float16 | int8).
+        The HR prediction is ~56x the event window that produced it, so
+        this knob sets the daemon's dominant byte streams — device->host
+        fetch AND socket writes.  float16 is lossless for bf16-serving
+        models (10 vs 7 mantissa bits, in-range values); int8 quantizes
+        per-window with an on-device max-abs scale (worst-case error
+        ~0.4% of the window's peak).  The encoding happens in-graph
+        (:data:`~bmcnet_esr_tpu.inference.streaming.WIRE_MODES`); clients
+        always decode back to float32."""
+        try:
+            self._wire_code, self._wire_np, out_wire = WIRE_DTYPES[wire_dtype]
+        except KeyError:
+            raise ValueError(
+                f"unknown wire_dtype {wire_dtype!r}; choose one of "
+                f"{sorted(WIRE_DTYPES)}"
+            ) from None
+        self.wire_dtype = wire_dtype
         self.pool = StreamPool(
             model, variables, inp_resolution,
             slots=slots, window_size=window_size, mesh=mesh,
+            out_wire=out_wire,
         )
         self.batch_window_ms = batch_window_ms
         self.scan_k = int(scan_k)
@@ -509,7 +544,11 @@ class EventSRServer:
                 return
             owners, out_map, preds_dev, enqueued, deep = tick
             try:
-                preds = np.asarray(preds_dev)
+                # device_get (not np.asarray): the i8 wire returns a
+                # (quantized preds, scales) pytree, not a bare array
+                import jax
+
+                preds = jax.device_get(preds_dev)
             except Exception as exc:  # noqa: BLE001 — surfaced as ERROR replies
                 preds = exc
             self._fetched.append((owners, out_map, preds, enqueued, deep))
@@ -887,10 +926,19 @@ class EventSRServer:
                 if sock is None or sock not in self._bufs:
                     continue  # pusher disconnected while the tick was in flight
                 if has_output:
-                    p = np.ascontiguousarray(
-                        preds[j, slot] if deep else preds[slot], np.float32
-                    )
-                    head = struct.pack("<III", *p.shape)
+                    scale = 1.0
+                    if self._wire_code == 2:  # i8: (quantized, scales) pair
+                        q, scales = preds
+                        p = np.ascontiguousarray(
+                            q[j, slot] if deep else q[slot], np.int8
+                        )
+                        scale = float(scales[j, slot] if deep else scales[slot])
+                    else:
+                        p = np.ascontiguousarray(
+                            preds[j, slot] if deep else preds[slot],
+                            self._wire_np,
+                        )
+                    head = _PRED_HEAD.pack(self._wire_code, *p.shape, scale)
                     self._send(sock, _frame(PRED, head + p.tobytes()))
                     self.windows_served += 1
                 else:
@@ -940,6 +988,7 @@ class EventSRServer:
             "slots_orphaned": len(self._orphans),
             "slots_total": self.pool.slots,
             "window_size": self.pool.window_size,
+            "wire_dtype": self.wire_dtype,
             # list() the dict's values FIRST (atomic, like the deques
             # above): the serve thread inserts/deletes _pending entries
             # mid-tick, and iterating the live dict from a monitoring
@@ -1013,15 +1062,20 @@ class EventSRClient:
         self._sock.sendall(_frame(PUSH, body))
 
     def read_reply(self) -> Optional[np.ndarray]:
-        """Read one PUSH reply: the HR prediction, or ``None`` (PENDING)."""
+        """Read one PUSH reply: the HR prediction as float32 (decoded from
+        the server's wire_dtype), or ``None`` (PENDING)."""
         opcode, body = _read_frame(self._sock)
         if opcode == PENDING:
             return None
         self._check(opcode, PRED, body)
-        kh, kw, c = struct.unpack_from("<III", body)
-        return np.frombuffer(body, np.float32, kh * kw * c, offset=12).reshape(
-            kh, kw, c
-        )
+        code, kh, kw, c, scale = _PRED_HEAD.unpack_from(body)
+        np_dtype = _CODE_TO_NP.get(code)
+        if np_dtype is None:
+            raise RuntimeError(f"unknown PRED dtype code {code}")
+        p = np.frombuffer(
+            body, np_dtype, kh * kw * c, offset=_PRED_HEAD.size
+        ).reshape(kh, kw, c).astype(np.float32)
+        return p * scale if code == 2 else p
 
     def stats(self) -> dict:
         """Fetch the server's observability snapshot (STATS opcode)."""

@@ -20,9 +20,60 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from bmcnet_esr_tpu.ops.batch import batch_events_to_counts
+from bmcnet_esr_tpu.ops.batch import (
+    batch_counts_from_compact,
+    batch_events_to_counts,
+    compact_events,
+)
 
 Array = jax.Array
+
+#: Prediction wire encodings for :class:`StreamPool` (``out_wire=``).
+#: The HR prediction leaves the device in this form, so the choice sets the
+#: device->host transfer size AND the bytes any downstream socket carries —
+#: on a remote-attached chip that link, not the compute, bounds serving
+#: throughput (bench.py ``fps_daemon_loopback`` vs ``d2h_mbps``).
+#:
+#: * ``"f32"`` — legacy: the model's own output dtype leaves the device and
+#:   the consumer widens to float32 host-side (exact; the parity path).
+#: * ``"f16"`` — cast to IEEE float16 on device.  For bf16-serving models
+#:   this is lossless where it matters (float16 has 10 mantissa bits >=
+#:   bfloat16's 7; count predictions sit far inside float16's normal range)
+#:   and halves the f32 wire.
+#: * ``"i8"``  — per-window symmetric int8 with an on-device max-abs scale:
+#:   the step returns ``(q int8, scale f32)``; consumers dequantize with
+#:   ``q * scale``.  4x smaller than f32; worst-case error is scale/2
+#:   (~0.4% of the window's peak) — opt-in for bandwidth-bound links.
+WIRE_MODES = ("f32", "f16", "i8")
+
+
+def _wire_encode(pred: Array, out_wire: str):
+    """Encode one prediction batch ``[B, kH, kW, C]`` for the wire (in-graph)."""
+    if out_wire == "f32":
+        return pred
+    if out_wire == "f16":
+        return pred.astype(jnp.float16)
+    # i8: per-lane max-abs scale over the spatial/channel axes
+    amax = jnp.max(jnp.abs(pred.astype(jnp.float32)), axis=(-3, -2, -1))
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.round(
+        pred.astype(jnp.float32) / scale[..., None, None, None]
+    ).astype(jnp.int8)
+    return q, scale
+
+
+def wire_decode(pred, out_wire: str = "f32") -> np.ndarray:
+    """Host-side inverse of :func:`_wire_encode` -> float32 ndarray.
+
+    ``i8`` accepts any leading batch shape: ``q [..., kH, kW, C]`` with
+    ``scale [...]`` (one scale per window) broadcasts over the trailing
+    spatial/channel axes."""
+    if out_wire == "i8":
+        q, scale = pred
+        q = np.asarray(q, np.float32)
+        s = np.asarray(scale, np.float32)
+        return q * s.reshape(s.shape + (1,) * (q.ndim - s.ndim))
+    return np.asarray(pred, np.float32)
 
 
 def pad_window(events: np.ndarray, window_size: int) -> np.ndarray:
@@ -238,16 +289,30 @@ class StreamPool:
         slots: int = 8,
         window_size: int = 2048,
         mesh=None,
+        out_wire: str = "f32",
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — slots shard across the
         mesh's ``data`` axis (SPMD live serving over ICI; ``slots`` must
         divide the mesh) while params replicate; the step program is
-        identical, GSPMD handles layout."""
+        identical, GSPMD handles layout.
+
+        ``out_wire``: prediction wire encoding (see :data:`WIRE_MODES`) —
+        the HR images dominate the pool's device->host bytes (a 180x320x2
+        prediction is 56x the 2048-event window that produced it), so on a
+        bandwidth-bound attachment this knob, not compute, sets the serving
+        ceiling.  Event UPLOADS are always compact (int16 coords + int8
+        polarity; the count rasterizer never reads timestamps and the cast
+        is exact — :func:`bmcnet_esr_tpu.ops.batch.compact_events`)."""
         self.model = model
         self.inp_resolution = tuple(inp_resolution)
         self.slots = int(slots)
         self.window_size = window_size
         self.mesh = mesh
+        if out_wire not in WIRE_MODES:
+            raise ValueError(
+                f"unknown out_wire {out_wire!r}; choose one of {WIRE_MODES}"
+            )
+        self.out_wire = out_wire
         h, w = self.inp_resolution
         carry = tuple(model.init_state(self.slots, h, w))
         prev = jnp.zeros((self.slots, h, w, 2), jnp.float32)
@@ -277,11 +342,12 @@ class StreamPool:
     def _build_step(self):
         model = self.model
         res = self.inp_resolution
+        out_wire = self.out_wire
 
         @jax.jit
-        def step(variables, carry, prev, events, update, first):
-            # events [B, 4, N]; update/first: [B] bool masks
-            frame = batch_events_to_counts(events, res)  # [B, H, W, 2]
+        def step(variables, carry, prev, xy, p, update, first):
+            # xy [B, 2, N] int16, p [B, N] int8; update/first: [B] bool masks
+            frame = batch_counts_from_compact(xy, p, res)  # [B, H, W, 2]
             x = jnp.stack([prev, frame], axis=1)  # [B, 2, H, W, 2]
             outs = model.apply(variables, x, *carry)
 
@@ -297,7 +363,7 @@ class StreamPool:
                 for n, o in zip(tuple(outs), carry)
             )
             new_prev = sel(update, frame, prev)
-            return new_carry, new_prev, outs[-1]
+            return new_carry, new_prev, _wire_encode(outs[-1], out_wire)
 
         return step
 
@@ -316,18 +382,19 @@ class StreamPool:
         """
         model = self.model
         res = self.inp_resolution
+        out_wire = self.out_wire
 
         @jax.jit
-        def deep_step(variables, carry, prev, events, update, first):
-            # events [B, K, 4, N]; update/first [B, K] bool masks
+        def deep_step(variables, carry, prev, xy, p, update, first):
+            # xy [B, K, 2, N] int16, p [B, K, N] int8; update/first [B, K]
             def sel(mask, a, b):
                 m = mask.reshape((-1,) + (1,) * (a.ndim - 1))
                 return jnp.where(m, a, b)
 
             def body(c_p, xs):
                 carry, prev = c_p
-                ev_j, up_j, fi_j = xs
-                frame = batch_events_to_counts(ev_j, res)  # [B, H, W, 2]
+                xy_j, p_j, up_j, fi_j = xs
+                frame = batch_counts_from_compact(xy_j, p_j, res)  # [B, H, W, 2]
                 x = jnp.stack([prev, frame], axis=1)
                 outs = model.apply(variables, x, *carry)
                 advance = up_j & ~fi_j
@@ -337,18 +404,21 @@ class StreamPool:
                     for n, o in zip(tuple(outs), carry)
                 )
                 new_prev = sel(up_j, frame, prev)
-                return (new_carry, new_prev), outs[-1]
+                return (new_carry, new_prev), _wire_encode(outs[-1], out_wire)
 
             (carry, prev), preds = jax.lax.scan(
                 body,
                 (carry, prev),
                 (
-                    jnp.moveaxis(events, 1, 0),  # [K, B, 4, N]
+                    jnp.moveaxis(xy, 1, 0),  # [K, B, 2, N]
+                    jnp.moveaxis(p, 1, 0),  # [K, B, N]
                     jnp.moveaxis(update, 1, 0),  # [K, B]
                     jnp.moveaxis(first, 1, 0),
                 ),
             )
-            return carry, prev, preds  # preds [K, B, kH, kW, 2]
+            # preds [K, B, kH, kW, 2] (i8 wire: a ([K,B,kH,kW,2] int8,
+            # [K,B] f32 scales) pair — scan stacks each leaf)
+            return carry, prev, preds
 
         return deep_step
 
@@ -365,7 +435,8 @@ class StreamPool:
         """
         if depth < 1:
             raise ValueError(f"depth must be >= 1, got {depth}")
-        events = np.zeros((self.slots, depth, 4, self.window_size), np.float32)
+        xy = np.zeros((self.slots, depth, 2, self.window_size), np.int16)
+        p = np.zeros((self.slots, depth, self.window_size), np.int8)
         update = np.zeros((self.slots, depth), bool)
         first = np.zeros((self.slots, depth), bool)
         out_map: dict = {}
@@ -378,7 +449,9 @@ class StreamPool:
                 )
             entries = []
             for j, ev in enumerate(wins):
-                events[slot, j] = pad_window(ev, self.window_size)
+                xy[slot, j], p[slot, j] = compact_events(
+                    pad_window(ev, self.window_size)
+                )
                 update[slot, j] = True
                 is_first = self._seen[slot] == 0 and j == 0
                 first[slot, j] = is_first
@@ -387,15 +460,16 @@ class StreamPool:
         step = self._deep_steps.get(depth)
         if step is None:
             step = self._deep_steps[depth] = self._build_deep_step(depth)
-        ev = jnp.asarray(events)
+        exy, ep = jnp.asarray(xy), jnp.asarray(p)
         up = jnp.asarray(update)
         fi = jnp.asarray(first)
         if self.mesh is not None:
-            ev = jax.device_put(ev, self._ev_s)
+            exy = jax.device_put(exy, self._ev_s)
+            ep = jax.device_put(ep, self._ev_s)
             up = jax.device_put(up, self._slot_s)
             fi = jax.device_put(fi, self._slot_s)
         self._carry, self._prev, preds = step(
-            self.variables, self._carry, self._prev, ev, up, fi
+            self.variables, self._carry, self._prev, exy, ep, up, fi
         )
         # advance _seen only after a successful dispatch (matching
         # push_async): a raise above must leave first-window semantics
@@ -416,19 +490,22 @@ class StreamPool:
         for depth in depths:
             if depth == 1:
                 step = self._step
-                ev = jnp.zeros((self.slots, 4, self.window_size))
+                xy = jnp.zeros((self.slots, 2, self.window_size), jnp.int16)
+                p = jnp.zeros((self.slots, self.window_size), jnp.int8)
                 up = jnp.zeros((self.slots,), bool)
             else:
                 step = self._deep_steps.get(depth)
                 if step is None:
                     step = self._deep_steps[depth] = self._build_deep_step(depth)
-                ev = jnp.zeros((self.slots, depth, 4, self.window_size))
+                xy = jnp.zeros((self.slots, depth, 2, self.window_size), jnp.int16)
+                p = jnp.zeros((self.slots, depth, self.window_size), jnp.int8)
                 up = jnp.zeros((self.slots, depth), bool)
             if self.mesh is not None:
-                ev = jax.device_put(ev, self._ev_s)
+                xy = jax.device_put(xy, self._ev_s)
+                p = jax.device_put(p, self._ev_s)
                 up = jax.device_put(up, self._slot_s)
             self._carry, self._prev, preds = step(
-                self.variables, self._carry, self._prev, ev, up, up
+                self.variables, self._carry, self._prev, xy, p, up, up
             )
             jax.block_until_ready(preds)
 
@@ -483,22 +560,25 @@ class StreamPool:
         so further ticks may be dispatched while earlier ones still compute —
         the pipelining hook :class:`~bmcnet_esr_tpu.inference.server.
         EventSRServer` uses to overlap device compute with socket I/O."""
-        events = np.zeros((self.slots, 4, self.window_size), np.float32)
+        xy = np.zeros((self.slots, 2, self.window_size), np.int16)
+        p = np.zeros((self.slots, self.window_size), np.int8)
         update = np.zeros(self.slots, bool)
         first = np.zeros(self.slots, bool)
         for slot, ev in windows.items():
             if not self._active[slot]:
                 raise ValueError(f"slot {slot} is not attached")
-            events[slot] = pad_window(ev, self.window_size)
+            xy[slot], p[slot] = compact_events(pad_window(ev, self.window_size))
             update[slot] = True
             first[slot] = self._seen[slot] == 0
-        ev, up, fi = jnp.asarray(events), jnp.asarray(update), jnp.asarray(first)
+        exy, ep = jnp.asarray(xy), jnp.asarray(p)
+        up, fi = jnp.asarray(update), jnp.asarray(first)
         if self.mesh is not None:
-            ev = jax.device_put(ev, self._ev_s)
+            exy = jax.device_put(exy, self._ev_s)
+            ep = jax.device_put(ep, self._ev_s)
             up = jax.device_put(up, self._slot_s)
             fi = jax.device_put(fi, self._slot_s)
         self._carry, self._prev, preds = self._step(
-            self.variables, self._carry, self._prev, ev, up, fi
+            self.variables, self._carry, self._prev, exy, ep, up, fi
         )
         out_slots = [s for s in windows if not first[s]]
         self._seen[update] += 1
@@ -506,8 +586,10 @@ class StreamPool:
 
     def push(self, windows: dict) -> dict:
         """Advance one tick: ``{slot: events [4, n]}`` in, ``{slot: HR
-        prediction [kH, kW, 2]}`` out for every pushed slot that has already
-        seen a window (slots absent from ``windows`` idle in place)."""
+        prediction [kH, kW, 2] float32}`` out for every pushed slot that has
+        already seen a window (slots absent from ``windows`` idle in place).
+        Wire decoding (``out_wire``) is applied here; async callers fetch
+        ``preds`` themselves and decode via :func:`wire_decode`."""
         out_slots, preds = self.push_async(windows)
-        preds = np.asarray(preds)
+        preds = wire_decode(jax.device_get(preds), self.out_wire)
         return {s: preds[s] for s in out_slots}

@@ -1055,10 +1055,13 @@ class TestDeepTicks:
         preds = []
         for opcode, body in replies[1:]:
             assert opcode == server_mod.PRED
-            kh, kw, c = struct_mod.unpack_from("<III", body)
+            code, kh, kw, c, scale = server_mod._PRED_HEAD.unpack_from(body)
+            assert code == 0 and scale == 1.0  # default wire is float32
             preds.append(
-                np.frombuffer(body, np.float32, kh * kw * c, offset=12)
-                .reshape(kh, kw, c)
+                np.frombuffer(
+                    body, np.float32, kh * kw * c,
+                    offset=server_mod._PRED_HEAD.size,
+                ).reshape(kh, kw, c)
             )
         # exactness: per-slot FIFO order equals the solo rollout
         solo = StreamingSR(model, variables, RES, window_size=WINDOW)
@@ -1406,3 +1409,43 @@ class TestShutdownDrain:
             got += 1
         assert got == len(wins), f"only {got}/{len(wins)} replies before EOF"
         c.close()
+
+
+class TestWireDtypes:
+    """Protocol v3 wire_dtype: PRED payloads in f16/i8 must decode back to
+    the f32-wire predictions within their encoding's error bound, end to
+    end through real sockets (the client dequantizes transparently)."""
+
+    @pytest.mark.parametrize("wire_dtype", ["float16", "int8"])
+    def test_wire_roundtrip_matches_f32_server(self, model_vars, wire_dtype):
+        model, variables = model_vars
+        rng = np.random.default_rng(21)
+        wins = make_windows(rng, 5)
+
+        srv = EventSRServer(
+            model, variables, RES, slots=2, window_size=WINDOW,
+            port=0, batch_window_ms=1.0, wire_dtype=wire_dtype,
+        )
+        srv.start()
+        try:
+            c = EventSRClient(*srv.address)
+            c.attach()
+            got = [c.push(w) for w in wins]
+            assert srv.stats()["wire_dtype"] == wire_dtype
+            c.detach(); c.close()
+        finally:
+            srv.shutdown()
+
+        solo = StreamingSR(model, variables, RES, window_size=WINDOW)
+        want = [solo.push(w) for w in wins]
+        assert got[0] is None and want[0] is None
+        for g, w in zip(got[1:], want[1:]):
+            assert g.dtype == np.float32
+            peak = float(np.abs(w).max()) + 1e-12
+            tol = peak * (2 ** -10 if wire_dtype == "float16" else 0.75 / 127)
+            np.testing.assert_allclose(g, w, atol=tol)
+
+    def test_unknown_wire_dtype_rejected(self, model_vars):
+        model, variables = model_vars
+        with pytest.raises(ValueError, match="wire_dtype"):
+            EventSRServer(model, variables, RES, wire_dtype="uint4")

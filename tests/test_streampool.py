@@ -373,3 +373,89 @@ class TestStreamPool:
             np.testing.assert_allclose(
                 pool.push({slot: w})[slot], exp, rtol=1e-5, atol=1e-6
             )
+
+
+class TestWireModes:
+    """out_wire: the prediction's device->host/wire encoding.
+
+    The HR prediction is ~56x the event window that produced it, so on a
+    bandwidth-bound attachment (tunneled chip: measured ~20 MB/s d2h,
+    BENCH_HISTORY.jsonl fps_daemon_loopback vs fps_bf16_serving) the wire
+    encoding — not compute — sets the serving ceiling.  f16 must be
+    near-lossless, i8 bounded by its per-window scale; both must preserve
+    solo-rollout parity through the pool's masked lanes.
+    """
+
+    def test_f16_wire_matches_f32(self, model_vars):
+        model, variables = model_vars
+        rng = np.random.default_rng(11)
+        wins = make_windows(rng, 4)
+        ref = StreamPool(model, variables, RES, slots=2, window_size=WINDOW)
+        f16 = StreamPool(
+            model, variables, RES, slots=2, window_size=WINDOW, out_wire="f16"
+        )
+        a_ref, a_f16 = ref.attach(), f16.attach()
+        for w in wins:
+            want = ref.push({a_ref: w})
+            got = f16.push({a_f16: w})
+            assert set(got) == set(want)
+            for s in want:
+                assert got[s].dtype == np.float32  # decoded for the consumer
+                peak = np.abs(want[s]).max() + 1e-12
+                # one f16 rounding of an fp32 value: <= 2^-11 relative
+                np.testing.assert_allclose(
+                    got[s], want[s], atol=float(peak) * 2 ** -10
+                )
+
+    def test_i8_wire_error_bounded_by_scale(self, model_vars):
+        model, variables = model_vars
+        rng = np.random.default_rng(12)
+        wins = make_windows(rng, 4)
+        ref = StreamPool(model, variables, RES, slots=2, window_size=WINDOW)
+        i8 = StreamPool(
+            model, variables, RES, slots=2, window_size=WINDOW, out_wire="i8"
+        )
+        a_ref, a_i8 = ref.attach(), i8.attach()
+        for w in wins:
+            want = ref.push({a_ref: w})
+            got = i8.push({a_i8: w})
+            assert set(got) == set(want)
+            for s in want:
+                # symmetric quantization: worst case half a step, where the
+                # step is peak/127 for THIS window
+                step = np.abs(want[s]).max() / 127.0
+                np.testing.assert_allclose(
+                    got[s], want[s], atol=float(step) * 0.75 + 1e-9
+                )
+
+    def test_deep_tick_wire_matches_shallow(self, model_vars):
+        """Wire encodings commute with deep ticks: a scanned K-step tick's
+        decoded outputs equal the same windows pushed one tick at a time."""
+        from bmcnet_esr_tpu.inference.streaming import wire_decode
+
+        model, variables = model_vars
+        rng = np.random.default_rng(13)
+        wins = make_windows(rng, 4)
+        for mode in ("f16", "i8"):
+            shallow = StreamPool(
+                model, variables, RES, slots=2, window_size=WINDOW, out_wire=mode
+            )
+            deep = StreamPool(
+                model, variables, RES, slots=2, window_size=WINDOW, out_wire=mode
+            )
+            s1, s2 = shallow.attach(), deep.attach()
+            want = [shallow.push({s1: w}).get(s1) for w in wins]
+            out_map, preds = deep.push_async_deep({s2: wins}, depth=4)
+            dec = wire_decode(jax.device_get(preds), mode)
+            for idx, (j, has) in enumerate(out_map[s2]):
+                if not has:
+                    assert want[idx] is None
+                    continue
+                np.testing.assert_allclose(
+                    dec[j, s2], want[idx], rtol=0, atol=1e-6
+                )
+
+    def test_unknown_wire_mode_rejected(self, model_vars):
+        model, variables = model_vars
+        with pytest.raises(ValueError, match="out_wire"):
+            StreamPool(model, variables, RES, out_wire="f64")

@@ -11,7 +11,7 @@ dispatch-bound.
 
 Usage:
   PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_serving.py \
-      [dtype] [n_clients] [windows_per_client] [scan_k]
+      [dtype] [n_clients] [windows_per_client] [scan_k] [wire_dtype]
 
 Importable: :func:`bench_daemon_loopback` (used by ``bench.py`` aux).
 """
@@ -40,6 +40,7 @@ def bench_daemon_loopback(
     pipeline: int = 16,
     resolution=(H, W),
     window_size: int = N_EVENTS,
+    wire_dtype: str = "float32",
 ):
     """Windows/sec through the full TCP daemon at full-model NFS shapes.
 
@@ -47,6 +48,11 @@ def bench_daemon_loopback(
     under the server's 32-per-slot queue cap), which is what lets the
     server drain in deep ticks.  Returns ``(wps, stats)`` where ``stats``
     is the server's own observability snapshot at the end of the run.
+
+    ``wire_dtype`` picks the PRED payload encoding (float32/float16/int8):
+    the HR predictions dominate both the device->host link and the socket,
+    so on a bandwidth-bound attachment this knob — not compute — moves the
+    number (see server.py protocol v3).
     """
     import jax
     import jax.numpy as jnp
@@ -80,6 +86,7 @@ def bench_daemon_loopback(
     server = EventSRServer(
         model, variables, (h, w), slots=n_clients,
         window_size=window_size, port=0, batch_window_ms=2.0, scan_k=scan_k,
+        wire_dtype=wire_dtype,
     )
     server.prewarm()
     server.start()
@@ -150,10 +157,13 @@ def main():
     n_clients = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     per = int(sys.argv[3]) if len(sys.argv) > 3 else 256
     scan_k = int(sys.argv[4]) if len(sys.argv) > 4 else 8
-    wps, stats = bench_daemon_loopback(dtype, n_clients, per, scan_k)
+    wire = sys.argv[5] if len(sys.argv) > 5 else "float32"
+    wps, stats = bench_daemon_loopback(
+        dtype, n_clients, per, scan_k, wire_dtype=wire
+    )
     print(
-        f"daemon loopback ({dtype}, {n_clients} clients x {per} windows, "
-        f"scan_k={scan_k}): {wps:.1f} windows/sec"
+        f"daemon loopback ({dtype}, wire {wire}, {n_clients} clients x "
+        f"{per} windows, scan_k={scan_k}): {wps:.1f} windows/sec"
     )
     keep = (
         "ticks", "windows_served", "batch_occupancy_mean",
