@@ -307,6 +307,28 @@ def bench_link_mbps(aux: dict) -> float:
         times.append(time.perf_counter() - t0)
     d2h = nbytes / float(np.median(times)) / 2**20
 
+    # two concurrent fetch streams: if this beats d2h_mbps the link is
+    # per-transfer latency-bound and a multi-threaded fetcher would pay;
+    # if it matches, the link is saturated and fewer bytes (wire_dtype)
+    # is the only lever
+    import threading
+
+    y = jnp.ones((8, 8, 180, 320, 2), jnp.bfloat16) * 2.0
+    jax.block_until_ready(y)
+
+    def fetch(arr):
+        _ = jax.device_get(arr)
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        t = threading.Thread(target=fetch, args=(y,))
+        t.start()
+        _ = jax.device_get(x)
+        t.join()
+        times.append(time.perf_counter() - t0)
+    aux["d2h_mbps_x2"] = round(2 * nbytes / float(np.median(times)) / 2**20, 1)
+
     host = np.ones((8, 8, 180, 320, 2), np.float32)  # 29.5 MB upload
     dev = jax.device_put(host)
     jax.block_until_ready(dev)
