@@ -296,14 +296,22 @@ def bench_link_mbps(aux: dict) -> float:
     import jax
     import jax.numpy as jnp
 
+    # every timed fetch must pull a buffer the host has NEVER seen: the
+    # PJRT client caches the host copy of an unchanged array after the
+    # first device_get, so re-fetching the same buffer times a host memcpy
+    # (round-4 capture showed 1.5 TB/s "d2h" — a cache hit, not the link).
+    # x + i is a fresh on-device buffer per iteration.
     x = jnp.ones((8, 8, 180, 320, 2), jnp.bfloat16)  # 14.7 MB on device
     jax.block_until_ready(x)
     nbytes = x.size * 2
-    _ = jax.device_get(x)  # warm the path
+    _ = jax.device_get(x)  # warm the path (compile the add too)
+    _ = jax.block_until_ready(x + 1.0)
     times = []
-    for _ in range(3):
+    for i in range(3):
+        fresh = x + float(i + 2)
+        jax.block_until_ready(fresh)
         t0 = time.perf_counter()
-        _ = jax.device_get(x)
+        _ = jax.device_get(fresh)
         times.append(time.perf_counter() - t0)
     d2h = nbytes / float(np.median(times)) / 2**20
 
@@ -313,18 +321,18 @@ def bench_link_mbps(aux: dict) -> float:
     # is the only lever
     import threading
 
-    y = jnp.ones((8, 8, 180, 320, 2), jnp.bfloat16) * 2.0
-    jax.block_until_ready(y)
-
     def fetch(arr):
         _ = jax.device_get(arr)
 
     times = []
-    for _ in range(3):
+    for i in range(3):
+        # fresh pair per iteration — same cache-defeat as above
+        fa = jax.block_until_ready(x + float(10 + 2 * i))
+        fb = jax.block_until_ready(x + float(11 + 2 * i))
         t0 = time.perf_counter()
-        t = threading.Thread(target=fetch, args=(y,))
+        t = threading.Thread(target=fetch, args=(fb,))
         t.start()
-        _ = jax.device_get(x)
+        _ = jax.device_get(fa)
         t.join()
         times.append(time.perf_counter() - t0)
     aux["d2h_mbps_x2"] = round(2 * nbytes / float(np.median(times)) / 2**20, 1)
@@ -333,9 +341,10 @@ def bench_link_mbps(aux: dict) -> float:
     dev = jax.device_put(host)
     jax.block_until_ready(dev)
     times = []
-    for _ in range(3):
+    for i in range(3):
+        fresh_host = host + float(i + 1)  # new object + content per put
         t0 = time.perf_counter()
-        dev = jax.device_put(host)
+        dev = jax.device_put(fresh_host)
         jax.block_until_ready(dev)
         times.append(time.perf_counter() - t0)
     aux["h2d_mbps"] = round(host.nbytes / float(np.median(times)) / 2**20, 1)
