@@ -73,6 +73,15 @@ def main(argv=None):
         "with an on-device max-abs scale (clients dequantize transparently)",
     )
     p.add_argument(
+        "--fetch_chunks", type=int, default=4,
+        help="split each tick's prediction fetch into N concurrent "
+        "device->host copies (in-graph split; must divide --slots).  On a "
+        "remote-attached chip whose per-stream link bandwidth is the "
+        "bottleneck this recovers ~2.6x fetch throughput (measured on the "
+        "axon tunnel); on a local chip it is a no-op in practice.  1 "
+        "disables",
+    )
+    p.add_argument(
         "--scan_k", type=int, default=8,
         help="max deep-tick depth: under backlog one dispatch drains up to "
         "N windows per slot via a scanned program (amortizes dispatch "
@@ -130,6 +139,7 @@ def main(argv=None):
         weight_loader=lambda: load_variables()[1],
         scan_k=args.scan_k,
         wire_dtype=args.wire_dtype,
+        fetch_chunks=args.fetch_chunks,
     )
     log.info("prewarming tick programs (scan_k=%d)...", args.scan_k)
     server.prewarm()

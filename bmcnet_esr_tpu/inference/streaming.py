@@ -62,6 +62,50 @@ def _wire_encode(pred: Array, out_wire: str):
     return q, scale
 
 
+def _fetch_split(enc, n: int, axis: int):
+    """In-graph inverse-of-:func:`assemble_fetch` split: slice each leaf of
+    a wire encoding into ``n`` equal chunks along the slot axis, returned as
+    a LIST of chunk encodings (a list marks "chunked" — the i8 pair inside
+    each chunk stays a tuple).
+
+    Why: on a remote-attached chip a single ``device_get`` stream moves
+    ~12-14 MB/s while N concurrent copies scale near-linearly to ~3x
+    (measured on the axon tunnel: x1 13.8 / x2 20.3 / x4 29.7 MB/s raw
+    threads; an in-graph split fetched as one ``device_get`` tuple reaches
+    36 MB/s at x4 with no extra dispatches or threads).  Splitting inside
+    the jitted program costs nothing — XLA just lays out four output
+    buffers — and the PJRT client then issues the four D2H copies
+    concurrently from one blocking ``device_get`` call."""
+    if n <= 1:
+        return enc
+
+    def cut(i):
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.slice_in_dim(
+                a, i * (a.shape[axis] // n), (i + 1) * (a.shape[axis] // n),
+                axis=axis,
+            ),
+            enc,
+        )
+
+    return [cut(i) for i in range(n)]
+
+
+def assemble_fetch(host, deep: bool = False):
+    """Host-side inverse of the pool's in-graph fetch split: concatenate a
+    LIST of fetched chunk encodings back into the unchunked layout along the
+    slot axis (axis 1 for deep ticks — preds are ``[K, B, ...]`` — else 0).
+    Non-list input (an unchunked fetch, ``fetch_chunks=1``) passes through
+    unchanged, so callers can apply this unconditionally after
+    ``jax.device_get``."""
+    if not isinstance(host, list):
+        return host
+    axis = 1 if deep else 0
+    return jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs, axis=axis), *host
+    )
+
+
 def wire_decode(pred, out_wire: str = "f32") -> np.ndarray:
     """Host-side inverse of :func:`_wire_encode` -> float32 ndarray.
 
@@ -290,11 +334,21 @@ class StreamPool:
         window_size: int = 2048,
         mesh=None,
         out_wire: str = "f32",
+        fetch_chunks: int = 1,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — slots shard across the
         mesh's ``data`` axis (SPMD live serving over ICI; ``slots`` must
         divide the mesh) while params replicate; the step program is
         identical, GSPMD handles layout.
+
+        ``fetch_chunks``: split the prediction output into this many
+        slot-axis chunks *inside* the jitted step, so one ``device_get``
+        issues that many concurrent device->host copies (see
+        :func:`_fetch_split` for the measured rationale; ~2.6x fetch
+        throughput at 4 on a tunneled chip, harmless on a local one).
+        Async callers get a LIST of chunk encodings and must reassemble
+        with :func:`assemble_fetch`; :meth:`push` does it internally.
+        Must divide ``slots``.
 
         ``out_wire``: prediction wire encoding (see :data:`WIRE_MODES`) —
         the HR images dominate the pool's device->host bytes (a 180x320x2
@@ -313,6 +367,12 @@ class StreamPool:
                 f"unknown out_wire {out_wire!r}; choose one of {WIRE_MODES}"
             )
         self.out_wire = out_wire
+        self.fetch_chunks = int(fetch_chunks)
+        if self.fetch_chunks < 1 or self.slots % self.fetch_chunks:
+            raise ValueError(
+                f"fetch_chunks ({fetch_chunks}) must be >= 1 and divide "
+                f"slots ({self.slots})"
+            )
         h, w = self.inp_resolution
         carry = tuple(model.init_state(self.slots, h, w))
         prev = jnp.zeros((self.slots, h, w, 2), jnp.float32)
@@ -343,6 +403,7 @@ class StreamPool:
         model = self.model
         res = self.inp_resolution
         out_wire = self.out_wire
+        n_chunks = self.fetch_chunks
 
         @jax.jit
         def step(variables, carry, prev, xy, p, update, first):
@@ -363,7 +424,8 @@ class StreamPool:
                 for n, o in zip(tuple(outs), carry)
             )
             new_prev = sel(update, frame, prev)
-            return new_carry, new_prev, _wire_encode(outs[-1], out_wire)
+            enc = _fetch_split(_wire_encode(outs[-1], out_wire), n_chunks, 0)
+            return new_carry, new_prev, enc
 
         return step
 
@@ -383,6 +445,7 @@ class StreamPool:
         model = self.model
         res = self.inp_resolution
         out_wire = self.out_wire
+        n_chunks = self.fetch_chunks
 
         @jax.jit
         def deep_step(variables, carry, prev, xy, p, update, first):
@@ -417,8 +480,9 @@ class StreamPool:
                 ),
             )
             # preds [K, B, kH, kW, 2] (i8 wire: a ([K,B,kH,kW,2] int8,
-            # [K,B] f32 scales) pair — scan stacks each leaf)
-            return carry, prev, preds
+            # [K,B] f32 scales) pair — scan stacks each leaf); slot axis
+            # is 1 here, so the fetch split cuts axis 1
+            return carry, prev, _fetch_split(preds, n_chunks, 1)
 
         return deep_step
 
@@ -429,7 +493,10 @@ class StreamPool:
         soon as the program is enqueued.  ``out_map`` is ``{slot: [(step,
         has_output), ...]}`` in consumption order — ``has_output=False``
         marks a stream's first window (PENDING); ``preds_device`` is the
-        on-device ``[depth, slots, kH, kW, 2]`` stack.  Semantically equal
+        on-device ``[depth, slots, kH, kW, 2]`` stack (``fetch_chunks > 1``:
+        a LIST of slot-axis chunks — fetch, then
+        :func:`assemble_fetch(..., deep=True) <assemble_fetch>`).
+        Semantically equal
         to pushing each slot's windows through ``depth`` consecutive
         :meth:`push_async` ticks; one dispatch instead of ``depth``.
         """
@@ -556,7 +623,8 @@ class StreamPool:
         [4, n]}`` in, ``(out_slots, preds_device)`` back as soon as the step
         is *enqueued*.  ``preds_device`` is the on-device ``[slots, kH, kW,
         2]`` prediction stack (``preds_device.is_ready()`` polls completion;
-        ``np.asarray`` fetches).  Host-side slot state advances immediately,
+        ``np.asarray`` fetches; ``fetch_chunks > 1`` makes it a LIST of
+        slot-axis chunks to reassemble with :func:`assemble_fetch`).  Host-side slot state advances immediately,
         so further ticks may be dispatched while earlier ones still compute —
         the pipelining hook :class:`~bmcnet_esr_tpu.inference.server.
         EventSRServer` uses to overlap device compute with socket I/O."""
@@ -589,7 +657,9 @@ class StreamPool:
         prediction [kH, kW, 2] float32}`` out for every pushed slot that has
         already seen a window (slots absent from ``windows`` idle in place).
         Wire decoding (``out_wire``) is applied here; async callers fetch
-        ``preds`` themselves and decode via :func:`wire_decode`."""
+        ``preds`` themselves, reassemble chunked fetches with
+        :func:`assemble_fetch`, and decode via :func:`wire_decode`."""
         out_slots, preds = self.push_async(windows)
-        preds = wire_decode(jax.device_get(preds), self.out_wire)
+        preds = assemble_fetch(jax.device_get(preds), deep=False)
+        preds = wire_decode(preds, self.out_wire)
         return {s: preds[s] for s in out_slots}

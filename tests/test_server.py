@@ -1118,6 +1118,68 @@ class TestDeepTicks:
         finally:
             srv.shutdown()
 
+    def test_chunked_fetch_server_matches_solo(self, model_vars):
+        """fetch_chunks=2 end-to-end: shallow ticks (interactive push) and
+        deep ticks (a blasted backlog) both reassemble the LIST-of-chunks
+        fetch correctly — every reply equals the solo rollout, proving
+        the server's assemble_fetch(deep=...) axis handling."""
+        import socket as socket_mod
+        import struct as struct_mod
+
+        from bmcnet_esr_tpu.inference import server as server_mod
+
+        model, variables = model_vars
+        srv = EventSRServer(
+            model, variables, RES, slots=4, window_size=WINDOW, port=0,
+            batch_window_ms=1.0, scan_k=4, fetch_chunks=2,
+        )
+        srv.start()
+        try:
+            rng = np.random.default_rng(45)
+            # shallow path: interactive client
+            wins_a = make_windows(rng, 4)
+            c = EventSRClient(*srv.address)
+            c.attach()
+            got_a = [c.push(w) for w in wins_a]
+            # deep path: blast a backlog without reading replies
+            wins_b = make_windows(rng, 8)
+            s = socket_mod.create_connection(srv.address)
+            s.settimeout(20.0)
+            raw_hello(s)
+            s.sendall(server_mod._frame(server_mod.ATTACH, b""))
+            opcode, body = server_mod._read_frame(s)
+            assert opcode == server_mod.ATTACHED
+            (slot,) = struct_mod.unpack("<I", body[:4])
+            s.sendall(b"".join(
+                server_mod._frame(
+                    server_mod.PUSH,
+                    struct_mod.pack("<II", slot, w.shape[1])
+                    + np.ascontiguousarray(w, np.float32).tobytes(),
+                )
+                for w in wins_b
+            ))
+            replies = [server_mod._read_frame(s) for _ in range(len(wins_b))]
+            assert replies[0][0] == server_mod.PENDING
+            got_b = []
+            for opcode, body in replies[1:]:
+                assert opcode == server_mod.PRED
+                _, kh, kw, ch, _ = server_mod._PRED_HEAD.unpack_from(body)
+                got_b.append(np.frombuffer(
+                    body, np.float32, kh * kw * ch,
+                    offset=server_mod._PRED_HEAD.size,
+                ).reshape(kh, kw, ch))
+            s.close()
+            c.detach()
+            c.close()
+
+            for wins, got in ((wins_a, got_a[1:]), (wins_b, got_b)):
+                solo = StreamingSR(model, variables, RES, window_size=WINDOW)
+                want = [solo.push(w) for w in wins]
+                for g, w in zip(got, want[1:]):
+                    np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+        finally:
+            srv.shutdown()
+
     def test_client_pipelining_api(self, server, model_vars):
         """push_nowait/read_reply: replies arrive in push order and equal
         the solo rollout (the flow-controlled client loop bench_serving

@@ -459,3 +459,91 @@ class TestWireModes:
         model, variables = model_vars
         with pytest.raises(ValueError, match="out_wire"):
             StreamPool(model, variables, RES, out_wire="f64")
+
+
+class TestChunkedFetch:
+    """fetch_chunks: the in-graph slot-axis split that turns one d2h copy
+    into N concurrent ones (a per-stream-bound link — the tunneled chip —
+    moves ~1.9-2.6x the bytes/sec that way; bench.py's `d2h_mbps_x2` probe
+    documents the measurement).  Chunking must be a pure layout change:
+    every decoded prediction identical to the unchunked pool's."""
+
+    def test_chunked_push_matches_unchunked(self, model_vars):
+        model, variables = model_vars
+        rng = np.random.default_rng(21)
+        wins = {k: make_windows(rng, 3) for k in ("a", "b")}
+        ref = StreamPool(model, variables, RES, slots=2, window_size=WINDOW)
+        chk = StreamPool(
+            model, variables, RES, slots=2, window_size=WINDOW, fetch_chunks=2
+        )
+        s_ref = {k: ref.attach() for k in wins}
+        s_chk = {k: chk.attach() for k in wins}
+        for t in range(3):
+            want = ref.push({s_ref[k]: wins[k][t] for k in wins})
+            got = chk.push({s_chk[k]: wins[k][t] for k in wins})
+            assert {k for k in wins if s_chk[k] in got} == {
+                k for k in wins if s_ref[k] in want
+            }
+            for k in wins:
+                if s_ref[k] in want:
+                    np.testing.assert_array_equal(
+                        got[s_chk[k]], want[s_ref[k]]
+                    )
+
+    def test_chunked_async_fetch_roundtrip(self, model_vars):
+        """push_async returns a LIST of chunk encodings; device_get +
+        assemble_fetch reproduces the unchunked [slots, kH, kW, 2] stack —
+        for the bare-f32 wire and for the i8 (pred, scale) pytree."""
+        from bmcnet_esr_tpu.inference.streaming import (
+            assemble_fetch, wire_decode,
+        )
+
+        model, variables = model_vars
+        rng = np.random.default_rng(22)
+        wins = make_windows(rng, 3)
+        for mode in ("f32", "i8"):
+            ref = StreamPool(
+                model, variables, RES, slots=4, window_size=WINDOW,
+                out_wire=mode,
+            )
+            chk = StreamPool(
+                model, variables, RES, slots=4, window_size=WINDOW,
+                out_wire=mode, fetch_chunks=4,
+            )
+            a_ref, a_chk = ref.attach(), chk.attach()
+            for w in wins:
+                _, want_dev = ref.push_async({a_ref: w})
+                _, got_dev = chk.push_async({a_chk: w})
+                assert isinstance(got_dev, list) and len(got_dev) == 4
+                want = wire_decode(jax.device_get(want_dev), mode)
+                got = wire_decode(
+                    assemble_fetch(jax.device_get(got_dev)), mode
+                )
+                np.testing.assert_array_equal(got, want)
+
+    def test_chunked_deep_tick_matches_unchunked(self, model_vars):
+        """Deep ticks stack preds as [K, slots, ...]: the chunk split/
+        reassembly must cut axis 1, not 0, or streams would swap windows."""
+        from bmcnet_esr_tpu.inference.streaming import assemble_fetch
+
+        model, variables = model_vars
+        rng = np.random.default_rng(23)
+        wa, wb = make_windows(rng, 4), make_windows(rng, 2)
+        ref = StreamPool(model, variables, RES, slots=2, window_size=WINDOW)
+        chk = StreamPool(
+            model, variables, RES, slots=2, window_size=WINDOW, fetch_chunks=2
+        )
+        a1, b1 = ref.attach(), ref.attach()
+        a2, b2 = chk.attach(), chk.attach()
+        map_ref, preds_ref = ref.push_async_deep({a1: wa, b1: wb}, depth=4)
+        map_chk, preds_chk = chk.push_async_deep({a2: wa, b2: wb}, depth=4)
+        assert map_chk[a2] == map_ref[a1] and map_chk[b2] == map_ref[b1]
+        got = assemble_fetch(jax.device_get(preds_chk), deep=True)
+        np.testing.assert_array_equal(got, np.asarray(preds_ref))
+
+    def test_bad_fetch_chunks_rejected(self, model_vars):
+        model, variables = model_vars
+        with pytest.raises(ValueError, match="fetch_chunks"):
+            StreamPool(model, variables, RES, slots=4, fetch_chunks=3)
+        with pytest.raises(ValueError, match="fetch_chunks"):
+            StreamPool(model, variables, RES, slots=4, fetch_chunks=0)

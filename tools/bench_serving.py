@@ -12,6 +12,7 @@ dispatch-bound.
 Usage:
   PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_serving.py \
       [dtype] [n_clients] [windows_per_client] [scan_k] [wire_dtype]
+      [fetch_chunks]
 
 Importable: :func:`bench_daemon_loopback` (used by ``bench.py`` aux).
 """
@@ -41,6 +42,7 @@ def bench_daemon_loopback(
     resolution=(H, W),
     window_size: int = N_EVENTS,
     wire_dtype: str = "float32",
+    fetch_chunks: int = 1,
 ):
     """Windows/sec through the full TCP daemon at full-model NFS shapes.
 
@@ -86,7 +88,7 @@ def bench_daemon_loopback(
     server = EventSRServer(
         model, variables, (h, w), slots=n_clients,
         window_size=window_size, port=0, batch_window_ms=2.0, scan_k=scan_k,
-        wire_dtype=wire_dtype,
+        wire_dtype=wire_dtype, fetch_chunks=fetch_chunks,
     )
     server.prewarm()
     server.start()
@@ -158,12 +160,14 @@ def main():
     per = int(sys.argv[3]) if len(sys.argv) > 3 else 256
     scan_k = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     wire = sys.argv[5] if len(sys.argv) > 5 else "float32"
+    chunks = int(sys.argv[6]) if len(sys.argv) > 6 else 1
     wps, stats = bench_daemon_loopback(
-        dtype, n_clients, per, scan_k, wire_dtype=wire
+        dtype, n_clients, per, scan_k, wire_dtype=wire, fetch_chunks=chunks
     )
     print(
         f"daemon loopback ({dtype}, wire {wire}, {n_clients} clients x "
-        f"{per} windows, scan_k={scan_k}): {wps:.1f} windows/sec"
+        f"{per} windows, scan_k={scan_k}, fetch_chunks={chunks}): "
+        f"{wps:.1f} windows/sec"
     )
     keep = (
         "ticks", "windows_served", "batch_occupancy_mean",
