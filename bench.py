@@ -256,24 +256,30 @@ def bench_train_iters_per_sec(n_iters_timed: int = 8, dtype_name: str = "float32
 
 
 def _daemon_loopback_fps(
-    dtype_name: str = "bfloat16", wire_dtype: str = "float32", aux: dict = None
+    dtype_name: str = "bfloat16", wire_dtype: str = "float32", aux: dict = None,
+    fetch_chunks: int = 1,
 ) -> float:
     """End-to-end serving-daemon rate (TCP loopback, 8 pipelining clients,
     deep ticks): the full production path — sockets, dynamic batching,
     depth-adaptive scan ticks, rasterize, model.  On the tunneled chip this
     is bounded by the device->host transfer of the HR predictions (compare
     ``d2h_mbps``: each window's reply is 460 KB f32 / 230 KB f16 / 115 KB
-    i8), NOT by compute — ``wire_dtype`` is the lever
-    (tools/bench_serving.py, server.py protocol v3).  Stashes the server's
-    own observability snapshot in ``aux`` for the artifact."""
+    i8), NOT by compute — ``wire_dtype`` is one lever
+    (tools/bench_serving.py, server.py protocol v3) and ``fetch_chunks``
+    the other (in-graph slot-axis fetch split -> concurrent d2h copies;
+    ``d2h_mbps_x2`` documents the per-stream bound it exploits).  Stashes
+    the server's own observability snapshot in ``aux`` for the artifact."""
     from tools.bench_serving import bench_daemon_loopback
 
     wps, stats = bench_daemon_loopback(
         dtype_name, n_clients=8, windows_per_client=256, scan_k=8,
-        wire_dtype=wire_dtype,
+        wire_dtype=wire_dtype, fetch_chunks=fetch_chunks,
     )
     if aux is not None:
-        aux[f"daemon_stats_{wire_dtype}"] = {
+        key = f"daemon_stats_{wire_dtype}" + (
+            f"_c{fetch_chunks}" if fetch_chunks > 1 else ""
+        )
+        aux[key] = {
             k: stats.get(k)
             for k in (
                 "ticks", "windows_served", "batch_occupancy_mean",
@@ -475,19 +481,31 @@ def child_tpu(state_file: str, budget_s: float) -> None:
     # the link-bandwidth decomposition first (cheap, no compiles): shows
     # WHY the daemon numbers sit where they do on a tunneled attachment
     record("d2h_mbps", lambda: bench_link_mbps(aux), optional=True)
-    # full-production-path rate: TCP daemon + deep ticks (needs its own
-    # reserve — the 4-program tick ladder compiles on first run).  Runs
-    # BEFORE the int8 route probes: those re-measure a decision record
-    # whose values are stable (docs/DESIGN.md §6), while this is the one
-    # serving-stack number with no captured artifact yet (VERDICT r3 #2)
+    # full-production-path rate: TCP daemon + deep ticks (each config needs
+    # its own reserve — the 4-program tick ladder compiles per wire/chunk
+    # combination).  Runs BEFORE the int8 route probes: those re-measure a
+    # decision record whose values are stable (docs/DESIGN.md §6).  Order =
+    # information priority within the budget: the as-shipped config first
+    # (f16 wire + fetch_chunks 4, cli.serve defaults — lossless and both
+    # bandwidth levers engaged), then the single-lever decompositions, then
+    # the all-defaults f32 baseline (richest history already).  The levers:
+    # wire_dtype moves fewer bytes (f16 ½, i8 ¼), fetch_chunks moves them
+    # on 4 concurrent d2h streams (streaming._fetch_split; d2h_mbps vs
+    # d2h_mbps_x2 shows the per-stream bound it exploits).
     record(
-        "fps_daemon_loopback",
-        lambda: _daemon_loopback_fps(aux=aux),
+        "fps_daemon_loopback_f16_c4",
+        lambda: _daemon_loopback_fps(
+            wire_dtype="float16", aux=aux, fetch_chunks=4
+        ),
         optional=True,
-        reserve_s=900.0,
+        reserve_s=600.0,
     )
-    # wire-dtype lever (protocol v3): the same daemon with f16 / i8 PRED
-    # payloads — halves / quarters the d2h + socket bytes per window
+    record(
+        "fps_daemon_loopback_c4",
+        lambda: _daemon_loopback_fps(aux=aux, fetch_chunks=4),
+        optional=True,
+        reserve_s=600.0,
+    )
     record(
         "fps_daemon_loopback_f16",
         lambda: _daemon_loopback_fps(wire_dtype="float16", aux=aux),
@@ -497,6 +515,12 @@ def child_tpu(state_file: str, budget_s: float) -> None:
     record(
         "fps_daemon_loopback_i8",
         lambda: _daemon_loopback_fps(wire_dtype="int8", aux=aux),
+        optional=True,
+        reserve_s=600.0,
+    )
+    record(
+        "fps_daemon_loopback",
+        lambda: _daemon_loopback_fps(aux=aux),
         optional=True,
         reserve_s=600.0,
     )

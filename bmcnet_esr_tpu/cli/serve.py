@@ -73,13 +73,13 @@ def main(argv=None):
         "with an on-device max-abs scale (clients dequantize transparently)",
     )
     p.add_argument(
-        "--fetch_chunks", type=int, default=4,
+        "--fetch_chunks", type=int, default=None,
         help="split each tick's prediction fetch into N concurrent "
         "device->host copies (in-graph split; must divide --slots).  On a "
         "remote-attached chip whose per-stream link bandwidth is the "
         "bottleneck this recovers ~2.6x fetch throughput (measured on the "
         "axon tunnel); on a local chip it is a no-op in practice.  1 "
-        "disables",
+        "disables; default: the largest divisor of --slots that is <= 4",
     )
     p.add_argument(
         "--scan_k", type=int, default=8,
@@ -130,6 +130,10 @@ def main(argv=None):
             )
         return model_, variables_
 
+    if args.fetch_chunks is None:
+        args.fetch_chunks = next(
+            n for n in (4, 3, 2, 1) if args.slots % n == 0
+        )
     model, variables = load_variables()
     server = EventSRServer(
         model, variables, (h, w),

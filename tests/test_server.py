@@ -395,18 +395,26 @@ class TestServer:
         from bmcnet_esr_tpu.cli import serve as serve_cli
 
         launched = {}
+
+        def fake_serve(self):
+            launched["addr"] = self.address
+            launched["chunks"] = self.pool.fetch_chunks
+
         monkeypatch.setattr(
-            serve_cli.EventSRServer, "serve_forever",
-            lambda self: launched.setdefault("addr", self.address),
+            serve_cli.EventSRServer, "serve_forever", fake_serve
         )
         ckpt = os.path.join(
             os.path.dirname(__file__), "goldens", "plain_small.npz"
         )
-        serve_cli.main([
+        base = [
             "--model_path", ckpt, "--variant", "plain", "--scale", "2",
             "--n_c", "8", "--n_b", "2", "--resolution", "16x16", "--port", "0",
-        ])
+        ]
+        serve_cli.main(base)
         assert launched["addr"][1] > 0
+        assert launched["chunks"] == 4  # auto default at --slots 8
+        serve_cli.main(base + ["--slots", "6"])
+        assert launched["chunks"] == 3  # largest divisor of 6 that is <= 4
 
     def test_cli_int8_startup_calibration(self, monkeypatch, tmp_path):
         """--dtype int8 with --calib_h5 starts the server with a calibrated
