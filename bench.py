@@ -486,8 +486,9 @@ def child_tpu(state_file: str, budget_s: float) -> None:
     # combination).  Runs BEFORE the int8 route probes: those re-measure a
     # decision record whose values are stable (docs/DESIGN.md §6).  Order =
     # information priority within the budget: the as-shipped config first
-    # (f16 wire + fetch_chunks 4, cli.serve defaults — lossless and both
-    # bandwidth levers engaged), then the single-lever decompositions, then
+    # (f16 wire + fetch_chunks 4 — cli.serve's auto-defaults for bf16
+    # compute modes: lossless and both bandwidth levers engaged), then
+    # the single-lever decompositions, then
     # the all-defaults f32 baseline (richest history already).  The levers:
     # wire_dtype moves fewer bytes (f16 ½, i8 ¼), fetch_chunks moves them
     # on 4 concurrent d2h streams (streaming._fetch_split; d2h_mbps vs
@@ -589,6 +590,7 @@ def _wait_for_chip(budget_s: float, probe_timeout_s: float = 120.0) -> bool:
         try:
             rc = proc.wait(timeout=probe_timeout_s)
             if rc == 0:
+                _CHILDREN.remove(proc)  # reaped; keep _CHILDREN == live
                 return True
             raise subprocess.CalledProcessError(rc, "probe")
         except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
@@ -742,8 +744,8 @@ def _emit(aux: dict, status: str, torch_live=None) -> None:
 
     # Conservative denominator: box contention can only slow the torch
     # baseline (inflating the ratio), so take the faster of the live
-    # measurement and the best ever observed on this host (0.67 fps,
-    # quiet box, 2026-08-19).  aux records both.
+    # measurement and the best ever observed on this host
+    # (TORCH_CPU_BEST_FPS above).  aux records both.
     fps_torch = TORCH_CPU_BEST_FPS
     if torch_live:
         fps_torch = max(torch_live, TORCH_CPU_BEST_FPS)

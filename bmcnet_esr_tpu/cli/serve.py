@@ -64,13 +64,15 @@ def main(argv=None):
         "checkpoint (requires trainer.ema in the run's recipe)",
     )
     p.add_argument(
-        "--wire_dtype", type=str, default="float32",
+        "--wire_dtype", type=str, default=None,
         choices=["float32", "float16", "int8"],
         help="PRED payload encoding (protocol v3): float16 halves / int8 "
         "quarters the prediction bytes over both the device->host link and "
         "the socket — the daemon's dominant byte streams.  float16 is "
         "lossless for bfloat16 compute modes; int8 quantizes per window "
-        "with an on-device max-abs scale (clients dequantize transparently)",
+        "with an on-device max-abs scale (clients dequantize transparently)."
+        "  Default: float16 when --dtype computes in bfloat16 (lossless), "
+        "float32 for float32 compute",
     )
     p.add_argument(
         "--fetch_chunks", type=int, default=None,
@@ -134,6 +136,11 @@ def main(argv=None):
         args.fetch_chunks = next(
             n for n in (4, 3, 2, 1) if args.slots % n == 0
         )
+    if args.wire_dtype is None:
+        # bfloat16 and the int8 modes compute activations in bf16, for
+        # which float16 wire is lossless (DESIGN §10); fp32 compute keeps
+        # the full-precision wire
+        args.wire_dtype = "float32" if args.dtype == "float32" else "float16"
     model, variables = load_variables()
     server = EventSRServer(
         model, variables, (h, w),

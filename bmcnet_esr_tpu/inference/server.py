@@ -480,38 +480,62 @@ class EventSRServer:
             # closes below give those clients EOF instead of a hang (the
             # daemon fetcher thread may stay blocked in its last asarray).
             deadline = time.monotonic() + _DRAIN_TIMEOUT_S
+            # refuse new connections first: the level-triggered accept
+            # event would otherwise make every select() below return
+            # immediately (busy spin) while never servicing the peer
+            self._sel.unregister(self._listener)
+            self._listener.close()
             # 1) dispatch accepted-but-undispatched windows: a PUSH the
             # daemon already parsed is acknowledged work — a pipelining
             # client counts one reply per push, so dropping pending windows
             # here would strand it mid-count even though the in-flight
-            # drain below faithfully replies to everything dispatched
-            while self._pending and time.monotonic() < deadline:
-                while self._fetched:
-                    self._reply_tick(*self._fetched.popleft())
-                    self._n_inflight -= 1
-                if self._n_inflight < _MAX_INFLIGHT:
-                    tick = self._dispatch_tick()
-                    if tick is not None:
-                        self._fetch_q.put(tick)
-                        self._n_inflight += 1
-                else:
-                    time.sleep(0.005)
-            # 2) drain dispatched ticks
+            # drain below faithfully replies to everything dispatched.
+            # The dispatch itself (h2d + enqueue) can block forever on a
+            # dead backend, so it runs on a daemon thread joined against
+            # the deadline; the thread touches only the pool and the
+            # fetch queue — sockets stay on this thread.
+            drain_lock = threading.Lock()
+
+            def _drain_dispatch() -> None:
+                while self._pending and time.monotonic() < deadline:
+                    if self._n_inflight < _MAX_INFLIGHT:
+                        tick = self._dispatch_tick()
+                        if tick is not None:
+                            self._fetch_q.put(tick)
+                            with drain_lock:
+                                self._n_inflight += 1
+                    else:
+                        time.sleep(0.005)
+
+            if self._pending:
+                drainer = threading.Thread(target=_drain_dispatch, daemon=True)
+                drainer.start()
+                while drainer.is_alive() and time.monotonic() < deadline:
+                    while self._fetched:
+                        self._reply_tick(*self._fetched.popleft())
+                        with drain_lock:
+                            self._n_inflight -= 1
+                    drainer.join(0.01)
+                # a still-alive drainer is wedged inside a device call;
+                # abandon it (daemon thread) and give its clients EOF
+            # 2) drain dispatched ticks (locked decrements: an abandoned
+            # drainer may wake and increment concurrently)
             while self._n_inflight and time.monotonic() < deadline:
                 while self._fetched:
                     self._reply_tick(*self._fetched.popleft())
-                    self._n_inflight -= 1
+                    with drain_lock:
+                        self._n_inflight -= 1
                 time.sleep(0.01)
             while self._fetched:
                 self._reply_tick(*self._fetched.popleft())
-                self._n_inflight -= 1
+                with drain_lock:
+                    self._n_inflight -= 1
             self._fetch_q.put(None)  # fetcher exits after draining its queue
             # 3) flush + FIN instead of a hard close: close() with unread
             # pipelined bytes in the receive queue sends RST, which would
             # destroy the very replies the drain above just queued
             self._graceful_close_all()
             self._sel.close()
-            self._listener.close()
 
     def _graceful_close_all(self, grace_s: float = 1.0) -> None:
         """Shutdown-path version of ``_close_gently`` for every connection:

@@ -149,6 +149,34 @@ def pad_window(events: np.ndarray, window_size: int) -> np.ndarray:
     return out if batched else out[0]
 
 
+def pad_window_compact(
+    events: np.ndarray, window_size: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """``compact_events(pad_window(ev))`` without the timestamp work.
+
+    ``compact_events`` keeps only the x/y/p rows — the count rasterizer
+    never reads timestamps — so the serving push paths skip
+    :func:`pad_window`'s normalization (and its float32 staging buffer)
+    entirely: compact the raw ``[4, n]`` window first, then zero-pad the
+    small int arrays.  Zero padding survives identically (polarity 0 adds
+    nothing to the counts).  Equality with the composed form, including
+    out-of-range coordinate clamping, is pinned by
+    ``tests/test_streaming.py``."""
+    events = np.asarray(events, np.float32)
+    if events.ndim != 2:
+        raise ValueError(f"expected a [4, n] window, got shape {events.shape}")
+    n = events.shape[1]
+    if n > window_size:
+        raise ValueError(
+            f"window of {n} events exceeds window_size {window_size}"
+        )
+    xy = np.zeros((2, window_size), np.int16)
+    p = np.zeros((window_size,), np.int8)
+    if n:
+        xy[:, :n], p[:n] = compact_events(events)
+    return xy, p
+
+
 def _validate_swap(old, new) -> None:
     """Reject a weight hot-swap that would change the compiled program.
 
@@ -516,8 +544,8 @@ class StreamPool:
                 )
             entries = []
             for j, ev in enumerate(wins):
-                xy[slot, j], p[slot, j] = compact_events(
-                    pad_window(ev, self.window_size)
+                xy[slot, j], p[slot, j] = pad_window_compact(
+                    ev, self.window_size
                 )
                 update[slot, j] = True
                 is_first = self._seen[slot] == 0 and j == 0
@@ -635,7 +663,7 @@ class StreamPool:
         for slot, ev in windows.items():
             if not self._active[slot]:
                 raise ValueError(f"slot {slot} is not attached")
-            xy[slot], p[slot] = compact_events(pad_window(ev, self.window_size))
+            xy[slot], p[slot] = pad_window_compact(ev, self.window_size)
             update[slot] = True
             first[slot] = self._seen[slot] == 0
         exy, ep = jnp.asarray(xy), jnp.asarray(p)

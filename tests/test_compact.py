@@ -71,3 +71,25 @@ def test_padding_survives():
     raw, cmp = _raster_both(ev, (8, 8))
     np.testing.assert_array_equal(raw, cmp)
     assert cmp.sum() == 0.0
+
+
+def test_pad_window_compact_equals_composed_form():
+    """The serving fast path (compact then pad, skipping the timestamp
+    normalization compact_events discards) must be bit-equal to
+    compact_events(pad_window(...)) for in-range, fractional, OOB and
+    beyond-int16 coords, at every fill level including empty/full."""
+    from bmcnet_esr_tpu.inference.streaming import pad_window, pad_window_compact
+
+    rng = np.random.default_rng(7)
+    window_size = 64
+    for n in (0, 1, 17, window_size):
+        ev = np.zeros((4, n), np.float32)
+        if n:
+            ev[0] = rng.uniform(-5, 40005, n)  # incl. OOB + int16 overflow
+            ev[1] = rng.uniform(-5, 70005, n)
+            ev[2] = np.sort(rng.random(n))
+            ev[3] = rng.integers(0, 2, n) * 2 - 1
+        xy_ref, p_ref = compact_events(pad_window(ev, window_size))
+        xy_fast, p_fast = pad_window_compact(ev, window_size)
+        np.testing.assert_array_equal(xy_ref, xy_fast)
+        np.testing.assert_array_equal(p_ref, p_fast)
