@@ -146,6 +146,14 @@ def generate_demo(
                 "mbytes": round(os.path.getsize(path) / 1e6, 2),
             }
             idx += 1
+    if not files["train"] or not files["valid"]:
+        # zero-file splits would write a datalist whose only line is blank,
+        # which the loaders would read as path "" — fail at generate time,
+        # where the promise "a passing generate trains" is made
+        raise RuntimeError(
+            "generate_demo needs n_train >= 1 and n_valid >= 1 "
+            f"(got {n_train}, {n_valid}): the stock recipe reads both lists"
+        )
     train_txt = os.path.join(datalist_dir, "train_nfs.txt")
     valid_txt = os.path.join(datalist_dir, "valid_nfs.txt")
     with open(train_txt, "w") as f:

@@ -44,6 +44,16 @@ class TestSigtermPartialDump:
         it must exit 0 having printed a parseable line with a status."""
         env = dict(os.environ)
         env["BENCH_TOTAL_BUDGET_S"] = "600"
+        # clean CPU env: pytest must never spawn a second axon client
+        # (single-client rule, CLAUDE.md) — bench's probe child would be
+        # one if the plugin env leaked through
+        env.pop("JAX_PLATFORMS", None)
+        env["PYTHONPATH"] = os.pathsep.join(
+            [REPO] + [
+                p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+                if p and "axon" not in p
+            ]
+        )
         proc = subprocess.Popen(
             [sys.executable, os.path.join(REPO, "bench.py")],
             cwd=REPO, env=env, text=True,

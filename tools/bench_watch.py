@@ -53,20 +53,35 @@ def probe_chip(timeout_s: float = 120.0) -> bool:
 
 
 def run_bench(budget_s: float) -> dict | None:
-    """One bounded bench.py run; returns the parsed line or None."""
+    """One bounded bench.py run; returns the parsed line or None.
+
+    Output goes to a file, not a pipe: bench's chip-holding children
+    inherit stdio, and a captured pipe would make us block on EOF until
+    an orphaned grandchild dies.  On overrun we SIGTERM first — bench's
+    handler kills its children and prints a partial-dump line — and only
+    SIGKILL if it ignores that."""
     env = dict(os.environ)
     env["BENCH_TOTAL_BUDGET_S"] = str(budget_s)
     # the chip just answered a probe: skip most of the probe window so the
     # budget goes to measurements while the flap window is open
     env.setdefault("BENCH_PROBE_BUDGET_S", "180")
-    try:
-        out = subprocess.run(
+    out_path = os.path.join(_REPO, ".bench_watch_run.log")
+    with open(out_path, "w") as out_f:
+        proc = subprocess.Popen(
             [sys.executable, os.path.join(_REPO, "bench.py")],
-            env=env, cwd=_REPO, capture_output=True, text=True,
-            timeout=budget_s + 300,
-        ).stdout
-    except subprocess.TimeoutExpired:
-        return None
+            env=env, cwd=_REPO, stdout=out_f, stderr=subprocess.STDOUT,
+        )
+        try:
+            proc.wait(timeout=budget_s + 300)
+        except subprocess.TimeoutExpired:
+            proc.terminate()  # bench dumps partials + kills its children
+            try:
+                proc.wait(timeout=60)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait()
+    with open(out_path) as f:
+        out = f.read()
     for line in reversed(out.splitlines()):
         line = line.strip()
         if line.startswith("{"):
