@@ -488,7 +488,9 @@ def child_tpu(state_file: str, budget_s: float) -> None:
     # information priority within the budget: the as-shipped config first
     # (f16 wire + fetch_chunks 4 — cli.serve's auto-defaults for bf16
     # compute modes: lossless and both bandwidth levers engaged), then
-    # the single-lever decompositions, then
+    # the two both-lever candidates (i8 x chunks4 = fewest bytes on the
+    # most streams; f16 x chunks8 = the threaded link sweep's 42 MB/s
+    # point), then the single-lever decompositions, then
     # the all-defaults f32 baseline (richest history already).  The levers:
     # wire_dtype moves fewer bytes (f16 ½, i8 ¼), fetch_chunks moves them
     # on 4 concurrent d2h streams (streaming._fetch_split; d2h_mbps vs
@@ -497,6 +499,22 @@ def child_tpu(state_file: str, budget_s: float) -> None:
         "fps_daemon_loopback_f16_c4",
         lambda: _daemon_loopback_fps(
             wire_dtype="float16", aux=aux, fetch_chunks=4
+        ),
+        optional=True,
+        reserve_s=600.0,
+    )
+    record(
+        "fps_daemon_loopback_i8_c4",
+        lambda: _daemon_loopback_fps(
+            wire_dtype="int8", aux=aux, fetch_chunks=4
+        ),
+        optional=True,
+        reserve_s=600.0,
+    )
+    record(
+        "fps_daemon_loopback_f16_c8",
+        lambda: _daemon_loopback_fps(
+            wire_dtype="float16", aux=aux, fetch_chunks=8
         ),
         optional=True,
         reserve_s=600.0,

@@ -1480,6 +1480,45 @@ class TestShutdownDrain:
         assert got == len(wins), f"only {got}/{len(wins)} replies before EOF"
         c.close()
 
+    def test_wedged_backend_cannot_hang_the_drain(self, model_vars):
+        """A dispatch that never returns (dead tunnel mid-h2d, CLAUDE.md's
+        silent device_put hang) must not wedge the shutdown drain: the
+        drain's fresh dispatches run on an abandonable daemon thread, so
+        the serve loop's finally block still finishes within the drain
+        deadline with pending windows unanswered (their clients get EOF,
+        not a hang)."""
+        import threading as th
+        import time as time_mod
+
+        from bmcnet_esr_tpu.inference import server as server_mod
+
+        model, variables = model_vars
+        srv = EventSRServer(
+            model, variables, RES, slots=2, window_size=WINDOW, port=0,
+        )
+        release = th.Event()
+
+        def wedged(*args, **kwargs):
+            release.wait(60.0)  # a dead backend: the call never returns
+            raise RuntimeError("released for teardown")
+
+        srv.pool.push_async = wedged
+        srv.pool.push_async_deep = wedged
+        # pre-load accepted-but-undispatched work (what the drain owes
+        # replies for) and enter serve_forever with stop already set: the
+        # loop body never runs, only the finally-block drain
+        rng = np.random.default_rng(5)
+        (win,) = make_windows(rng, 1)
+        srv._pending[0] = [(win, time_mod.monotonic())]
+        srv._stop.set()
+        t0 = time_mod.monotonic()
+        srv.serve_forever()
+        took = time_mod.monotonic() - t0
+        release.set()  # unblock the abandoned drainer thread
+        assert took < server_mod._DRAIN_TIMEOUT_S + 5.0, (
+            f"drain took {took:.1f}s — wedged dispatch hung the shutdown"
+        )
+
 
 class TestWireDtypes:
     """Protocol v3 wire_dtype: PRED payloads in f16/i8 must decode back to
