@@ -114,6 +114,14 @@ def generate_demo(
     """
     from bmcnet_esr_tpu.data.simulator import SimulatorConfig, simulate_multiscale
 
+    if n_train < 1 or n_valid < 1:
+        # zero-file splits would write a datalist whose only line is blank,
+        # which the loaders would read as path "" — fail before simulating
+        # anything (the check needs only the arguments)
+        raise RuntimeError(
+            "generate_demo needs n_train >= 1 and n_valid >= 1 "
+            f"(got {n_train}, {n_valid}): the stock recipe reads both lists"
+        )
     os.makedirs(out_dir, exist_ok=True)
     os.makedirs(datalist_dir, exist_ok=True)
     files: Dict[str, list] = {"train": [], "valid": []}
@@ -146,14 +154,6 @@ def generate_demo(
                 "mbytes": round(os.path.getsize(path) / 1e6, 2),
             }
             idx += 1
-    if not files["train"] or not files["valid"]:
-        # zero-file splits would write a datalist whose only line is blank,
-        # which the loaders would read as path "" — fail at generate time,
-        # where the promise "a passing generate trains" is made
-        raise RuntimeError(
-            "generate_demo needs n_train >= 1 and n_valid >= 1 "
-            f"(got {n_train}, {n_valid}): the stock recipe reads both lists"
-        )
     train_txt = os.path.join(datalist_dir, "train_nfs.txt")
     valid_txt = os.path.join(datalist_dir, "valid_nfs.txt")
     with open(train_txt, "w") as f:

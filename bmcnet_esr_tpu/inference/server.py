@@ -177,6 +177,36 @@ _DRAIN_TIMEOUT_S = 10.0  # shutdown budget for in-flight device ticks: a
 # exit path — after this, remaining ticks are abandoned and clients see EOF
 
 
+class _BackendWedged(Exception):
+    """A bounded device call never returned (dead tunnel mid-h2d)."""
+
+
+def _call_bounded(fn, timeout_s: float):
+    """Run ``fn`` on an abandonable daemon thread, bounded by ``timeout_s``.
+
+    The shutdown drain's protection against CLAUDE.md's silent device_put
+    hang: ``fn`` must touch ONLY device/pool state (never sockets or server
+    bookkeeping), because on timeout the thread is abandoned mid-call and
+    the caller moves on.  Exceptions ``fn`` raises within the bound
+    propagate; a timeout raises :class:`_BackendWedged`."""
+    out: dict = {}
+
+    def run() -> None:
+        try:
+            out["v"] = fn()
+        except BaseException as exc:  # noqa: BLE001 — relayed to caller
+            out["e"] = exc
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(max(timeout_s, 0.0))
+    if "e" in out:
+        raise out["e"]
+    if "v" not in out:
+        raise _BackendWedged()
+    return out["v"]
+
+
 def _read_frame(sock: socket.socket) -> Tuple[int, bytes]:
     """Blocking whole-frame read — CLIENT side only (the server parses
     frames incrementally from per-connection buffers)."""
@@ -490,46 +520,42 @@ class EventSRServer:
             # client counts one reply per push, so dropping pending windows
             # here would strand it mid-count even though the in-flight
             # drain below faithfully replies to everything dispatched.
-            # The dispatch itself (h2d + enqueue) can block forever on a
-            # dead backend, so it runs on a daemon thread joined against
-            # the deadline; the thread touches only the pool and the
-            # fetch queue — sockets stay on this thread.
-            drain_lock = threading.Lock()
-
-            def _drain_dispatch() -> None:
+            # Every line of this drain runs on THE SERVE THREAD (sockets,
+            # _pending, the selector — all single-threaded as in the main
+            # loop); only the raw device call inside _dispatch_tick is
+            # bounded, via an abandonable helper thread that touches
+            # nothing but the pool (see _call_bounded).
+            try:
                 while self._pending and time.monotonic() < deadline:
-                    if self._n_inflight < _MAX_INFLIGHT:
-                        tick = self._dispatch_tick()
-                        if tick is not None:
-                            self._fetch_q.put(tick)
-                            with drain_lock:
-                                self._n_inflight += 1
-                    else:
-                        time.sleep(0.005)
-
-            if self._pending:
-                drainer = threading.Thread(target=_drain_dispatch, daemon=True)
-                drainer.start()
-                while drainer.is_alive() and time.monotonic() < deadline:
                     while self._fetched:
                         self._reply_tick(*self._fetched.popleft())
-                        with drain_lock:
-                            self._n_inflight -= 1
-                    drainer.join(0.01)
-                # a still-alive drainer is wedged inside a device call;
-                # abandon it (daemon thread) and give its clients EOF
-            # 2) drain dispatched ticks (locked decrements: an abandoned
-            # drainer may wake and increment concurrently)
+                        self._n_inflight -= 1
+                    if self._n_inflight < _MAX_INFLIGHT:
+                        remaining = deadline - time.monotonic()
+                        if remaining <= 0:
+                            break
+                        tick = self._dispatch_tick(bounded_s=remaining)
+                        if tick is not None:
+                            self._fetch_q.put(tick)
+                            self._n_inflight += 1
+                    else:
+                        time.sleep(0.005)
+            except _BackendWedged:
+                # the device call never returned within the deadline: the
+                # helper thread is abandoned (it holds only the pool, and
+                # the drain issues no further device work after this); the
+                # wedged tick's clients got ERROR replies in _dispatch_tick,
+                # the remaining un-dispatched windows' clients get EOF below
+                pass
+            # 2) drain dispatched ticks
             while self._n_inflight and time.monotonic() < deadline:
                 while self._fetched:
                     self._reply_tick(*self._fetched.popleft())
-                    with drain_lock:
-                        self._n_inflight -= 1
+                    self._n_inflight -= 1
                 time.sleep(0.01)
             while self._fetched:
                 self._reply_tick(*self._fetched.popleft())
-                with drain_lock:
-                    self._n_inflight -= 1
+                self._n_inflight -= 1
             self._fetch_q.put(None)  # fetcher exits after draining its queue
             # 3) flush + FIN instead of a hard close: close() with unread
             # pipelined bytes in the receive queue sends RST, which would
@@ -887,11 +913,16 @@ class EventSRServer:
             depth *= 2
         return depth
 
-    def _dispatch_tick(self):
+    def _dispatch_tick(self, bounded_s: float | None = None):
         """Pop up to ``depth`` windows per pending slot and enqueue ONE
         device step; returns ``(owners, out_map, preds_device, enqueued,
         deep)`` for the later fetch, or ``None`` if the dispatch itself
-        failed (every pusher got an ERROR reply)."""
+        failed (every pusher got an ERROR reply).
+
+        ``bounded_s`` (shutdown drain only) runs the device call through
+        :func:`_call_bounded`; if it never returns, the consumed windows
+        get ERROR replies and :class:`_BackendWedged` propagates so the
+        drain stops issuing device work."""
         depth = self._tick_depth()
         windows, enqueued = {}, {}
         for slot, queue in list(self._pending.items()):
@@ -906,14 +937,23 @@ class EventSRServer:
         owners = {slot: self._slot_owner.get(slot) for slot in windows}
         try:
             if depth == 1:
-                out_slots, preds = self.pool.push_async(
+                call = lambda: self.pool.push_async(  # noqa: E731
                     {s: w[0] for s, w in windows.items()}
                 )
+            else:
+                call = lambda: self.pool.push_async_deep(  # noqa: E731
+                    windows, depth
+                )
+            result = (
+                call() if bounded_s is None else _call_bounded(call, bounded_s)
+            )
+            if depth == 1:
+                out_slots, preds = result
                 has = set(out_slots)
                 out_map = {s: [(0, s in has)] for s in windows}
                 deep = False
             else:
-                out_map, preds = self.pool.push_async_deep(windows, depth)
+                out_map, preds = result
                 deep = True
         except Exception as exc:  # noqa: BLE001 — report to every pusher
             # one ERROR per CONSUMED window, not per slot: a pipelining
@@ -929,7 +969,9 @@ class EventSRServer:
                     self._latency.append(now - t)
                 if sock is not None:
                     for _ in enqueued[slot]:
-                        self._send_error(sock, str(exc))
+                        self._send_error(sock, str(exc) or "backend wedged")
+            if isinstance(exc, _BackendWedged):
+                raise  # drain only: stop issuing device work entirely
             return None
         return owners, out_map, preds, enqueued, deep
 

@@ -127,9 +127,11 @@ def pad_window(events: np.ndarray, window_size: int) -> np.ndarray:
     adds nothing to the rasterized counts).
 
     Accepts ``[4, n]`` or batched ``[B, 4, n]`` and preserves the layout.
-    THE padding/normalization for every serving surface — StreamingSR,
-    StreamPool, and ExportedStream all call this one function, so their
-    window semantics can never drift apart.
+    THE padding/normalization for the full-event serving surfaces
+    (StreamingSR, ExportedStream).  StreamPool's compact push paths use
+    :func:`pad_window_compact` instead — same padding semantics, pinned
+    bit-equal to ``compact_events(pad_window(...))`` by
+    ``tests/test_compact.py``.
     """
     events = np.asarray(events, np.float32)
     batched = events.ndim == 3
@@ -161,7 +163,7 @@ def pad_window_compact(
     small int arrays.  Zero padding survives identically (polarity 0 adds
     nothing to the counts).  Equality with the composed form, including
     out-of-range coordinate clamping, is pinned by
-    ``tests/test_streaming.py``."""
+    ``tests/test_compact.py``."""
     events = np.asarray(events, np.float32)
     if events.ndim != 2:
         raise ValueError(f"expected a [4, n] window, got shape {events.shape}")

@@ -28,3 +28,19 @@ jax.config.update("jax_platform_name", "cpu")
 
 assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
 assert len(jax.devices()) == 8, "expected xla_force_host_platform_device_count=8"
+
+
+def clean_cpu_env(repo: str | None = None) -> dict:
+    """Subprocess env with the axon chip plugin scrubbed (single-client
+    rule, CLAUDE.md): no JAX_PLATFORMS, no axon site dir on PYTHONPATH,
+    repo root prepended.  THE helper for every test that spawns a Python
+    subprocess — keep the sanitation in one place."""
+    repo = repo or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    parts = [
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p
+    ]
+    env["PYTHONPATH"] = os.pathsep.join([repo] + parts)
+    return env

@@ -42,18 +42,13 @@ class TestSigtermPartialDump:
     def test_sigterm_mid_run_still_prints_one_json_line(self):
         """Kill bench.py with SIGTERM seconds in (mid-probe or mid-child):
         it must exit 0 having printed a parseable line with a status."""
-        env = dict(os.environ)
-        env["BENCH_TOTAL_BUDGET_S"] = "600"
         # clean CPU env: pytest must never spawn a second axon client
         # (single-client rule, CLAUDE.md) — bench's probe child would be
         # one if the plugin env leaked through
-        env.pop("JAX_PLATFORMS", None)
-        env["PYTHONPATH"] = os.pathsep.join(
-            [REPO] + [
-                p for p in env.get("PYTHONPATH", "").split(os.pathsep)
-                if p and "axon" not in p
-            ]
-        )
+        from conftest import clean_cpu_env
+
+        env = clean_cpu_env(REPO)
+        env["BENCH_TOTAL_BUDGET_S"] = "600"
         proc = subprocess.Popen(
             [sys.executable, os.path.join(REPO, "bench.py")],
             cwd=REPO, env=env, text=True,

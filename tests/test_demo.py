@@ -27,6 +27,18 @@ def demo(tmp_path_factory):
 
 
 class TestGenerateDemo:
+    def test_zero_file_splits_rejected_before_any_simulation(self, tmp_path):
+        """n_train/n_valid == 0 would write a blank-line datalist the
+        loaders read as path '' — must fail at entry, before the expensive
+        simulation writes any file."""
+        from bmcnet_esr_tpu.data.demo import generate_demo
+
+        for kwargs in ({"n_train": 0}, {"n_valid": 0}):
+            with pytest.raises(RuntimeError, match="n_train >= 1"):
+                generate_demo(str(tmp_path / "h5"), str(tmp_path / "dl"),
+                              **kwargs)
+        assert not os.path.exists(tmp_path / "h5")  # nothing was generated
+
     def test_files_satisfy_nfs_recipe_shapes(self, demo):
         root, summary = demo
         for name, info in summary["files"].items():

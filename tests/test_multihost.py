@@ -41,15 +41,12 @@ def _free_port() -> int:
 
 
 def _worker_env() -> dict:
-    """Clean CPU env: no axon plugin (it would hang plugin init when the
-    tunnel is down, CLAUDE.md), exactly one CPU device per process."""
-    env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)
-    parts = [
-        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
-        if p and "axon" not in p
-    ]
-    env["PYTHONPATH"] = os.pathsep.join([_REPO] + parts)
+    """Clean CPU env (conftest.clean_cpu_env: no axon plugin — it would
+    hang plugin init when the tunnel is down, CLAUDE.md), exactly one CPU
+    device per process."""
+    from conftest import clean_cpu_env
+
+    env = clean_cpu_env(_REPO)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     return env
 

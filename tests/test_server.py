@@ -1378,14 +1378,9 @@ class TestServeCliSigterm:
         import sys
         import time
 
-        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        env = dict(os.environ)
-        env.pop("JAX_PLATFORMS", None)  # clean CPU env (no axon plugin)
-        parts = [
-            p for p in env.get("PYTHONPATH", "").split(os.pathsep)
-            if p and "axon" not in p
-        ]
-        env["PYTHONPATH"] = os.pathsep.join([repo] + parts)
+        from conftest import clean_cpu_env
+
+        env = clean_cpu_env()  # no axon plugin (single-client rule)
         ckpt = os.path.join(os.path.dirname(__file__), "goldens", "plain_small.npz")
         proc = subprocess.Popen(
             [

@@ -23,6 +23,7 @@ stop the watcher: ``touch <stop-file>`` and wait for the "stopped" log line
 import argparse
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -67,9 +68,14 @@ def run_bench(budget_s: float) -> dict | None:
     env.setdefault("BENCH_PROBE_BUDGET_S", "180")
     out_path = os.path.join(_REPO, ".bench_watch_run.log")
     with open(out_path, "w") as out_f:
+        # new session: bench + its chip-holding children form one process
+        # group, so the SIGKILL escalation can reap ALL of them — a lone
+        # orphaned axon child would collide with the watcher's next probe
+        # (single-client rule, CLAUDE.md)
         proc = subprocess.Popen(
             [sys.executable, os.path.join(_REPO, "bench.py")],
             env=env, cwd=_REPO, stdout=out_f, stderr=subprocess.STDOUT,
+            start_new_session=True,
         )
         try:
             proc.wait(timeout=budget_s + 300)
@@ -78,6 +84,10 @@ def run_bench(budget_s: float) -> dict | None:
             try:
                 proc.wait(timeout=60)
             except subprocess.TimeoutExpired:
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
+                    pass
                 proc.kill()
                 proc.wait()
     with open(out_path) as f:
