@@ -90,6 +90,14 @@ def main(argv=None):
         "overhead; 1 disables).  The ladder is compiled at startup",
     )
     p.add_argument(
+        "--mesh_devices", type=int, default=0,
+        help="shard the slot axis over the first N devices of a 1-D "
+        "'data' mesh (N must divide --slots; 0/1 = single-device).  "
+        "Multi-chip serving: every tick's slot batch computes across all "
+        "N chips via GSPMD; batched/sharded streams still equal their "
+        "solo rollouts exactly (the pool invariant)",
+    )
+    p.add_argument(
         "--stats_every", type=float, default=60.0,
         help="log one observability JSON line (server.stats()) every N "
         "seconds; 0 disables.  The same snapshot is available to any "
@@ -141,6 +149,13 @@ def main(argv=None):
         # which float16 wire is lossless (DESIGN §10); fp32 compute keeps
         # the full-precision wire
         args.wire_dtype = "float32" if args.dtype == "float32" else "float16"
+    mesh = None
+    if args.mesh_devices > 1:
+        from bmcnet_esr_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh_devices)
+        log.info("serving over a %d-device 'data' mesh (slot-sharded)",
+                 args.mesh_devices)
     model, variables = load_variables()
     server = EventSRServer(
         model, variables, (h, w),
@@ -151,6 +166,7 @@ def main(argv=None):
         scan_k=args.scan_k,
         wire_dtype=args.wire_dtype,
         fetch_chunks=args.fetch_chunks,
+        mesh=mesh,
     )
     log.info("prewarming tick programs (scan_k=%d)...", args.scan_k)
     server.prewarm()

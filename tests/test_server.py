@@ -1475,6 +1475,74 @@ class TestShutdownDrain:
         assert got == len(wins), f"only {got}/{len(wins)} replies before EOF"
         c.close()
 
+    # (placed here with the other subprocess-CLI drives)
+    def test_serve_cli_mesh_devices_matches_solo(self, model_vars):
+        """--mesh_devices 8: the serve CLI shards the slot axis over an
+        8-device mesh; a client's replies must equal the solo in-process
+        rollout exactly (the pool invariant, now through the CLI flag,
+        real sockets and the f32 wire)."""
+        import os
+        import re
+        import subprocess
+        import sys
+        import time as time_mod
+
+        from conftest import clean_cpu_env
+
+        env = clean_cpu_env()
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        ckpt = os.path.join(
+            os.path.dirname(__file__), "goldens", "plain_small.npz"
+        )
+        proc = subprocess.Popen(
+            [
+                sys.executable, "-m", "bmcnet_esr_tpu.cli.serve",
+                "--model_path", ckpt, "--variant", "plain", "--scale", "2",
+                "--n_c", "8", "--n_b", "2", "--resolution", "16x16",
+                "--window", str(WINDOW), "--port", "0", "--stats_every", "0",
+                "--scan_k", "2", "--slots", "8", "--mesh_devices", "8",
+            ],
+            env=env, stderr=subprocess.PIPE, text=True,
+        )
+        try:
+            port = None
+            deadline = time_mod.time() + 240
+            seen = []
+            while time_mod.time() < deadline:
+                line = proc.stderr.readline()
+                if not line:
+                    break
+                seen.append(line)
+                m = re.search(r"serving .* on 127\.0\.0\.1:(\d+)", line)
+                if m:
+                    port = int(m.group(1))
+                    break
+            assert port, f"daemon never announced its port:\n{''.join(seen)}"
+            rng = np.random.default_rng(11)
+            wins = make_windows(rng, 4)
+            client = EventSRClient("127.0.0.1", port)
+            client.attach()
+            got = [client.push(w) for w in wins]
+            assert got[0] is None and all(g is not None for g in got[1:])
+
+            from bmcnet_esr_tpu.inference.engine import load_model_for_inference
+            from bmcnet_esr_tpu.inference.streaming import StreamingSR
+
+            model, variables = load_model_for_inference(
+                ckpt, 2, 8, 2, "plain", "float32"
+            )
+            solo = StreamingSR(model, variables, RES, window_size=WINDOW)
+            for w, g in zip(wins, got):
+                want = solo.push(w)
+                if want is None:
+                    continue
+                np.testing.assert_array_equal(
+                    g, np.asarray(want, np.float32)
+                )
+        finally:
+            proc.terminate()
+            proc.wait(timeout=60)
+
     def test_wedged_backend_cannot_hang_the_drain(self, model_vars):
         """A dispatch that never returns (dead tunnel mid-h2d, CLAUDE.md's
         silent device_put hang) must not wedge the shutdown drain: the
