@@ -597,6 +597,18 @@ def _wait_for_chip(budget_s: float, probe_timeout_s: float = 120.0) -> bool:
     )
     deadline = time.monotonic() + budget_s
     while True:
+        # deadline check BEFORE the attempt, and each wait capped by the
+        # remaining budget: a zero/expired budget must not still burn a
+        # full probe_timeout_s against the global deadline
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            print(
+                f"bench: chip probe budget ({budget_s:.0f}s) exhausted — "
+                "falling back to CPU-verified line",
+                file=sys.stderr,
+                flush=True,
+            )
+            return False
         # Popen + _CHILDREN (not subprocess.run) so the SIGTERM handler can
         # kill a probe wedged at plugin init — an orphaned axon client would
         # block every later chip job (single-client rule, CLAUDE.md)
@@ -606,7 +618,7 @@ def _wait_for_chip(budget_s: float, probe_timeout_s: float = 120.0) -> bool:
         )
         _CHILDREN.append(proc)
         try:
-            rc = proc.wait(timeout=probe_timeout_s)
+            rc = proc.wait(timeout=min(probe_timeout_s, remaining))
             if rc == 0:
                 _CHILDREN.remove(proc)  # reaped; keep _CHILDREN == live
                 return True
@@ -700,12 +712,11 @@ def _run_child(
 
 
 def _cpu_env() -> dict:
-    """Child env with the axon plugin fully out of the way (CLAUDE.md)."""
-    env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)
-    parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p and "axon" not in p]
-    env["PYTHONPATH"] = os.pathsep.join([_REPO] + parts)
-    return env
+    """Child env with the axon plugin fully out of the way (CLAUDE.md) —
+    delegates to THE implementation in bmcnet_esr_tpu.utils.env."""
+    from bmcnet_esr_tpu.utils.env import clean_cpu_subprocess_env
+
+    return clean_cpu_subprocess_env(_REPO)
 
 
 # shared with the SIGTERM/SIGINT handler: live children to kill, state
@@ -723,14 +734,22 @@ def _remaining() -> float:
 
 
 def _load_last_good() -> dict | None:
-    """Newest BENCH_HISTORY.jsonl entry with a numeric value, if any."""
+    """Newest BENCH_HISTORY.jsonl entry with a numeric value — preferring
+    full captures over degraded ones (a daemon-only partial must not
+    displace the newest complete rollout headline)."""
     try:
         with open(HISTORY_PATH) as f:
             lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        fallback = None
         for ln in reversed(lines):
             entry = json.loads(ln)
-            if isinstance(entry.get("value"), (int, float)):
-                return entry
+            if not isinstance(entry.get("value"), (int, float)):
+                continue
+            if str(entry.get("metric", "")).startswith("degraded capture"):
+                fallback = fallback or entry
+                continue
+            return entry
+        return fallback
     except (OSError, json.JSONDecodeError):
         pass
     return None
@@ -806,6 +825,29 @@ def _emit(aux: dict, status: str, torch_live=None) -> None:
         aux["vs_gpu_est_low"] = round(fps_best / GPU_EST_BAND_FPS[1], 2)
         aux["vs_gpu_est_high"] = round(fps_best / GPU_EST_BAND_FPS[0], 2)
         aux["gpu_est_band_fps"] = list(GPU_EST_BAND_FPS)
+    elif any(
+        k.startswith("fps_") and k != "fps_jax_cpu"
+        and isinstance(v, (int, float))
+        for k, v in aux.items()
+    ):
+        # degraded headline: none of the rollout modes completed, but SOME
+        # live fps measurement exists (e.g. the daemon/link stage landed
+        # before the chip flapped).  An honest degraded number beats a
+        # 'failed' artifact that hides a machine-verified measurement —
+        # and keeps the line eligible for BENCH_HISTORY.
+        fps_best, key = max(
+            (v, k) for k, v in aux.items()
+            if k.startswith("fps_") and k != "fps_jax_cpu"
+            and isinstance(v, (int, float))
+        )
+        mode = key
+        metric = (
+            "degraded capture — the headline rollout modes did not "
+            f"complete this run; best available live measurement: {key} "
+            "(see aux for its definition); vs_baseline = that rate over "
+            "the reference torch impl on this host's CPU"
+        )
+        unit = "frames/sec"
     elif isinstance(aux.get("fps_jax_cpu"), (int, float)):
         # child_cpu measures fp32 deliberately (bf16 is emulated on CPU and
         # would understate the framework vs the fp32 torch baseline)

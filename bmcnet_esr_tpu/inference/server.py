@@ -121,6 +121,7 @@ import time
 from collections import deque
 from typing import Dict, Optional, Tuple
 
+import jax
 import numpy as np
 
 from bmcnet_esr_tpu.inference.streaming import StreamPool, assemble_fetch
@@ -205,6 +206,12 @@ def _call_bounded(fn, timeout_s: float):
     if "v" not in out:
         raise _BackendWedged()
     return out["v"]
+
+
+def _valid_polarity(p: "np.ndarray") -> bool:
+    """True iff every polarity is exactly -1, 0 (padding) or +1 — the
+    domain on which the compact int8 transfer is bit-exact (NaN fails)."""
+    return bool(np.isin(p, (-1.0, 0.0, 1.0)).all())
 
 
 def _read_frame(sock: socket.socket) -> Tuple[int, bytes]:
@@ -357,7 +364,12 @@ class EventSRServer:
     def shutdown(self) -> None:
         self._stop.set()
         if self._thread is not None:
-            self._thread.join(timeout=10)
+            # outlast the worst-case shutdown drain (_DRAIN_TIMEOUT_S of
+            # dispatch/fetch phases + _graceful_close_all's flush grace):
+            # returning while the serve thread is still mid-flush would let
+            # an exiting embedder kill the daemon thread and destroy the
+            # very replies the drain queued
+            self._thread.join(timeout=_DRAIN_TIMEOUT_S + 5.0)
             if not self._thread.is_alive():
                 self._thread = None
 
@@ -607,8 +619,6 @@ class EventSRServer:
                 # (quantized preds, scales) pytree, not a bare array —
                 # and a chunked fetch (fetch_chunks > 1) a LIST of chunk
                 # encodings whose copies device_get issues concurrently
-                import jax
-
                 preds = assemble_fetch(jax.device_get(preds_dev), deep)
             except Exception as exc:  # noqa: BLE001 — surfaced as ERROR replies
                 preds = exc
@@ -888,7 +898,17 @@ class EventSRServer:
                         f"({_MAX_QUEUE} windows pending)"
                     )
                 ev = np.frombuffer(body, np.float32, 4 * n, offset=8)
-                queue.append((ev.reshape(4, n).copy(), time.monotonic()))
+                ev = ev.reshape(4, n).copy()
+                # reject here, per client: the pool's compact transfer path
+                # carries polarity as int8, which is exact for the event
+                # domain {-1, 0(padding), +1} but would silently truncate
+                # (0.5 -> 0) or wrap (200 -> -56) anything else — and the
+                # batched==solo invariant only holds on the exact domain
+                if n and not _valid_polarity(ev[3]):
+                    raise ValueError(
+                        "event polarity must be -1, 0 (padding) or +1"
+                    )
+                queue.append((ev, time.monotonic()))
             elif opcode == STATS:
                 self._send(
                     sock, _frame(STATS_OK, json.dumps(self.stats()).encode())

@@ -175,6 +175,14 @@ def pad_window_compact(
     xy = np.zeros((2, window_size), np.int16)
     p = np.zeros((window_size,), np.int8)
     if n:
+        pol = events[3]
+        if not ((pol == 0) | (np.abs(pol) == 1)).all():
+            # the int8 polarity cast is exact ONLY on {-1, 0, +1}: 0.5
+            # would truncate to 0 and 200 wrap to -56, silently diverging
+            # from the float32 solo path (the daemon rejects such windows
+            # per client at the protocol boundary; this guards direct
+            # StreamPool users)
+            raise ValueError("event polarity must be -1, 0 (padding) or +1")
         xy[:, :n], p[:n] = compact_events(events)
     return xy, p
 

@@ -32,15 +32,8 @@ assert len(jax.devices()) == 8, "expected xla_force_host_platform_device_count=8
 
 def clean_cpu_env(repo: str | None = None) -> dict:
     """Subprocess env with the axon chip plugin scrubbed (single-client
-    rule, CLAUDE.md): no JAX_PLATFORMS, no axon site dir on PYTHONPATH,
-    repo root prepended.  THE helper for every test that spawns a Python
-    subprocess — keep the sanitation in one place."""
-    repo = repo or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)
-    parts = [
-        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
-        if p and "axon" not in p
-    ]
-    env["PYTHONPATH"] = os.pathsep.join([repo] + parts)
-    return env
+    rule, CLAUDE.md) — thin alias of THE implementation in
+    bmcnet_esr_tpu.utils.env.clean_cpu_subprocess_env."""
+    from bmcnet_esr_tpu.utils.env import clean_cpu_subprocess_env
+
+    return clean_cpu_subprocess_env(repo)

@@ -93,3 +93,19 @@ def test_pad_window_compact_equals_composed_form():
         xy_fast, p_fast = pad_window_compact(ev, window_size)
         np.testing.assert_array_equal(xy_ref, xy_fast)
         np.testing.assert_array_equal(p_ref, p_fast)
+
+
+def test_pad_window_compact_rejects_noninteger_polarity():
+    """The int8 polarity cast is exact only on {-1, 0, +1}; anything else
+    (0.5 truncates, 200 wraps, NaN) must raise instead of silently
+    diverging from the float32 solo path."""
+    import pytest
+
+    from bmcnet_esr_tpu.inference.streaming import pad_window_compact
+
+    for bad in (0.5, 200.0, -2.0, np.nan):
+        ev = np.zeros((4, 4), np.float32)
+        ev[0] = ev[1] = 1.0
+        ev[3] = (1.0, bad, 1.0, 0.0)
+        with pytest.raises(ValueError, match="polarity"):
+            pad_window_compact(ev, 8)

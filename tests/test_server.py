@@ -116,6 +116,22 @@ class TestServer:
             client.push(np.zeros((4, WINDOW * 2), np.float32))
         client.close()
 
+    def test_noninteger_polarity_rejected_per_client(self, server):
+        """Polarity outside {-1, 0, +1} gets an ERROR at the protocol
+        boundary (the compact int8 transfer is only exact on that domain)
+        — and the connection keeps serving valid windows afterwards."""
+        rng = np.random.default_rng(9)
+        client = EventSRClient(*server.address)
+        client.attach()
+        bad = make_windows(rng, 1)[0]
+        bad[3, 0] = 0.5
+        with pytest.raises(RuntimeError, match="polarity"):
+            client.push(bad)
+        good = make_windows(rng, 2)
+        assert client.push(good[0]) is None  # first window: PENDING
+        assert client.push(good[1]) is not None
+        client.close()
+
     def test_version_mismatch_gets_clean_error(self, server):
         """A client of a future incompatible build must get a clean version
         ERROR and a close — never undefined decode behavior (VERDICT r2
