@@ -60,6 +60,12 @@ def main(argv=None):
     p.add_argument("--need_gt_events", action="store_true")
     p.add_argument("--real_world_test", action="store_true")
     p.add_argument("--chunk_size", type=int, default=32)
+    p.add_argument(
+        "--mesh_devices", type=int, default=0,
+        help="shard batched multi-stream rollouts over the first N devices "
+        "of a 1-D 'data' mesh (N must divide --batch_streams; 0/1 = "
+        "single-device).  Sharded streams equal solo rollouts exactly",
+    )
     p.add_argument("--batch_streams", type=int, default=1,
                    help="roll out N same-resolution files as one batched "
                         "program (~1.7x datalist throughput at 8; skips PNGs)")
@@ -106,6 +112,11 @@ def main(argv=None):
         dtype=args.dtype, use_ema=args.ema,
     )
     extra = tuple(m for m, on in (("psnr", args.psnr), ("ssim", args.ssim)) if on)
+    mesh = None
+    if args.mesh_devices > 1:
+        from bmcnet_esr_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh_devices)
     engine = InferenceEngine(
         model,
         variables,
@@ -113,6 +124,7 @@ def main(argv=None):
         chunk_size=args.chunk_size,
         visualize=not args.no_images,
         extra_metrics=extra,
+        mesh=mesh,
     )
     out = engine.infer_datalist(
         paths, args.output_path, model_desc=args.model_path,

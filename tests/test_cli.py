@@ -38,6 +38,44 @@ class TestInferCLI:
         with pytest.raises(SystemExit, match="model_path"):
             main(["--output_path", str(tmp_path), "--model_path", "/nonexistent.pth"])
 
+    def test_mesh_devices_wiring(self, monkeypatch, tmp_path):
+        """--mesh_devices N builds a 1-D 'data' mesh and hands it to the
+        engine (the engine's sharded-rollout equality is pinned in
+        tests/test_parallel.py; the CLI only has to wire it through)."""
+        import os
+
+        from bmcnet_esr_tpu.cli import infer as infer_cli
+
+        seen = {}
+
+        class FakeEngine:
+            def __init__(self, *a, **kw):
+                seen["mesh"] = kw.get("mesh")
+
+            def infer_datalist(self, *a, **kw):
+                return {"mean": {}}
+
+        # main() imports from bmcnet_esr_tpu.inference lazily — patch there
+        import bmcnet_esr_tpu.inference as inference_pkg
+
+        monkeypatch.setattr(inference_pkg, "InferenceEngine", FakeEngine)
+        monkeypatch.setattr(
+            inference_pkg, "load_model_for_inference",
+            lambda *a, **kw: (None, None),
+        )
+        ckpt = os.path.join(
+            os.path.dirname(__file__), "goldens", "plain_small.npz"
+        )
+        base = [
+            "--model_path", ckpt, "--data_path", "/dev/null",
+            "--output_path", str(tmp_path),
+        ]
+        infer_cli.main(base + ["--mesh_devices", "8", "--batch_streams", "8"])
+        assert seen["mesh"] is not None and seen["mesh"].size == 8
+        assert seen["mesh"].axis_names == ("data",)
+        infer_cli.main(base)
+        assert seen["mesh"] is None  # default stays single-device
+
     def test_dataset_config_flags(self):
         import argparse
 
