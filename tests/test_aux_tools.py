@@ -98,3 +98,26 @@ class TestViewerCLI:
         ])
         files = os.listdir(out)
         assert sum(f.startswith("cnt_") for f in files) == 3
+
+
+class TestDaemonHostpathBench:
+    def test_instant_pool_drives_real_daemon(self):
+        """tools/bench_daemon_hostpath's InstantPool must stay duck-typed
+        to the exact pool surface EventSRServer touches — a drift (new
+        attr, changed return shape) shows up here as a crash or a wrong
+        reply count.  Tiny shapes: the point is the surface, not the
+        number."""
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sys.path.insert(0, os.path.join(repo, "tools"))
+        from bench_daemon_hostpath import bench_hostpath
+
+        for wire in ("float32", "float16", "int8"):
+            wps, stats = bench_hostpath(
+                wire, n_clients=2, windows_per_client=6, scan_k=2,
+                resolution=(8, 8), window_size=32,
+            )
+            assert wps > 0
+            assert stats["windows_served"] == 2 * 6 - 2  # first = PENDING
+            assert stats["errors_sent"] == 0

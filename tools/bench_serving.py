@@ -33,6 +33,82 @@ SCALE = 4
 N_EVENTS = 2048
 
 
+def drive_clients(
+    server,
+    n_clients: int,
+    windows_per_client: int,
+    pipeline: int,
+    resolution=(H, W),
+    window_size: int = N_EVENTS,
+    seed: int = 7,
+):
+    """N pipelining TCP clients against a started server; returns
+    ``(wps, stats)``.  Shared harness for the real loopback bench and the
+    host-path stress bench (``bench_daemon_hostpath.py``)."""
+    from bmcnet_esr_tpu.inference.server import EventSRClient
+
+    h, w = resolution
+    rng = np.random.default_rng(seed)
+
+    def make_windows(count):
+        ev = np.zeros((count, 4, window_size), np.float32)
+        ev[:, 0] = rng.integers(0, w, (count, window_size))
+        ev[:, 1] = rng.integers(0, h, (count, window_size))
+        ev[:, 2] = np.sort(rng.random((count, window_size)), -1)
+        ev[:, 3] = rng.integers(0, 2, (count, window_size)) * 2 - 1
+        return ev
+
+    wins = [make_windows(windows_per_client) for _ in range(n_clients)]
+    start_gate = threading.Barrier(n_clients + 1)
+    errors = []
+
+    def run_client(i):
+        try:
+            c = EventSRClient(*server.address)
+            c.attach()
+            start_gate.wait()
+            inflight = 0
+            got = 0
+            for ev in wins[i]:
+                c.push_nowait(ev)
+                inflight += 1
+                if inflight >= pipeline:
+                    c.read_reply()
+                    inflight -= 1
+                    got += 1
+            for _ in range(inflight):
+                c.read_reply()
+                got += 1
+            assert got == windows_per_client
+            c.detach()
+            c.close()
+        except Exception as exc:  # noqa: BLE001 — surfaced to the caller
+            errors.append(exc)
+            try:
+                start_gate.abort()
+            except Exception:  # noqa: BLE001
+                pass
+
+    threads = [
+        threading.Thread(target=run_client, args=(i,)) for i in range(n_clients)
+    ]
+    for t in threads:
+        t.start()
+    try:
+        start_gate.wait()
+    except threading.BrokenBarrierError:
+        pass  # a client failed before the gate; its error is raised below
+    t0 = time.perf_counter()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    stats = server.stats()
+    server.shutdown()
+    if errors:
+        raise errors[0]
+    return n_clients * windows_per_client / wall, stats
+
+
 def bench_daemon_loopback(
     dtype_name: str = "bfloat16",
     n_clients: int = 8,
@@ -92,66 +168,10 @@ def bench_daemon_loopback(
     )
     server.prewarm()
     server.start()
-
-    rng = np.random.default_rng(7)
-
-    def make_windows(count):
-        ev = np.zeros((count, 4, window_size), np.float32)
-        ev[:, 0] = rng.integers(0, w, (count, window_size))
-        ev[:, 1] = rng.integers(0, h, (count, window_size))
-        ev[:, 2] = np.sort(rng.random((count, window_size)), -1)
-        ev[:, 3] = rng.integers(0, 2, (count, window_size)) * 2 - 1
-        return ev
-
-    wins = [make_windows(windows_per_client) for _ in range(n_clients)]
-    start_gate = threading.Barrier(n_clients + 1)
-    errors = []
-
-    def run_client(i):
-        try:
-            c = EventSRClient(*server.address)
-            c.attach()
-            start_gate.wait()
-            inflight = 0
-            got = 0
-            for ev in wins[i]:
-                c.push_nowait(ev)
-                inflight += 1
-                if inflight >= pipeline:
-                    c.read_reply()
-                    inflight -= 1
-                    got += 1
-            for _ in range(inflight):
-                c.read_reply()
-                got += 1
-            assert got == windows_per_client
-            c.detach()
-            c.close()
-        except Exception as exc:  # noqa: BLE001 — surfaced to the caller
-            errors.append(exc)
-            try:
-                start_gate.abort()
-            except Exception:  # noqa: BLE001
-                pass
-
-    threads = [
-        threading.Thread(target=run_client, args=(i,)) for i in range(n_clients)
-    ]
-    for t in threads:
-        t.start()
-    try:
-        start_gate.wait()
-    except threading.BrokenBarrierError:
-        pass  # a client failed before the gate; its error is raised below
-    t0 = time.perf_counter()
-    for t in threads:
-        t.join()
-    wall = time.perf_counter() - t0
-    stats = server.stats()
-    server.shutdown()
-    if errors:
-        raise errors[0]
-    return n_clients * windows_per_client / wall, stats
+    return drive_clients(
+        server, n_clients, windows_per_client, pipeline,
+        resolution=resolution, window_size=window_size,
+    )
 
 
 def main():
