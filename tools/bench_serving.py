@@ -135,7 +135,7 @@ def bench_daemon_loopback(
     import jax
     import jax.numpy as jnp
 
-    from bmcnet_esr_tpu.inference.server import EventSRClient, EventSRServer
+    from bmcnet_esr_tpu.inference.server import EventSRServer
     from bmcnet_esr_tpu.models import BMCNet
 
     h, w = resolution
