@@ -73,7 +73,13 @@ def compact_events(events) -> Tuple:
     to a valid 0; >= 32768 wraps).  Negatives therefore clamp to -1 (still
     rejected on device) and the high side to int16-max (>= any real sensor
     width, still rejected); in-range values truncate toward zero exactly
-    like the device cast, so compact == raw for EVERY input.
+    like the device cast, so compact == raw for every input — with ONE
+    fuzzer-found exception: SUBNORMAL negative coords (|v| < ~1e-38).
+    XLA backends flush subnormals, so the device sees -1e-45 as -0.0
+    (valid pixel 0) while this host-side clamp sees a negative (rejected).
+    Real coords are integral pixel indices, so the divergence is
+    unreachable outside adversarial floats; tests/test_properties.py pins
+    equality on the non-subnormal domain.
     """
     import numpy as np
 
