@@ -147,10 +147,16 @@ class InferenceEngine:
         vis_color_scheme: str = "blue_red",
         extra_metrics: Tuple[str, ...] = (),
         mesh=None,
+        h2d_overlap: bool = True,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — batched multi-stream
         rollouts (``infer_file_batch``) shard the stream batch across it
-        (SPMD serving over ICI; the stream count must divide the mesh)."""
+        (SPMD serving over ICI; the stream count must divide the mesh).
+
+        ``h2d_overlap``: enqueue the NEXT chunk's event upload while the
+        current chunk's device scan runs (bit-identical; takes the serial
+        h2d off the critical path on remote-attached chips).  The knob
+        exists for A/B measurement and as a safety valve."""
         self.model = model
         self.variables = variables
         self.config = dataset_config
@@ -159,6 +165,7 @@ class InferenceEngine:
         self.vis = EventVisualizer()
         self.vis_color_scheme = vis_color_scheme
         self.extra_metrics = tuple(extra_metrics)  # subset of {psnr, ssim}
+        self.h2d_overlap = bool(h2d_overlap)
         self.mesh = mesh
         if mesh is not None:
             from bmcnet_esr_tpu.parallel import replicate_tree
@@ -415,12 +422,15 @@ class InferenceEngine:
         macs_done = False
         frame_idx = 0
         pending = pool.submit(load_chunk, *chunk_bounds[0])
+        next_dev = None
         for ci, (pos, steps) in enumerate(chunk_bounds):
-            inp_c, gt_c = pending.result()
-            if ci + 1 < len(chunk_bounds):
-                pending = pool.submit(load_chunk, *chunk_bounds[ci + 1])
-
-            inp_dev, gt_dev = self._place_events(inp_c, gt_c, 1)
+            if next_dev is None:
+                inp_c, gt_c = pending.result()
+                if ci + 1 < len(chunk_bounds):
+                    pending = pool.submit(load_chunk, *chunk_bounds[ci + 1])
+                inp_dev, gt_dev = self._place_events(inp_c, gt_c, 1)
+            else:
+                inp_dev, gt_dev = next_dev
             if ci == 0:
                 self._maybe_calibrate(inp_dev, inp_res, 1)
             # compile happens here (cached per shape key) — never inside the
@@ -437,8 +447,22 @@ class InferenceEngine:
             carry, preds, bics, esr, bicm, extras, lr_frames, gt_frames = run(
                 self.variables, carry, *inp_dev, *gt_dev
             )
+            # overlap the NEXT chunk's h2d with this chunk's device scan: the
+            # dispatch above is async, so enqueueing chunk N+1's event upload
+            # here takes the serial upload off the critical path (the compact
+            # upload is the largest remaining per-window cost on a tunneled
+            # attachment, docs/DESIGN.md §6b).  The double-buffered h5 read
+            # normally has the host arrays ready; results are bit-identical
+            # (placement order does not touch the math).
+            if self.h2d_overlap and ci + 1 < len(chunk_bounds):
+                inp_c, gt_c = pending.result()
+                if ci + 2 < len(chunk_bounds):
+                    pending = pool.submit(load_chunk, *chunk_bounds[ci + 2])
+                next_dev = self._place_events(inp_c, gt_c, 1)
             # reliable device sync (block_until_ready can return early on the
-            # tunneled chip); then measure
+            # tunneled chip); then measure.  dt is wall per window across
+            # dispatch→sync, i.e. the true throughput cost including whatever
+            # upload the overlap could not hide.
             esr = np.asarray(esr)
             dt_ms = (time.perf_counter() - t0) * 1000.0 / steps
 
@@ -557,11 +581,15 @@ class InferenceEngine:
         carry = self._place_carry(tuple(self.model.init_state(b, *inp_res)), b)
         macs_done = False
 
+        next_dev = None
         for ci, (pos, steps) in enumerate(chunk_bounds):
-            inp_c, gt_c = pending.result()
-            if ci + 1 < len(chunk_bounds):
-                pending = pool.submit(load_chunk, *chunk_bounds[ci + 1])
-            inp_dev, gt_dev = self._place_events(inp_c, gt_c, b)
+            if next_dev is None:
+                inp_c, gt_c = pending.result()
+                if ci + 1 < len(chunk_bounds):
+                    pending = pool.submit(load_chunk, *chunk_bounds[ci + 1])
+                inp_dev, gt_dev = self._place_events(inp_c, gt_c, b)
+            else:
+                inp_dev, gt_dev = next_dev
             if ci == 0:
                 self._maybe_calibrate(inp_dev, inp_res, b)
             run, flops = self._compiled_step(
@@ -575,6 +603,13 @@ class InferenceEngine:
             carry, preds, bics, esr, bicm, extras, _, _ = run(
                 self.variables, carry, *inp_dev, *gt_dev
             )
+            # overlap the next chunk's h2d with this chunk's device scan
+            # (same bit-identical pipelining as _rollout_chunks)
+            if self.h2d_overlap and ci + 1 < len(chunk_bounds):
+                inp_c, gt_c = pending.result()
+                if ci + 2 < len(chunk_bounds):
+                    pending = pool.submit(load_chunk, *chunk_bounds[ci + 2])
+                next_dev = self._place_events(inp_c, gt_c, b)
             esr = np.asarray(esr)
             dt_ms = (time.perf_counter() - t0) * 1000.0 / steps
             bicm = np.asarray(bicm)

@@ -27,7 +27,7 @@ def fixture_h5(tmp_path_factory):
     return path
 
 
-def make_engine(chunk_size=8, visualize=False):
+def make_engine(chunk_size=8, visualize=False, **kw):
     model = BMCNetPlain(scale=2, n_c=8, n_b=2)
     h = w = 16
     dummy = jnp.zeros((1, 2, h, w, 2))
@@ -36,7 +36,9 @@ def make_engine(chunk_size=8, visualize=False):
         scale=2, ori_scale="down2", window=128, sliding_window=64,
         sequence=SequenceConfig(4, 2, 1),
     )
-    return InferenceEngine(model, variables, cfg, chunk_size=chunk_size, visualize=visualize)
+    return InferenceEngine(
+        model, variables, cfg, chunk_size=chunk_size, visualize=visualize, **kw
+    )
 
 
 class TestEngine:
@@ -97,6 +99,23 @@ class TestEngine:
         r_large = make_engine(chunk_size=64).infer_file(fixture_h5)
         assert r_small["esr_mse"] == pytest.approx(r_large["esr_mse"], rel=1e-5)
         assert r_small["bicubic_mse"] == pytest.approx(r_large["bicubic_mse"], rel=1e-5)
+
+    def test_h2d_overlap_bit_identical(self, fixture_h5):
+        """The pipelined next-chunk upload (h2d_overlap, the default) must not
+        change a single metric vs the serial placement path — the knob only
+        moves the device_put enqueue relative to the running scan."""
+        plain = make_engine(chunk_size=3, h2d_overlap=False).infer_file(fixture_h5)
+        pipelined = make_engine(chunk_size=3, h2d_overlap=True).infer_file(fixture_h5)
+        assert plain["esr_mse"] == pipelined["esr_mse"]
+        assert plain["bicubic_mse"] == pipelined["bicubic_mse"]
+        b_plain = make_engine(chunk_size=3, h2d_overlap=False).infer_file_batch(
+            [fixture_h5, fixture_h5]
+        )
+        b_pipe = make_engine(chunk_size=3, h2d_overlap=True).infer_file_batch(
+            [fixture_h5, fixture_h5]
+        )
+        for a, b in zip(b_plain, b_pipe):
+            assert a["esr_mse"] == b["esr_mse"]
 
     def test_datalist_outputs(self, fixture_h5, tmp_path):
         eng = make_engine(visualize=True)

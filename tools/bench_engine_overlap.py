@@ -1,0 +1,75 @@
+"""A/B the engine's h2d/compute overlap on the attached chip.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_engine_overlap.py
+
+Builds an NFS-scale synthetic multi-scale h5 (560k down8 / ~9M down2 events,
+the docs/DESIGN.md §6b measurement shape: ~545 stride-1 windows), rolls the
+full BMCNet over it through ``InferenceEngine.infer_file`` with
+``h2d_overlap`` off and on (same compiled programs — the knob only moves the
+``device_put`` enqueue), and prints the mean per-window ``time`` metric for
+each.  Measurement tool, not product surface; results land in DESIGN §6b.
+"""
+
+import os
+import sys
+import tempfile
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache"))
+
+
+def main():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+    import jax.numpy as jnp
+
+    from bmcnet_esr_tpu.data.h5dataset import DatasetConfig
+    from bmcnet_esr_tpu.data.packager import write_synthetic_fixture
+    from bmcnet_esr_tpu.inference.engine import InferenceEngine
+    from bmcnet_esr_tpu.models import BMCNet
+
+    print("devices:", jax.devices(), flush=True)
+
+    path = os.path.join(tempfile.mkdtemp(prefix="ovl_"), "nfs_scale.h5")
+    write_synthetic_fixture(
+        path,
+        sensor_resolution=(360, 640),
+        prefixes=("down2", "down8"),
+        events_per_scale={"down2": 9_000_000, "down8": 560_000},
+        seed=7,
+    )
+    print("fixture written:", path, flush=True)
+
+    cfg = DatasetConfig(
+        scale=4, ori_scale="down8", window=2048, sliding_window=1024,
+        need_gt_events=True,
+    )
+    model = BMCNet(scale=4, n_c=128, n_b=5)
+    x = jnp.zeros((1, 2, 45, 80, 2), jnp.float32)
+    st = tuple(model.init_state(1, 45, 80))
+    variables = model.init(jax.random.key(0), x, *st)
+
+    results = {}
+    # off twice (first pays compile + program load), then on twice; the
+    # second run of each is the number
+    for label, overlap in (("off", False), ("off2", False), ("on", True), ("on2", True)):
+        eng = InferenceEngine(
+            model, variables, cfg, chunk_size=64, visualize=False,
+            h2d_overlap=overlap,
+        )
+        r = eng.infer_file(path)
+        results[label] = r["time"]
+        print(f"overlap={label}: time {r['time']:.3f} ms/window "
+              f"(esr_mse {r['esr_mse']:.5f})", flush=True)
+
+    off, on = results["off2"], results["on2"]
+    print(f"RESULT: off {off:.3f} ms -> on {on:.3f} ms "
+          f"({(off - on) / off * 100:.1f}% less)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
