@@ -34,15 +34,18 @@ def main():
 
     print("devices:", jax.devices(), flush=True)
 
-    path = os.path.join(tempfile.mkdtemp(prefix="ovl_"), "nfs_scale.h5")
-    write_synthetic_fixture(
-        path,
-        sensor_resolution=(360, 640),
-        prefixes=("down2", "down8"),
-        events_per_scale={"down2": 9_000_000, "down8": 560_000},
-        seed=7,
-    )
-    print("fixture written:", path, flush=True)
+    if len(sys.argv) > 1 and os.path.exists(sys.argv[1]):
+        path = sys.argv[1]  # reuse a previously written fixture
+    else:
+        path = os.path.join(tempfile.mkdtemp(prefix="ovl_"), "nfs_scale.h5")
+        write_synthetic_fixture(
+            path,
+            sensor_resolution=(360, 640),
+            prefixes=("down2", "down8"),
+            events_per_scale={"down2": 9_000_000, "down8": 560_000},
+            seed=7,
+        )
+    print("fixture:", path, flush=True)
 
     cfg = DatasetConfig(
         scale=4, ori_scale="down8", window=2048, sliding_window=1024,
@@ -53,22 +56,28 @@ def main():
     st = tuple(model.init_state(1, 45, 80))
     variables = model.init(jax.random.key(0), x, *st)
 
-    results = {}
-    # off twice (first pays compile + program load), then on twice; the
-    # second run of each is the number
-    for label, overlap in (("off", False), ("off2", False), ("on", True), ("on2", True)):
+    # one warm-up with each program count, then ALTERNATE off/on so tunnel
+    # drift of the minute lands on both sides; report per-side medians
+    offs, ons = [], []
+    seq = [("warm", True)] + [("off", False), ("on", True)] * 3
+    for label, overlap in seq:
         eng = InferenceEngine(
             model, variables, cfg, chunk_size=64, visualize=False,
             h2d_overlap=overlap,
         )
         r = eng.infer_file(path)
-        results[label] = r["time"]
         print(f"overlap={label}: time {r['time']:.3f} ms/window "
               f"(esr_mse {r['esr_mse']:.5f})", flush=True)
+        if label == "off":
+            offs.append(r["time"])
+        elif label == "on":
+            ons.append(r["time"])
 
-    off, on = results["off2"], results["on2"]
-    print(f"RESULT: off {off:.3f} ms -> on {on:.3f} ms "
-          f"({(off - on) / off * 100:.1f}% less)", flush=True)
+    off = sorted(offs)[len(offs) // 2]
+    on = sorted(ons)[len(ons) // 2]
+    print(f"RESULT: off median {off:.3f} ms (runs {offs}) -> on median "
+          f"{on:.3f} ms (runs {ons}) ({(off - on) / off * 100:.1f}% less)",
+          flush=True)
 
 
 if __name__ == "__main__":
