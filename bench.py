@@ -25,9 +25,16 @@ string carries that caveat.  ``aux`` adds the other axes:
 FAILURE MODES ARE BOUNDED (round-2/3 lesson: a down or flapping tunnel
 must never turn the round's perf budget into rc=124 with no artifact):
 
-* A GLOBAL wall-clock deadline (``BENCH_TOTAL_BUDGET_S``, default 2400 s)
+* A GLOBAL wall-clock deadline (``BENCH_TOTAL_BUDGET_S``, default 1380 s)
   bounds everything; probe/child/fallback budgets are sized WITHIN it and
-  the emission path always runs before it expires.
+  the emission path always runs before it expires.  1380 s is sized to
+  FINISH (rc=0) inside the driver's empirically ~1800 s kill window —
+  rounds 2-4 all died rc=124 because a full run outlived it (round-4
+  ok-run: 2282 s).  The phases are ordered headline-first and every
+  decision-record re-probe (daemon wire/chunk matrix, int8 route modes)
+  is budget-gated with a citation to its committed docs/bench_runs/
+  artifact when skipped; a manual BENCH_TOTAL_BUDGET_S=3600 run still
+  captures everything.
 * The parent installs SIGTERM/SIGINT handlers that kill any live child and
   print the JSON line with the partials gathered so far — the driver's
   timeout delivers SIGTERM before SIGKILL, so even an external kill
@@ -55,7 +62,7 @@ always, on every path.  ``aux`` carries the numeric north-star fields:
 (vs docs/DESIGN.md §8's estimated 120-250 fps PyTorch-GPU band).
 
 Budgets (override via env):
-  BENCH_TOTAL_BUDGET_S    global wall-clock deadline            (default 2400)
+  BENCH_TOTAL_BUDGET_S    global wall-clock deadline            (default 1380)
   BENCH_PROBE_BUDGET_S    chip-probe window                     (default 900)
   BENCH_DEVICE_INIT_S     kill child stuck at plugin init       (default 240)
   BENCH_FIRST_METRIC_S    kill child with device but no metric  (default 600)
@@ -78,7 +85,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cac
 
 import numpy as np
 
-TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", 2400))
+TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", 1380))
 PROBE_BUDGET_S = float(os.environ.get("BENCH_PROBE_BUDGET_S", 900))
 DEVICE_INIT_S = float(os.environ.get("BENCH_DEVICE_INIT_S", 240))
 FIRST_METRIC_S = float(os.environ.get("BENCH_FIRST_METRIC_S", 600))
@@ -92,10 +99,36 @@ GPU_EST_BAND_FPS = (120.0, 250.0)
 B = 8          # batched independent streams per chip
 H, W = 45, 80  # NFS down8 input resolution
 SCALE = 4
-# fastest torch-CPU baseline throughput ever measured on this host (quiet
-# box); floors the vs_baseline denominator so contention during the bench
-# can never inflate the published speedup (see bench_torch_cpu docstring)
-TORCH_CPU_BEST_FPS = 0.9  # 2026-08-20 (BENCH_HISTORY torch_cpu_fps_live)
+
+
+def _torch_cpu_best_from_history(path: str, fallback: float = 0.9) -> float:
+    """Fastest torch-CPU baseline ever recorded in the committed history
+    (``torch_cpu_fps_live`` / ``torch_cpu_fps`` aux fields) — floors the
+    ``vs_baseline`` denominator so box contention during the bench can
+    never inflate the published speedup (see ``bench_torch_cpu``).  Read
+    from BENCH_HISTORY.jsonl instead of hand-pinning a constant that
+    silently duplicates it (VERDICT r4 weak-5); ``fallback`` covers a
+    missing/empty history (0.9 = the 2026-08-20 measured best)."""
+    best = fallback
+    try:
+        with open(path) as f:
+            for ln in f:
+                if not ln.strip():
+                    continue
+                try:
+                    aux = json.loads(ln).get("aux", {})
+                except json.JSONDecodeError:
+                    continue
+                for k in ("torch_cpu_fps_live", "torch_cpu_fps"):
+                    v = aux.get(k)
+                    if isinstance(v, (int, float)):
+                        best = max(best, float(v))
+    except OSError:
+        pass
+    return best
+
+
+TORCH_CPU_BEST_FPS = _torch_cpu_best_from_history(HISTORY_PATH)
 N_EVENTS = 2048
 CHUNK = 512    # windows per scan chunk (amortizes ~33 ms per-dispatch overhead;
                # measured on v5e: 64 -> 895 fps, 128 -> 914, 256 -> 926, 512 -> 932)
@@ -421,6 +454,25 @@ def child_tpu(state_file: str, budget_s: float) -> None:
     aux: dict = {"_phase": "importing_jax"}
     _write_state(state_file, aux)
 
+    if os.environ.get("BENCH_FAKE_CHIP"):
+        # driver-window regression mode (tests/test_bench_artifact.py):
+        # the full parent machinery runs — probe child, state-file polling,
+        # watchdogs, emission, history — with the measurements themselves
+        # stubbed instant, so `timeout 1500 python bench.py` pins the
+        # exact rc=0 + parseable-last-line contract the driver enforces.
+        aux.update({
+            "_phase": "device_ok",
+            "fps_bf16_serving": 1021.0,
+            "fps_int8_serving": 1156.0,
+            "fps_int8_b16": 1203.6,
+            "b1_ms_per_window": 1.57,
+            "train_iters_per_sec": 3.7,
+            "fake_chip": True,
+            "tpu_bench_complete": True,
+        })
+        _write_state(state_file, aux)
+        return
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
@@ -433,10 +485,15 @@ def child_tpu(state_file: str, budget_s: float) -> None:
 
     t_end = time.monotonic() + budget_s
 
-    def record(name, fn, *, optional=False, reserve_s=120.0):
-        # `reserve_s` keeps headroom for the parent to collect partials
+    def record(name, fn, *, optional=False, reserve_s=120.0, cite=None):
+        # `reserve_s` keeps headroom for the parent to collect partials.
+        # `cite`: a committed docs/bench_runs decision record that already
+        # answers this probe — a budget skip points the artifact reader at
+        # it instead of silently re-measuring settled questions.
         if optional and time.monotonic() + reserve_s > t_end:
-            aux[f"{name}_skipped"] = "budget"
+            aux[f"{name}_skipped"] = (
+                f"budget; decision record: {cite}" if cite else "budget"
+            )
             _write_state(state_file, aux)
             return
         try:
@@ -445,116 +502,95 @@ def child_tpu(state_file: str, budget_s: float) -> None:
             aux[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
         _write_state(state_file, aux)
 
-    # required set (VERDICT round-2 item 1): fp32/bf16/int8 fps,
-    # b1_ms_per_window, train_iters_per_sec
+    # HEADLINE-FIRST ordering (VERDICT r4 item 1b): the required set
+    # (fp32/bf16/int8 fps, b1_ms_per_window, train_iters_per_sec) plus the
+    # headline candidate int8@B16, then the cheap aux decompositions, then
+    # ONE daemon config (the shipped default), and only then the
+    # decision-record re-probes — each of those gated behind a reserve
+    # large enough that a driver-window run (1380 s) skips it with a
+    # citation to the committed artifact that already answers it.
     record("fps_bf16_serving", lambda: _rollout_fps(B, "bfloat16"))
     record("fps_int8_serving", lambda: _rollout_fps(B, "int8"))
-    record("b1_ms_per_window", lambda: 1000.0 / _rollout_fps(1, "bfloat16", chunk=CHUNK_B1))
-    record("train_iters_per_sec", lambda: bench_train_iters_per_sec())
-    record("fps_fp32_serving", lambda: _rollout_fps(B, "float32"), optional=True)
     # int8's overhead-bound quantize passes amortize a little further at
     # B=16 (measured 1155 -> 1202 fps on v5e; B=32 regresses, and bf16 at
     # B=16 is WORSE than B=8 — only the int8 mode gets the wider candidate)
-    record("fps_int8_b16", lambda: _rollout_fps(16, "int8"), optional=True)
+    record("fps_int8_b16", lambda: _rollout_fps(16, "int8"), optional=True,
+           reserve_s=300.0)
+    record("b1_ms_per_window", lambda: 1000.0 / _rollout_fps(1, "bfloat16", chunk=CHUNK_B1))
+    record("train_iters_per_sec", lambda: bench_train_iters_per_sec())
+    record("fps_fp32_serving", lambda: _rollout_fps(B, "float32"),
+           optional=True, reserve_s=240.0)
     record(
         "train_iters_per_sec_bf16",
         lambda: bench_train_iters_per_sec(dtype_name="bfloat16"),
-        optional=True,
+        optional=True, reserve_s=200.0,
     )
     # QAT cost at the same shapes (model;args;quant: qat): how much the
     # fake-quant + STE passes tax the bf16 train step
     record(
         "train_iters_per_sec_qat",
         lambda: bench_train_iters_per_sec(dtype_name="qat"),
-        optional=True,
+        optional=True, reserve_s=200.0,
     )
     # true one-window-per-dispatch latency (reference's exact measurement
     # shape); on this attachment it is dominated by the ~33 ms tunnel
-    # dispatch overhead — the amortized number above is the serving figure.
-    # Cheap (reuses the bf16 B=1 compile) so it runs BEFORE the route
-    # probes: only those risk the budget skip.
+    # dispatch overhead — the amortized number above is the serving figure
     record(
         "b1_ms_single_dispatch",
         lambda: 1000.0 / _rollout_fps(1, "bfloat16", chunk=1),
-        optional=True,
+        optional=True, reserve_s=150.0,
     )
-    # the link-bandwidth decomposition first (cheap, no compiles): shows
-    # WHY the daemon numbers sit where they do on a tunneled attachment
+    # the link-bandwidth decomposition (cheap, no compiles): shows WHY the
+    # daemon numbers sit where they do on a tunneled attachment
     record("d2h_mbps", lambda: bench_link_mbps(aux), optional=True)
-    # full-production-path rate: TCP daemon + deep ticks (each config needs
-    # its own reserve — the 4-program tick ladder compiles per wire/chunk
-    # combination).  Runs BEFORE the int8 route probes: those re-measure a
-    # decision record whose values are stable (docs/DESIGN.md §6).  Order =
-    # information priority within the budget: the as-shipped config first
-    # (f16 wire + fetch_chunks 4 — cli.serve's auto-defaults for bf16
-    # compute modes: lossless and both bandwidth levers engaged), then
-    # the two both-lever candidates (i8 x chunks4 = fewest bytes on the
-    # most streams; f16 x chunks8 = the threaded link sweep's 42 MB/s
-    # point), then the single-lever decompositions, then
-    # the all-defaults f32 baseline (richest history already).  The levers:
-    # wire_dtype moves fewer bytes (f16 ½, i8 ¼), fetch_chunks moves them
-    # on 4 concurrent d2h streams (streaming._fetch_split; d2h_mbps vs
-    # d2h_mbps_x2 shows the per-stream bound it exploits).
+    # full-production-path rate: TCP daemon + deep ticks, in the shipped
+    # configuration ONLY (f16 wire + fetch_chunks 4 — cli.serve's
+    # auto-defaults for bf16 compute modes: lossless, both bandwidth
+    # levers).  The full wire×chunks matrix is a settled decision record
+    # (docs/bench_runs/r4_wire_chunks.json: i8×c4 fastest at 126.3 wps,
+    # c8 a dead end on both dtypes) — re-probed below only when a manual
+    # long-budget run leaves room.
     record(
         "fps_daemon_loopback_f16_c4",
         lambda: _daemon_loopback_fps(
             wire_dtype="float16", aux=aux, fetch_chunks=4
         ),
         optional=True,
-        reserve_s=600.0,
+        reserve_s=450.0,
     )
+    # ---- decision-record re-probes (manual BENCH_TOTAL_BUDGET_S>=3600
+    # runs only; a driver-window run skips these WITH the citation) ----
+    _WIRE_REC = "docs/bench_runs/r4_wire_chunks.json"
+    _ROUTE_REC = ("docs/DESIGN.md §6 (chain ties plain int8, chainq/p1x1 "
+                  "regress, pconv/pall/pquant fail the axon remote-compile; "
+                  "BENCH_HISTORY 2026-08-20)")
     record(
         "fps_daemon_loopback_i8_c4",
-        lambda: _daemon_loopback_fps(
-            wire_dtype="int8", aux=aux, fetch_chunks=4
-        ),
-        optional=True,
-        reserve_s=600.0,
-    )
-    record(
-        "fps_daemon_loopback_f16_c8",
-        lambda: _daemon_loopback_fps(
-            wire_dtype="float16", aux=aux, fetch_chunks=8
-        ),
-        optional=True,
-        reserve_s=600.0,
+        lambda: _daemon_loopback_fps(wire_dtype="int8", aux=aux, fetch_chunks=4),
+        optional=True, reserve_s=700.0, cite=_WIRE_REC,
     )
     record(
         "fps_daemon_loopback_c4",
         lambda: _daemon_loopback_fps(aux=aux, fetch_chunks=4),
-        optional=True,
-        reserve_s=600.0,
-    )
-    record(
-        "fps_daemon_loopback_f16",
-        lambda: _daemon_loopback_fps(wire_dtype="float16", aux=aux),
-        optional=True,
-        reserve_s=600.0,
-    )
-    record(
-        "fps_daemon_loopback_i8",
-        lambda: _daemon_loopback_fps(wire_dtype="int8", aux=aux),
-        optional=True,
-        reserve_s=600.0,
-    )
-    record(
-        "fps_daemon_loopback",
-        lambda: _daemon_loopback_fps(aux=aux),
-        optional=True,
-        reserve_s=600.0,
+        optional=True, reserve_s=700.0, cite=_WIRE_REC,
     )
     # quantize-pass attack modes (the act-quantize passes are 38% of the
-    # int8 step): standalone Pallas quantize / chained conv1->conv2 int8
-    # epilogue / both (models/layers.QUANT_MODES, ops/pallas/quantize.py)
-    record("fps_int8_chain", lambda: _rollout_fps(B, "int8_chain"), optional=True)
-    record("fps_int8_chain_b16", lambda: _rollout_fps(16, "int8_chain"), optional=True)
-    record("fps_int8_pquant", lambda: _rollout_fps(B, "int8_pquant"), optional=True)
-    record("fps_int8_chainq", lambda: _rollout_fps(B, "int8_chainq"), optional=True)
-    # Pallas-route decision record (docs/DESIGN.md §6): driver-captured
-    # per-mode fps so the int8 default rests on artifact numbers
-    record("fps_int8_p1x1", lambda: _rollout_fps(B, "int8_p1x1"), optional=True)
-    record("fps_int8_pconv", lambda: _rollout_fps(B, "int8_pconv"), optional=True)
-    record("fps_int8_pall", lambda: _rollout_fps(B, "int8_pall"), optional=True)
+    # int8 step): chained conv1->conv2 int8 epilogue / standalone Pallas
+    # quantize / both (models/layers.QUANT_MODES, ops/pallas/quantize.py)
+    record("fps_int8_chain", lambda: _rollout_fps(B, "int8_chain"),
+           optional=True, reserve_s=600.0, cite=_ROUTE_REC)
+    record("fps_int8_chain_b16", lambda: _rollout_fps(16, "int8_chain"),
+           optional=True, reserve_s=600.0, cite=_ROUTE_REC)
+    record("fps_int8_pquant", lambda: _rollout_fps(B, "int8_pquant"),
+           optional=True, reserve_s=800.0, cite=_ROUTE_REC)
+    record("fps_int8_chainq", lambda: _rollout_fps(B, "int8_chainq"),
+           optional=True, reserve_s=800.0, cite=_ROUTE_REC)
+    record("fps_int8_p1x1", lambda: _rollout_fps(B, "int8_p1x1"),
+           optional=True, reserve_s=800.0, cite=_ROUTE_REC)
+    record("fps_int8_pconv", lambda: _rollout_fps(B, "int8_pconv"),
+           optional=True, reserve_s=900.0, cite=_ROUTE_REC)
+    record("fps_int8_pall", lambda: _rollout_fps(B, "int8_pall"),
+           optional=True, reserve_s=900.0, cite=_ROUTE_REC)
     aux["tpu_bench_complete"] = True
     _write_state(state_file, aux)
 
@@ -595,6 +631,8 @@ def _wait_for_chip(budget_s: float, probe_timeout_s: float = 120.0) -> bool:
         "import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); "
         "print(float((x @ x).sum()))"
     )
+    if os.environ.get("BENCH_FAKE_CHIP"):
+        probe = "print('ok')"  # instant success through the real machinery
     deadline = time.monotonic() + budget_s
     while True:
         # deadline check BEFORE the attempt, and each wait capped by the
@@ -890,7 +928,11 @@ def _emit(aux: dict, status: str, torch_live=None) -> None:
         "aux": aux,
     }
     print(json.dumps(line), flush=True)
-    if status in ("ok", "partial") and isinstance(line["value"], (int, float)):
+    if (
+        status in ("ok", "partial")
+        and isinstance(line["value"], (int, float))
+        and not aux.get("fake_chip")  # regression-mode lines never commit
+    ):
         _append_history(line)
 
 
@@ -975,7 +1017,7 @@ def main():
                               env=_cpu_env()))
 
     torch_live = None
-    if _remaining() > 30:
+    if _remaining() > 30 and not os.environ.get("BENCH_FAKE_CHIP"):
         try:
             torch_live = bench_torch_cpu(budget_s=min(60.0, _remaining() - 15))
         except Exception:

@@ -451,14 +451,24 @@ class InferenceEngine:
             # dispatch above is async, so enqueueing chunk N+1's event upload
             # here takes the serial upload off the critical path (the compact
             # upload is the largest remaining per-window cost on a tunneled
-            # attachment, docs/DESIGN.md §6b).  The double-buffered h5 read
-            # normally has the host arrays ready; results are bit-identical
-            # (placement order does not touch the math).
-            if self.h2d_overlap and ci + 1 < len(chunk_bounds):
+            # attachment, docs/DESIGN.md §6b).  Only when the double-buffered
+            # h5 read has ALREADY finished (zero-timeout done() check): a
+            # still-running read would block inside the timed region and bill
+            # host IO to this chunk's `time` metric (ADVICE r4) — skipping
+            # the overlap then lets the read+upload happen at the top of the
+            # next iteration, outside dt, keeping the metric's meaning.
+            # Results are bit-identical either way (placement order does not
+            # touch the math).
+            if (
+                self.h2d_overlap and ci + 1 < len(chunk_bounds)
+                and pending.done()
+            ):
                 inp_c, gt_c = pending.result()
                 if ci + 2 < len(chunk_bounds):
                     pending = pool.submit(load_chunk, *chunk_bounds[ci + 2])
                 next_dev = self._place_events(inp_c, gt_c, 1)
+            else:
+                next_dev = None
             # reliable device sync (block_until_ready can return early on the
             # tunneled chip); then measure.  dt is wall per window across
             # dispatch→sync, i.e. the true throughput cost including whatever

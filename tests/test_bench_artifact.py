@@ -121,6 +121,63 @@ class TestEmissionPaths:
         assert "vs_gpu_est_low" not in line["aux"]
 
 
+class TestDriverWindow:
+    """Round-5 contract: bench must FINISH (rc=0, parseable line) inside
+    the driver's empirically ~1800 s kill window.  Rounds 2-4 all produced
+    rc=124 because a full run outlived it (round-4 ok-run: 2282 s wall vs
+    a ~1800 s SIGTERM)."""
+
+    def test_default_budget_fits_driver_kill_window(self):
+        # worst-case wall = global deadline + bounded tail (torch baseline
+        # <= 60 s + emission + history append).  Must stay under 1500 s so
+        # a clean exit always precedes the driver's kill with margin.
+        assert bench.TOTAL_BUDGET_S + 60 + 30 < 1500
+        # the probe and reserve are sized inside the global deadline
+        assert bench._RESERVE_S >= 60
+        assert bench.PROBE_BUDGET_S + bench._RESERVE_S <= bench.TOTAL_BUDGET_S
+
+    def test_fake_chip_end_to_end_exits_clean_with_parseable_line(self):
+        """`timeout 1500 python bench.py` with instant-stubbed children:
+        the exact invocation contract the driver enforces.  Exercises the
+        REAL probe/child/watchdog/emission machinery."""
+        from conftest import clean_cpu_env
+
+        hist = os.path.join(REPO, "BENCH_HISTORY.jsonl")
+        before = open(hist, "rb").read() if os.path.exists(hist) else b""
+        env = clean_cpu_env(REPO)
+        env.pop("BENCH_TOTAL_BUDGET_S", None)  # test the shipped default
+        env["BENCH_FAKE_CHIP"] = "1"
+        proc = subprocess.run(
+            ["timeout", "1500", sys.executable, os.path.join(REPO, "bench.py")],
+            cwd=REPO, env=env, text=True, timeout=300,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        )
+        assert proc.returncode == 0  # 124 = timeout fired = driver rc=124
+        line = _parse_last_json_line(proc.stdout)
+        assert set(line) == {"metric", "value", "unit", "vs_baseline", "aux"}
+        assert line["aux"]["status"] == "ok"
+        assert isinstance(line["value"], (int, float))
+        # a fake artifact is self-labeling and never lands in history
+        assert line["aux"]["fake_chip"] is True
+        after = open(hist, "rb").read() if os.path.exists(hist) else b""
+        assert after == before
+
+    def test_torch_floor_reads_committed_history(self, tmp_path):
+        """TORCH_CPU_BEST_FPS comes from BENCH_HISTORY.jsonl at import, not
+        a hand-pinned constant (VERDICT r4 weak-5)."""
+        p = tmp_path / "h.jsonl"
+        p.write_text(
+            json.dumps({"aux": {"torch_cpu_fps_live": 1.4}}) + "\n"
+            + json.dumps({"aux": {"torch_cpu_fps_live": 0.6}}) + "\n"
+            + "not json\n"
+        )
+        assert bench._torch_cpu_best_from_history(str(p)) == 1.4
+        # fallback floors a missing/empty history
+        assert bench._torch_cpu_best_from_history(str(tmp_path / "nope")) == 0.9
+        # the live constant can never be below the historical fallback
+        assert bench.TORCH_CPU_BEST_FPS >= 0.9
+
+
 class TestWatchdogPolicy:
     def test_plugin_init_wedge_killed_fast(self, tmp_path, monkeypatch):
         """A child that never reports device_ok dies after DEVICE_INIT_S,

@@ -20,11 +20,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cac
 
 
 def main():
-    import jax
+    # THE blessed cache helper (CLAUDE.md): makedirs + min-compile-time too
+    from bmcnet_esr_tpu.utils.cache import enable_compilation_cache
 
-    jax.config.update(
-        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
-    )
+    enable_compilation_cache()
+
+    import jax
     import jax.numpy as jnp
 
     from bmcnet_esr_tpu.data.h5dataset import DatasetConfig

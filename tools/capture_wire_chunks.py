@@ -25,48 +25,50 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache"))
 
-from bmcnet_esr_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+def main():
+    # main() guard: an accidental import (test collection, tooling) must
+    # never start a multi-minute chip job or clobber the committed
+    # decision record (ADVICE r4)
+    from bmcnet_esr_tpu.utils.cache import enable_compilation_cache
 
-enable_compilation_cache()
+    enable_compilation_cache()
 
-import bench  # noqa: E402  (repo-root bench.py)
+    import bench  # repo-root bench.py
 
-out = {"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()), "aux": {}}
-aux = out["aux"]
+    out = {"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()), "aux": {}}
+    aux = out["aux"]
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        try:
+            val = fn()
+            aux[name] = round(float(val), 3)
+            print(f"{name}: {aux[name]} ({time.perf_counter() - t0:.1f}s)",
+                  flush=True)
+        except Exception as e:  # keep going: every metric is independent
+            aux[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
+            print(f"{name}: ERROR {e}", flush=True)
+
+    run("d2h_mbps", lambda: bench.bench_link_mbps(aux))
+    for wire, chunks in (
+        ("float16", 4), ("int8", 4), ("float16", 8), ("int8", 8),
+    ):
+        short = {"float16": "f16", "int8": "i8"}[wire]
+        run(
+            f"fps_daemon_loopback_{short}_c{chunks}",
+            lambda w=wire, c=chunks: bench._daemon_loopback_fps(
+                wire_dtype=w, aux=aux, fetch_chunks=c
+            ),
+        )
+
+    os.makedirs(os.path.join(_REPO, "docs", "bench_runs"), exist_ok=True)
+    path = os.path.join(_REPO, "docs", "bench_runs", "r4_wire_chunks.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(json.dumps(out), flush=True)
+    print(f"wrote {path}", flush=True)
 
 
-def run(name, fn):
-    t0 = time.perf_counter()
-    try:
-        val = fn()
-        aux[name] = round(float(val), 3)
-        print(f"{name}: {aux[name]} ({time.perf_counter() - t0:.1f}s)", flush=True)
-    except Exception as e:  # keep going: every metric is independent
-        aux[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
-        print(f"{name}: ERROR {e}", flush=True)
-
-
-run("d2h_mbps", lambda: bench.bench_link_mbps(aux))
-run(
-    "fps_daemon_loopback_f16_c4",
-    lambda: bench._daemon_loopback_fps(wire_dtype="float16", aux=aux, fetch_chunks=4),
-)
-run(
-    "fps_daemon_loopback_i8_c4",
-    lambda: bench._daemon_loopback_fps(wire_dtype="int8", aux=aux, fetch_chunks=4),
-)
-run(
-    "fps_daemon_loopback_f16_c8",
-    lambda: bench._daemon_loopback_fps(wire_dtype="float16", aux=aux, fetch_chunks=8),
-)
-run(
-    "fps_daemon_loopback_i8_c8",
-    lambda: bench._daemon_loopback_fps(wire_dtype="int8", aux=aux, fetch_chunks=8),
-)
-
-os.makedirs(os.path.join(_REPO, "docs", "bench_runs"), exist_ok=True)
-path = os.path.join(_REPO, "docs", "bench_runs", "r4_wire_chunks.json")
-with open(path, "w") as f:
-    json.dump(out, f, indent=1)
-print(json.dumps(out), flush=True)
-print(f"wrote {path}", flush=True)
+if __name__ == "__main__":
+    main()
