@@ -84,6 +84,18 @@ def main(argv=None):
         "disables; default: the largest divisor of --slots that is <= 4",
     )
     p.add_argument(
+        "--compact_lanes", action="store_true",
+        help="lane-compact deep-tick fetches: only the pushed slots' "
+        "predictions cross the device->host link (in-graph bucketed "
+        "gather).  Pays at PARTIAL occupancy on bandwidth-bound "
+        "attachments — measured 3.17x the padded serving rate at 25%% "
+        "occupancy, 2.05x at 50%% (docs/bench_runs/r5_lane_compaction"
+        ".json) — at the cost of one compiled program per (depth, "
+        "occupancy-bucket) pair, all built during prewarm.  Off by "
+        "default: a saturated daemon runs near full occupancy, where the "
+        "padded program is already optimal",
+    )
+    p.add_argument(
         "--scan_k", type=int, default=8,
         help="max deep-tick depth: under backlog one dispatch drains up to "
         "N windows per slot via a scanned program (amortizes dispatch "
@@ -166,6 +178,7 @@ def main(argv=None):
         scan_k=args.scan_k,
         wire_dtype=args.wire_dtype,
         fetch_chunks=args.fetch_chunks,
+        compact_lanes=args.compact_lanes,
         mesh=mesh,
     )
     log.info("prewarming tick programs (scan_k=%d)...", args.scan_k)

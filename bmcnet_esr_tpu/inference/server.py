@@ -261,6 +261,7 @@ class EventSRServer:
         scan_k: int = 8,
         wire_dtype: str = "float32",
         fetch_chunks: int = 1,
+        compact_lanes: bool = False,
     ):
         """``weight_loader``: optional zero-arg callable returning a fresh
         ``variables`` pytree (same structure/shapes as the serving one) —
@@ -294,7 +295,17 @@ class EventSRServer:
         On a remote-attached chip whose link is per-stream-bound this is
         the other half of the ``wire_dtype`` lever: measured ~2.6x fetch
         throughput at 4 on the axon tunnel; harmless on a local chip.
-        Must divide ``slots``."""
+        Must divide ``slots``.
+
+        ``compact_lanes``: lane-compact deep-tick fetches — only the
+        pushed slots' predictions cross the device->host link (bucketed
+        in-graph gather, :meth:`StreamPool.push_async_deep` ``compact=``).
+        Pays at partial occupancy on bandwidth-bound attachments (measured
+        3.17x the padded serving rate at 25 % occupancy, 2.05x at 50 % —
+        docs/bench_runs/r5_lane_compaction.json) at the cost of one extra
+        compiled program per occupancy bucket; off by default because a
+        throughput-saturated daemon runs near full occupancy, where the
+        padded program is already optimal."""
         try:
             self._wire_code, self._wire_np, out_wire = WIRE_DTYPES[wire_dtype]
         except KeyError:
@@ -310,6 +321,7 @@ class EventSRServer:
         )
         self.batch_window_ms = batch_window_ms
         self.scan_k = int(scan_k)
+        self.compact_lanes = bool(compact_lanes)
         self.weight_loader = weight_loader
         self.weights_version = 1
         self.reloads_failed = 0
@@ -376,13 +388,23 @@ class EventSRServer:
     def prewarm(self) -> None:
         """Compile the full tick ladder (shallow + every deep depth up to
         ``scan_k``) before taking traffic — otherwise the first backlog
-        would stall the serving loop on a compile."""
+        would stall the serving loop on a compile.  With ``compact_lanes``
+        the ladder also pre-builds every (depth, k) lane-compaction rung
+        (power-of-two k below ``slots``): the program count multiplies,
+        which is exactly the cost the opt-in flag buys into."""
         depths = [1]
         d = 2
         while d <= self.scan_k:
             depths.append(d)
             d *= 2
-        self.pool.prewarm(depths)
+        compact = []
+        if self.compact_lanes:
+            for depth in depths[1:]:
+                k = 1
+                while k < self.pool.slots:
+                    compact.append((depth, k))
+                    k *= 2
+        self.pool.prewarm(depths, compact=compact)
 
     # -- hot weight reload ---------------------------------------------------
 
@@ -613,7 +635,7 @@ class EventSRServer:
             tick = self._fetch_q.get()
             if tick is None:
                 return
-            owners, out_map, preds_dev, enqueued, deep = tick
+            owners, out_map, preds_dev, enqueued, deep, lane_of = tick
             try:
                 # device_get (not np.asarray): the i8 wire returns a
                 # (quantized preds, scales) pytree, not a bare array —
@@ -622,7 +644,9 @@ class EventSRServer:
                 preds = assemble_fetch(jax.device_get(preds_dev), deep)
             except Exception as exc:  # noqa: BLE001 — surfaced as ERROR replies
                 preds = exc
-            self._fetched.append((owners, out_map, preds, enqueued, deep))
+            self._fetched.append(
+                (owners, out_map, preds, enqueued, deep, lane_of)
+            )
 
     def _accept(self) -> None:
         conn, _ = self._listener.accept()
@@ -956,13 +980,14 @@ class EventSRServer:
         # client while this tick is in flight must not receive its reply
         owners = {slot: self._slot_owner.get(slot) for slot in windows}
         try:
+            lane_of = None
             if depth == 1:
                 call = lambda: self.pool.push_async(  # noqa: E731
                     {s: w[0] for s, w in windows.items()}
                 )
             else:
                 call = lambda: self.pool.push_async_deep(  # noqa: E731
-                    windows, depth
+                    windows, depth, compact=self.compact_lanes
                 )
             result = (
                 call() if bounded_s is None else _call_bounded(call, bounded_s)
@@ -972,6 +997,9 @@ class EventSRServer:
                 has = set(out_slots)
                 out_map = {s: [(0, s in has)] for s in windows}
                 deep = False
+            elif self.compact_lanes:
+                out_map, preds, lane_of = result
+                deep = True
             else:
                 out_map, preds = result
                 deep = True
@@ -993,11 +1021,15 @@ class EventSRServer:
             if isinstance(exc, _BackendWedged):
                 raise  # drain only: stop issuing device work entirely
             return None
-        return owners, out_map, preds, enqueued, deep
+        return owners, out_map, preds, enqueued, deep, lane_of
 
-    def _reply_tick(self, owners, out_map, preds, enqueued, deep) -> None:
+    def _reply_tick(
+        self, owners, out_map, preds, enqueued, deep, lane_of=None
+    ) -> None:
         """Send a fetched tick's replies (serve thread; ``preds`` is the
-        host ndarray, or the fetch's exception to report to every pusher)."""
+        host ndarray, or the fetch's exception to report to every pusher).
+        ``lane_of`` (compact_lanes deep ticks): slot -> column in the
+        lane-compacted prediction stack; ``None`` = padded slot indexing."""
         if isinstance(preds, Exception):
             # one ERROR per consumed window (see _dispatch_tick's error
             # path): the tick may have drained several windows per slot
@@ -1023,16 +1055,19 @@ class EventSRServer:
                 if sock is None or sock not in self._bufs:
                     continue  # pusher disconnected while the tick was in flight
                 if has_output:
+                    # compacted deep ticks index the fetched stack by lane
+                    # position, not slot id (StreamPool.push_async_deep)
+                    col = lane_of[slot] if lane_of is not None else slot
                     scale = 1.0
                     if self._wire_code == 2:  # i8: (quantized, scales) pair
                         q, scales = preds
                         p = np.ascontiguousarray(
-                            q[j, slot] if deep else q[slot], np.int8
+                            q[j, col] if deep else q[slot], np.int8
                         )
-                        scale = float(scales[j, slot] if deep else scales[slot])
+                        scale = float(scales[j, col] if deep else scales[slot])
                     else:
                         p = np.ascontiguousarray(
-                            preds[j, slot] if deep else preds[slot],
+                            preds[j, col] if deep else preds[slot],
                             self._wire_np,
                         )
                     head = _PRED_HEAD.pack(self._wire_code, *p.shape, scale)

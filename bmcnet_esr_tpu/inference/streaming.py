@@ -13,6 +13,7 @@ per-window like the offline pipeline (``base_dataset.py:24-31`` semantics).
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Tuple
 
 import numpy as np
@@ -524,7 +525,68 @@ class StreamPool:
 
         return deep_step
 
-    def push_async_deep(self, windows: dict, depth: int):
+    def _build_deep_step_compact(self, depth: int, k: int):
+        """Deep tick whose FETCH is lane-compacted to ``k`` active slots.
+
+        At partial occupancy the padded ``[K, slots, ...]`` prediction stack
+        ships idle lanes device->host; on a bandwidth-bound attachment that
+        padding is most of the tick's wall (measured: compacting to k=2 of
+        8 slots is 3.17x the padded serving rate, k=4 2.05x —
+        docs/bench_runs/r5_lane_compaction.json).  This program is the
+        single-bucket rung of that ladder: identical state update for ALL
+        slots, then an in-graph gather of the ``lanes`` index vector
+        ([k] int32, caller-padded) on the slot axis so only those lanes'
+        predictions are laid out for fetch.  One program per (depth, k)
+        bucket — callers quantize occupancy to power-of-two buckets to
+        bound the compile ladder.
+        """
+        model = self.model
+        res = self.inp_resolution
+        out_wire = self.out_wire
+        n_chunks = math.gcd(self.fetch_chunks, k)
+
+        @jax.jit
+        def deep_step(variables, carry, prev, xy, p, update, first, lanes):
+            def sel(mask, a, b):
+                m = mask.reshape((-1,) + (1,) * (a.ndim - 1))
+                return jnp.where(m, a, b)
+
+            def body(c_p, xs):
+                carry, prev = c_p
+                xy_j, p_j, up_j, fi_j = xs
+                frame = batch_counts_from_compact(xy_j, p_j, res)
+                x = jnp.stack([prev, frame], axis=1)
+                outs = model.apply(variables, x, *carry)
+                advance = up_j & ~fi_j
+                reset = up_j & fi_j
+                new_carry = tuple(
+                    sel(advance, n, sel(reset, jnp.zeros_like(o), o))
+                    for n, o in zip(tuple(outs), carry)
+                )
+                new_prev = sel(up_j, frame, prev)
+                return (new_carry, new_prev), _wire_encode(outs[-1], out_wire)
+
+            (carry, prev), preds = jax.lax.scan(
+                body,
+                (carry, prev),
+                (
+                    jnp.moveaxis(xy, 1, 0),
+                    jnp.moveaxis(p, 1, 0),
+                    jnp.moveaxis(update, 1, 0),
+                    jnp.moveaxis(first, 1, 0),
+                ),
+            )
+            # the one compaction line: gather the k live lanes (slot axis 1
+            # on every wire leaf — i8's scales are [K, B] so axis 1 there
+            # too) before the fetch split lays out the output buffers
+            compact = jax.tree_util.tree_map(
+                lambda a: jnp.take(a, lanes, axis=1), preds
+            )
+            return carry, prev, _fetch_split(compact, n_chunks, 1)
+
+        return deep_step
+
+    def push_async_deep(self, windows: dict, depth: int, compact: bool = False):
         """Dispatch ONE deep tick consuming up to ``depth`` queued windows
         per slot: ``{slot: [events [4, n], ...]}`` in (list lengths may
         differ per slot, each <= depth), ``(out_map, preds_device)`` back as
@@ -537,6 +599,19 @@ class StreamPool:
         Semantically equal
         to pushing each slot's windows through ``depth`` consecutive
         :meth:`push_async` ticks; one dispatch instead of ``depth``.
+
+        ``compact=True`` (lane compaction, opt-in): returns a THREE-tuple
+        ``(out_map, preds_device, lane_of)`` where the fetched stack's slot
+        axis holds only the pushed slots' lanes — index it with
+        ``preds[j, lane_of[slot]]`` instead of ``preds[j, slot]``.  At
+        partial occupancy this stops idle lanes' padding from crossing the
+        device->host link, which bounds serving on a remote attachment
+        (measured 3.17x the padded rate at 25 % occupancy, 2.05x at 50 % —
+        docs/bench_runs/r5_lane_compaction.json).  The pushed-slot count is
+        quantized UP to a power-of-two bucket ``k`` (padding lanes repeat a
+        live slot) so the program ladder stays one compile per (depth, k);
+        when the bucket reaches ``slots`` the padded program is used and
+        ``lane_of`` is the identity — callers need no special casing.
         """
         if depth < 1:
             raise ValueError(f"depth must be >= 1, got {depth}")
@@ -562,9 +637,13 @@ class StreamPool:
                 first[slot, j] = is_first
                 entries.append((j, not is_first))
             out_map[slot] = entries
-        step = self._deep_steps.get(depth)
-        if step is None:
-            step = self._deep_steps[depth] = self._build_deep_step(depth)
+        active = sorted(windows)
+        k = self.slots
+        if compact and active:
+            k = 1
+            while k < len(active):
+                k *= 2
+            k = min(k, self.slots)
         exy, ep = jnp.asarray(xy), jnp.asarray(p)
         up = jnp.asarray(update)
         fi = jnp.asarray(first)
@@ -573,17 +652,39 @@ class StreamPool:
             ep = jax.device_put(ep, self._ev_s)
             up = jax.device_put(up, self._slot_s)
             fi = jax.device_put(fi, self._slot_s)
-        self._carry, self._prev, preds = step(
-            self.variables, self._carry, self._prev, exy, ep, up, fi
-        )
+        if compact and active and k < self.slots:
+            lane_of = {s: i for i, s in enumerate(active)}
+            step = self._deep_steps.get((depth, k))
+            if step is None:
+                step = self._deep_steps[(depth, k)] = (
+                    self._build_deep_step_compact(depth, k)
+                )
+            lanes = jnp.asarray(
+                np.asarray(active + [active[-1]] * (k - len(active)), np.int32)
+            )
+            if self.mesh is not None:
+                lanes = jax.device_put(lanes, self._repl)
+            self._carry, self._prev, preds = step(
+                self.variables, self._carry, self._prev, exy, ep, up, fi, lanes
+            )
+        else:
+            lane_of = {s: s for s in windows}  # identity: padded program
+            step = self._deep_steps.get(depth)
+            if step is None:
+                step = self._deep_steps[depth] = self._build_deep_step(depth)
+            self._carry, self._prev, preds = step(
+                self.variables, self._carry, self._prev, exy, ep, up, fi
+            )
         # advance _seen only after a successful dispatch (matching
         # push_async): a raise above must leave first-window semantics
         # intact, or a retried window would silently skip its state reset
         for slot, wins in windows.items():
             self._seen[slot] += len(wins)
+        if compact:
+            return out_map, preds, lane_of
         return out_map, preds
 
-    def prewarm(self, depths=(1,)) -> None:
+    def prewarm(self, depths=(1,), compact=()) -> None:
         """Compile (and warm-execute) the tick programs before traffic.
 
         Runs one all-masked-out tick per depth — update masks all False, so
@@ -591,7 +692,9 @@ class StreamPool:
         pays each program's compile + first-execution cost up front instead
         of stalling a live tick (first compiles run 50-400 s on a tunneled
         chip).  Depth 1 is the shallow tick; deeper entries build the
-        :meth:`push_async_deep` ladder."""
+        :meth:`push_async_deep` ladder.  ``compact``: additional
+        ``(depth, k)`` lane-compaction rungs (power-of-two ``k < slots``)
+        to pre-build for ``push_async_deep(..., compact=True)``."""
         for depth in depths:
             if depth == 1:
                 step = self._step
@@ -611,6 +714,29 @@ class StreamPool:
                 up = jax.device_put(up, self._slot_s)
             self._carry, self._prev, preds = step(
                 self.variables, self._carry, self._prev, xy, p, up, up
+            )
+            jax.block_until_ready(preds)
+        for depth, k in compact:
+            if not (1 <= k < self.slots):
+                raise ValueError(
+                    f"compact bucket k={k} must be in [1, slots={self.slots})"
+                )
+            step = self._deep_steps.get((depth, k))
+            if step is None:
+                step = self._deep_steps[(depth, k)] = (
+                    self._build_deep_step_compact(depth, k)
+                )
+            xy = jnp.zeros((self.slots, depth, 2, self.window_size), jnp.int16)
+            p = jnp.zeros((self.slots, depth, self.window_size), jnp.int8)
+            up = jnp.zeros((self.slots, depth), bool)
+            lanes = jnp.zeros((k,), jnp.int32)
+            if self.mesh is not None:
+                xy = jax.device_put(xy, self._ev_s)
+                p = jax.device_put(p, self._ev_s)
+                up = jax.device_put(up, self._slot_s)
+                lanes = jax.device_put(lanes, self._repl)
+            self._carry, self._prev, preds = step(
+                self.variables, self._carry, self._prev, xy, p, up, up, lanes
             )
             jax.block_until_ready(preds)
 

@@ -1456,6 +1456,7 @@ class TestBenchServingDtype:
             bench_daemon_loopback("int8x", n_clients=1, windows_per_client=1)
 
 
+@pytest.mark.slow
 class TestShutdownDrain:
     def test_shutdown_answers_pending_windows_then_eof(self, server):
         """shutdown() while a pipelining client has several unread pushes:
@@ -1637,3 +1638,79 @@ class TestWireDtypes:
         model, variables = model_vars
         with pytest.raises(ValueError, match="wire_dtype"):
             EventSRServer(model, variables, RES, wire_dtype="uint4")
+
+
+class TestLaneCompaction:
+    def test_compact_lanes_server_matches_solo(self, model_vars):
+        """compact_lanes=True end-to-end at partial occupancy (1 client on
+        an 8-slot daemon): deep ticks fetch only the pushed lane (the
+        bucketed in-graph gather, docs/bench_runs/r5_lane_compaction.json)
+        and every reply still equals the solo rollout exactly."""
+        import socket as socket_mod
+        import struct as struct_mod
+
+        from bmcnet_esr_tpu.inference import server as server_mod
+
+        model, variables = model_vars
+        srv = EventSRServer(
+            model, variables, RES, slots=8, window_size=WINDOW, port=0,
+            batch_window_ms=1.0, scan_k=4, fetch_chunks=2,
+            compact_lanes=True,
+        )
+        srv.start()
+        try:
+            rng = np.random.default_rng(51)
+            wins = make_windows(rng, 9)
+            s = socket_mod.create_connection(srv.address)
+            s.settimeout(20.0)
+            raw_hello(s)
+            s.sendall(server_mod._frame(server_mod.ATTACH, b""))
+            opcode, body = server_mod._read_frame(s)
+            assert opcode == server_mod.ATTACHED
+            (slot,) = struct_mod.unpack("<I", body[:4])
+            # blast a backlog so ticks go deep (depth > 1 engages compact)
+            s.sendall(b"".join(
+                server_mod._frame(
+                    server_mod.PUSH,
+                    struct_mod.pack("<II", slot, w.shape[1])
+                    + np.ascontiguousarray(w, np.float32).tobytes(),
+                )
+                for w in wins
+            ))
+            replies = [server_mod._read_frame(s) for _ in range(len(wins))]
+            assert replies[0][0] == server_mod.PENDING
+            got = []
+            for opcode, body in replies[1:]:
+                assert opcode == server_mod.PRED
+                _, kh, kw, ch, _ = server_mod._PRED_HEAD.unpack_from(body)
+                got.append(np.frombuffer(
+                    body, np.float32, kh * kw * ch,
+                    offset=server_mod._PRED_HEAD.size,
+                ).reshape(kh, kw, ch))
+            s.close()
+            # a compact rung really served (k=1 bucket for the lone slot)
+            assert any(
+                isinstance(key, tuple) for key in srv.pool._deep_steps
+            ), "no lane-compacted program was built"
+            solo = StreamingSR(model, variables, RES, window_size=WINDOW)
+            want = [solo.push(w) for w in wins]
+            for g, w in zip(got, want[1:]):
+                np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+        finally:
+            srv.shutdown()
+
+    def test_prewarm_builds_compact_ladder(self, model_vars):
+        """Server prewarm with compact_lanes compiles every (depth, k)
+        rung up front — no live tick pays a compile."""
+        model, variables = model_vars
+        srv = EventSRServer(
+            model, variables, RES, slots=4, window_size=WINDOW, port=0,
+            batch_window_ms=1.0, scan_k=4, compact_lanes=True,
+        )
+        try:
+            srv.prewarm()
+            keys = set(srv.pool._deep_steps)
+            # padded depths 2 and 4, plus k in {1, 2} for each
+            assert {2, 4, (2, 1), (2, 2), (4, 1), (4, 2)} <= keys
+        finally:
+            srv.shutdown()

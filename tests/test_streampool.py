@@ -547,3 +547,166 @@ class TestChunkedFetch:
             StreamPool(model, variables, RES, slots=4, fetch_chunks=3)
         with pytest.raises(ValueError, match="fetch_chunks"):
             StreamPool(model, variables, RES, slots=4, fetch_chunks=0)
+
+
+class TestLaneCompaction:
+    """compact=True deep ticks: only the pushed slots' lanes are laid out
+    for fetch (bucketed in-graph gather — the low-occupancy bandwidth lever,
+    measured 3.17x/2.05x the padded serving rate at 25 %/50 % occupancy in
+    docs/bench_runs/r5_lane_compaction.json).  Must be a pure FETCH
+    transform: state updates identical for every slot, outputs equal to the
+    solo rollouts, padded program reused at full occupancy."""
+
+    def test_compact_deep_tick_matches_solo(self, model_vars):
+        model, variables = model_vars
+        rng = np.random.default_rng(31)
+        pool = StreamPool(model, variables, RES, slots=8, window_size=WINDOW)
+        s1, s2 = pool.attach(), pool.attach()
+        w1, w2 = make_windows(rng, 3), make_windows(rng, 2)
+        out_map, preds, lane_of = pool.push_async_deep(
+            {s1: w1, s2: w2}, depth=4, compact=True
+        )
+        preds = np.asarray(preds)
+        assert preds.shape[1] == 2  # k=2 bucket, not the 8 padded slots
+        assert lane_of == {s1: 0, s2: 1}
+        for slot, wins in ((s1, w1), (s2, w2)):
+            solo = StreamingSR(model, variables, RES, window_size=WINDOW)
+            for (j, has), wv in zip(out_map[slot], wins):
+                ref = solo.push(wv)
+                assert has == (ref is not None)
+                if has:
+                    np.testing.assert_allclose(
+                        preds[j, lane_of[slot]], ref, rtol=1e-5, atol=1e-6
+                    )
+
+    def test_compact_state_advances_like_padded(self, model_vars):
+        """Compaction only gathers the FETCH: a slot absent from a compact
+        tick keeps its state, and compact/padded ticks interleave freely
+        on the same pool with every stream staying solo-exact."""
+        model, variables = model_vars
+        rng = np.random.default_rng(32)
+        pool = StreamPool(model, variables, RES, slots=8, window_size=WINDOW)
+        streams = {pool.attach(): make_windows(rng, 3) for _ in range(3)}
+        slots = sorted(streams)
+        a, b, c = slots
+        got = {s: [] for s in slots}
+
+        def collect(windows_map, compact):
+            res = pool.push_async_deep(windows_map, depth=2, compact=compact)
+            out_map, preds = res[0], np.asarray(res[1])
+            lane_of = res[2] if compact else {s: s for s in out_map}
+            for slot, entries in out_map.items():
+                for j, has in entries:
+                    if has:
+                        got[slot].append(preds[j, lane_of[slot]])
+
+        # tick 1: a+b compact (k=2); c untouched
+        collect({a: streams[a][:2], b: streams[b][:2]}, compact=True)
+        # tick 2: all three, compact (k=4 bucket: padding lane repeats)
+        collect({s: streams[s][2:] for s in (a, b)} | {c: streams[c][:2]},
+                compact=True)
+        # tick 3: c's tail through the PADDED program on the same pool
+        collect({c: streams[c][2:]}, compact=False)
+        for s in slots:
+            want = [p for p in solo_preds(model, variables, streams[s])
+                    if p is not None]
+            assert len(got[s]) == len(want) == 2
+            for g, w in zip(got[s], want):
+                np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+
+    def test_full_occupancy_falls_back_to_padded_program(self, model_vars):
+        model, variables = model_vars
+        rng = np.random.default_rng(33)
+        pool = StreamPool(model, variables, RES, slots=2, window_size=WINDOW)
+        s1, s2 = pool.attach(), pool.attach()
+        n_progs = len(pool._deep_steps)
+        out_map, preds, lane_of = pool.push_async_deep(
+            {s1: make_windows(rng, 2), s2: make_windows(rng, 2)},
+            depth=2, compact=True,
+        )
+        assert lane_of == {s1: s1, s2: s2}  # identity: padded indexing
+        assert np.asarray(preds).shape[1] == 2
+        # no compact rung was compiled — the padded depth-2 program serves
+        assert set(pool._deep_steps) == {2}
+        assert len(pool._deep_steps) == n_progs + 1
+
+    def test_compact_composes_with_wire_and_chunked_fetch(self, model_vars):
+        """i8 wire + fetch_chunks: the compacted fetch is a LIST of
+        gcd(fetch_chunks, k) chunk encodings whose reassembly equals the
+        padded program's wire output on the active lanes exactly."""
+        from bmcnet_esr_tpu.inference.streaming import (
+            assemble_fetch, wire_decode,
+        )
+
+        model, variables = model_vars
+        rng = np.random.default_rng(34)
+        wa, wb = make_windows(rng, 3), make_windows(rng, 2)
+        ref = StreamPool(
+            model, variables, RES, slots=8, window_size=WINDOW, out_wire="i8"
+        )
+        cmp_ = StreamPool(
+            model, variables, RES, slots=8, window_size=WINDOW, out_wire="i8",
+            fetch_chunks=4,
+        )
+        a1, b1 = ref.attach(), ref.attach()
+        a2, b2 = cmp_.attach(), cmp_.attach()
+        map_ref, preds_ref = ref.push_async_deep({a1: wa, b1: wb}, depth=4)
+        map_cmp, preds_cmp, lane_of = cmp_.push_async_deep(
+            {a2: wa, b2: wb}, depth=4, compact=True
+        )
+        assert isinstance(preds_cmp, list) and len(preds_cmp) == 2  # gcd(4,2)
+        got = assemble_fetch(jax.device_get(preds_cmp), deep=True)
+        dec_ref = wire_decode(jax.device_get(preds_ref), "i8")
+        dec_cmp = wire_decode(got, "i8")
+        for slot_r, slot_c in ((a1, a2), (b1, b2)):
+            for (j, has), (jc, hc) in zip(map_ref[slot_r], map_cmp[slot_c]):
+                assert (j, has) == (jc, hc)
+                if has:
+                    np.testing.assert_array_equal(
+                        dec_cmp[j, lane_of[slot_c]], dec_ref[j, slot_r]
+                    )
+
+    def test_mesh_sharded_compact_matches_solo(self, model_vars):
+        """Compaction on an 8-device mesh-sharded pool: the gather crosses
+        the sharded slot axis (GSPMD collective) and still equals solo."""
+        from bmcnet_esr_tpu.parallel import make_mesh
+
+        model, variables = model_vars
+        rng = np.random.default_rng(35)
+        mesh = make_mesh(8)
+        pool = StreamPool(
+            model, variables, RES, slots=8, window_size=WINDOW, mesh=mesh
+        )
+        s1, s2 = pool.attach(), pool.attach()
+        w1, w2 = make_windows(rng, 3), make_windows(rng, 3)
+        out_map, preds, lane_of = pool.push_async_deep(
+            {s1: w1, s2: w2}, depth=4, compact=True
+        )
+        preds = np.asarray(preds)
+        assert preds.shape[1] == 2
+        for slot, wins in ((s1, w1), (s2, w2)):
+            solo = StreamingSR(model, variables, RES, window_size=WINDOW)
+            for (j, has), wv in zip(out_map[slot], wins):
+                ref = solo.push(wv)
+                assert has == (ref is not None)
+                if has:
+                    np.testing.assert_allclose(
+                        preds[j, lane_of[slot]], ref, rtol=1e-5, atol=1e-6
+                    )
+
+    def test_prewarm_compact_rungs(self, model_vars):
+        """prewarm(compact=...) builds the (depth, k) rungs without
+        touching stream state, and rejects k >= slots."""
+        model, variables = model_vars
+        pool = StreamPool(model, variables, RES, slots=4, window_size=WINDOW)
+        pool.prewarm(depths=(1, 2), compact=((2, 1), (2, 2)))
+        assert (2, 1) in pool._deep_steps and (2, 2) in pool._deep_steps
+        with pytest.raises(ValueError, match="compact bucket"):
+            pool.prewarm(depths=(), compact=((2, 4),))
+        # warmed rungs serve traffic with zero extra compiles
+        rng = np.random.default_rng(36)
+        s = pool.attach()
+        out_map, preds, lane_of = pool.push_async_deep(
+            {s: make_windows(rng, 2)}, depth=2, compact=True
+        )
+        assert np.asarray(preds).shape[1] == 1 and lane_of == {s: 0}
