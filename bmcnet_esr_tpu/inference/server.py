@@ -985,9 +985,15 @@ class EventSRServer:
                 call = lambda: self.pool.push_async(  # noqa: E731
                     {s: w[0] for s, w in windows.items()}
                 )
-            else:
+            elif self.compact_lanes:
                 call = lambda: self.pool.push_async_deep(  # noqa: E731
-                    windows, depth, compact=self.compact_lanes
+                    windows, depth, compact=True
+                )
+            else:
+                # no compact kwarg here: duck-typed pool substitutes (the
+                # hostpath bench's InstantPool) only owe the base signature
+                call = lambda: self.pool.push_async_deep(  # noqa: E731
+                    windows, depth
                 )
             result = (
                 call() if bounded_s is None else _call_bounded(call, bounded_s)

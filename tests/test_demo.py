@@ -73,6 +73,7 @@ class TestGenerateDemo:
         assert batch["inp_xy"].shape[1] == dl["dataset"]["sequence"]["sequence_length"]
         it.close()  # generator finally shuts the worker threads down
 
+    @pytest.mark.slow
     def test_stock_recipe_trains_two_iterations(self, demo, tmp_path):
         """cli.train -c configs/train_nfs.yml on the demo data: 2 optimizer
         iterations end-to-end (model downsized via the same ;-override

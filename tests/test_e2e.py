@@ -30,6 +30,7 @@ def workspace(tmp_path_factory):
     return root, h5s, str(datalist)
 
 
+@pytest.mark.slow
 def test_full_pipeline(workspace, tmp_path):
     root, h5s, datalist = workspace
 

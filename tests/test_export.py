@@ -38,6 +38,7 @@ def init_variables(model, batch=1):
     return model.init(jax.random.PRNGKey(0), x, *model.init_state(batch, *RES))
 
 
+@pytest.mark.slow
 class TestServingBundle:
     @pytest.mark.parametrize("cls", [BMCNetPlain, BMCNet])
     def test_bundle_matches_live_stream(self, cls, tmp_path):

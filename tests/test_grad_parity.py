@@ -97,6 +97,7 @@ class TestGradientParity:
 
 
 class TestTrajectoryParity:
+    @pytest.mark.slow
     def test_200_iteration_loss_curve_tracks_torch(self, goldens):
         """Same init (via converter), same data, same optimizer semantics:
         the JAX loss curve must track torch's through 200 coupled

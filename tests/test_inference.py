@@ -42,6 +42,7 @@ def make_engine(chunk_size=8, visualize=False, **kw):
 
 
 class TestEngine:
+    @pytest.mark.slow
     def test_bf16_serving_mode_tracks_fp32(self, fixture_h5):
         """The --dtype bfloat16 serving path produces metrics within the
         documented drift bound of fp32 (docs/DESIGN.md §4)."""
@@ -100,6 +101,7 @@ class TestEngine:
         assert r_small["esr_mse"] == pytest.approx(r_large["esr_mse"], rel=1e-5)
         assert r_small["bicubic_mse"] == pytest.approx(r_large["bicubic_mse"], rel=1e-5)
 
+    @pytest.mark.slow
     def test_h2d_overlap_bit_identical(self, fixture_h5):
         """The pipelined next-chunk upload (h2d_overlap, the default) must not
         change a single metric vs the serial placement path — the knob only
@@ -258,6 +260,7 @@ class TestBatchedStreams:
             assert b["bicubic_mse"] == pytest.approx(s["bicubic_mse"], rel=1e-5)
             assert b["macs"] == pytest.approx(s["macs"], rel=1e-6)
 
+    @pytest.mark.slow
     def test_int8_batch_equals_per_file(self, three_files):
         """int8 batched tracks solo tightly: activation scales are per-lane
         and re-derived per file/group from each stream's own first chunk, so
@@ -395,6 +398,7 @@ class TestStreaming:
             stream.push(np.zeros((4, 64), np.float32))
 
 
+@pytest.mark.slow
 def test_real_world_eventzoom_path(tmp_path):
     """EventZoom real-capture mode: down8_real input, no GT events
     (reference h5dataset.py:45-60 + infer --real_world_test)."""

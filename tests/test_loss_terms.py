@@ -410,6 +410,7 @@ class TestLpipsNpzBundle:
         assert float(fn(pred, gt, {})) > 0
         assert float(fn(pred, pred, {})) == pytest.approx(0.0, abs=1e-6)
 
+    @pytest.mark.slow
     def test_recon_plus_lpips_recipe_e2e(self, bundle, tmp_path):
         """BASELINE config #4 (recon + LPIPS perceptual) as one jitted
         training step at LPIPS-viable shapes: finite, decreasing."""

@@ -69,6 +69,7 @@ def inputs(g, spatial):
 
 
 class TestNetLin:
+    @pytest.mark.slow
     @pytest.mark.parametrize("net", ["alex", "vgg", "squeeze"])
     @pytest.mark.parametrize("version", ["0.0", "0.1"])
     @pytest.mark.parametrize("spatial", [False, True], ids=["scalar", "spatial"])
@@ -120,6 +121,7 @@ class TestResnet:
             assert tap.shape == want.shape
             np.testing.assert_allclose(np.asarray(tap), want, atol=1e-4, rtol=1e-4)
 
+    @pytest.mark.slow
     def test_deep_variants_construct(self, g):
         """34/101/152 share the block code; one forward sanity each."""
         for num in (34, 101, 152):

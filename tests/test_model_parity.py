@@ -173,6 +173,7 @@ class TestInt8Serving:
         ]
         assert paths(p) == paths(pq)
 
+    @pytest.mark.slow
     def test_int8_static_calibration_close_to_fp32(self):
         """Static (calibrated) activation scales: the serving fast path
         (no per-call max pass; v5e: 1051 vs 990 dynamic vs 932 bf16 fps)
@@ -217,6 +218,7 @@ class TestInt8Serving:
 
 
 class TestCalibrateFromH5:
+    @pytest.mark.slow
     def test_n_windows_beyond_default_max_steps_are_used(self, tmp_path):
         """--calib_windows larger than calibrate_act_scales' default
         max_steps must calibrate over ALL requested windows: a burst living
@@ -281,6 +283,7 @@ class TestInt8LaneIndependence:
             preds.append(np.asarray(outs[-1], np.float32))
         return np.stack(preds)  # [S, B, kh, kw, 2]
 
+    @pytest.mark.slow
     def test_dynamic_scales_batched_equals_solo(self):
         m, v, h, w = self._model_and_vars()
         rng = np.random.default_rng(11)

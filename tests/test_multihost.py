@@ -97,6 +97,7 @@ def _run_distributed(fixture_h5, tmp_path) -> list:
     return results
 
 
+@pytest.mark.slow
 class TestMultiProcessDataParallel:
     def test_matches_single_process_two_device_run(self, fixture_h5, tmp_path):
         results = _run_distributed(fixture_h5, tmp_path)

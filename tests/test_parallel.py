@@ -183,6 +183,7 @@ class TestParallelStep:
         with pytest.raises(ValueError, match="divide"):
             sharded.infer_file_batch(paths[:3])  # 3 streams on an 8-mesh
 
+    @pytest.mark.slow
     def test_sharded_int8_serving_calibrates_and_tracks_fp32(
         self, setup, tmp_path_factory
     ):
@@ -344,6 +345,7 @@ class _ReBatch:
         return getattr(self._inner, name)
 
 
+@pytest.mark.slow
 def test_trainer_model_parallel_resume(setup, tmp_path):
     """Orbax resume under the dp x tp mesh: restored (host) state re-places
     onto the channel shardings at the next step and training continues."""

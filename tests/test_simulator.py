@@ -293,6 +293,7 @@ class TestMultiScale:
 
 
 class TestLearning:
+    @pytest.mark.slow
     def test_training_learns_from_simulated_video(self, tmp_path):
         """The fully self-contained loop: video -> simulated events -> h5 ->
         BPTT training, no external tool or dataset anywhere.  Unlike the

@@ -683,6 +683,7 @@ class TestQAT:
     3x3 convs on the exact int8 serving grid with straight-through
     gradients, so a fine-tuned checkpoint serves as int8 unchanged."""
 
+    @pytest.mark.slow
     def test_qat_training_converges(self, loaders):
         train_loader, _ = loaders
         model = BMCNetPlain(scale=2, n_c=8, n_b=2, quant="qat")
