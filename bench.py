@@ -550,6 +550,7 @@ def child_tpu(state_file: str, budget_s: float) -> None:
     # (docs/bench_runs/r4_wire_chunks.json: i8×c4 fastest at 126.3 wps,
     # c8 a dead end on both dtypes) — re-probed below only when a manual
     # long-budget run leaves room.
+    _WIRE_REC = "docs/bench_runs/r4_wire_chunks.json"
     record(
         "fps_daemon_loopback_f16_c4",
         lambda: _daemon_loopback_fps(
@@ -557,10 +558,10 @@ def child_tpu(state_file: str, budget_s: float) -> None:
         ),
         optional=True,
         reserve_s=450.0,
+        cite=_WIRE_REC + " (f16_c4 86.6 wps) + BENCH_HISTORY 2026-08-20",
     )
     # ---- decision-record re-probes (manual BENCH_TOTAL_BUDGET_S>=3600
     # runs only; a driver-window run skips these WITH the citation) ----
-    _WIRE_REC = "docs/bench_runs/r4_wire_chunks.json"
     _ROUTE_REC = ("docs/DESIGN.md §6 (chain ties plain int8, chainq/p1x1 "
                   "regress, pconv/pall/pquant fail the axon remote-compile; "
                   "BENCH_HISTORY 2026-08-20)")
