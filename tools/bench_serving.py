@@ -119,6 +119,8 @@ def bench_daemon_loopback(
     window_size: int = N_EVENTS,
     wire_dtype: str = "float32",
     fetch_chunks: int = 1,
+    slots: int | None = None,
+    compact_lanes: bool = False,
 ):
     """Windows/sec through the full TCP daemon at full-model NFS shapes.
 
@@ -131,6 +133,13 @@ def bench_daemon_loopback(
     the HR predictions dominate both the device->host link and the socket,
     so on a bandwidth-bound attachment this knob — not compute — moves the
     number (see server.py protocol v3).
+
+    ``slots`` (default ``n_clients``): daemon slot count — set it ABOVE
+    ``n_clients`` to bench partial occupancy, the regime where
+    ``compact_lanes`` (lane-compacted deep-tick fetches,
+    docs/bench_runs/r5_lane_compaction.json) earns its keep.  With
+    ``compact_lanes`` only the rungs the client count can hit are
+    prewarmed, so the A/B pays 3 extra compiles, not the full ladder.
     """
     import jax
     import jax.numpy as jnp
@@ -161,12 +170,28 @@ def bench_daemon_loopback(
     variables = model.init(
         jax.random.key(0), dummy, *model.init_state(1, h, w)
     )
+    slots = n_clients if slots is None else slots
     server = EventSRServer(
-        model, variables, (h, w), slots=n_clients,
+        model, variables, (h, w), slots=slots,
         window_size=window_size, port=0, batch_window_ms=2.0, scan_k=scan_k,
         wire_dtype=wire_dtype, fetch_chunks=fetch_chunks,
+        compact_lanes=compact_lanes,
     )
-    server.prewarm()
+    if compact_lanes and n_clients < slots:
+        # only the occupancy bucket this client count hits: k = next
+        # power of two >= n_clients (see StreamPool.push_async_deep)
+        k = 1
+        while k < n_clients:
+            k *= 2
+        depths, d = [1], 2
+        while d <= scan_k:
+            depths.append(d)
+            d *= 2
+        server.pool.prewarm(
+            depths, compact=[(dd, k) for dd in depths if dd > 1]
+        )
+    else:
+        server.prewarm()
     server.start()
     return drive_clients(
         server, n_clients, windows_per_client, pipeline,
