@@ -166,6 +166,10 @@ class InferenceEngine:
         self.vis_color_scheme = vis_color_scheme
         self.extra_metrics = tuple(extra_metrics)  # subset of {psnr, ssim}
         self.h2d_overlap = bool(h2d_overlap)
+        # chunks whose upload pipelining was skipped because the host h5
+        # read hadn't finished (pending.done() gate) — surfaced in results
+        # so a host-IO-bound run losing the overlap win is observable
+        self._overlap_skips = 0
         self.mesh = mesh
         if mesh is not None:
             from bmcnet_esr_tpu.parallel import replicate_tree
@@ -407,6 +411,8 @@ class InferenceEngine:
             pool.shutdown(wait=False)
             ds.close()
         result = track.result()
+        if self.h2d_overlap:
+            result["h2d_overlap_skips"] = self._overlap_skips
         if logger is not None:
             logger.log_dict(result, "evaluation results")
         if return_per_window:
@@ -419,6 +425,7 @@ class InferenceEngine:
     def _rollout_chunks(self, chunk_bounds, load_chunk, pool, img_pool,
                         img_futures, img_dirs, carry, inp_res, gt_res, track,
                         pw_esr, pw_bic):
+        self._overlap_skips = 0  # per-run counter (reported in the result)
         macs_done = False
         frame_idx = 0
         pending = pool.submit(load_chunk, *chunk_bounds[0])
@@ -468,6 +475,13 @@ class InferenceEngine:
                     pending = pool.submit(load_chunk, *chunk_bounds[ci + 2])
                 next_dev = self._place_events(inp_c, gt_c, 1)
             else:
+                if self.h2d_overlap and ci + 1 < len(chunk_bounds):
+                    # host read still running: overlap skipped for this
+                    # chunk so the timed window stays pure device cost.
+                    # Counted and surfaced as h2d_overlap_skips in the
+                    # result — a host-IO-bound run that silently loses the
+                    # -38.6% overlap win must be observable, not invisible
+                    self._overlap_skips += 1
                 next_dev = None
             # reliable device sync (block_until_ready can return early on the
             # tunneled chip); then measure.  dt is wall per window across
@@ -589,6 +603,7 @@ class InferenceEngine:
         pool = ThreadPoolExecutor(max_workers=1)
         pending = pool.submit(load_chunk, *chunk_bounds[0])
         carry = self._place_carry(tuple(self.model.init_state(b, *inp_res)), b)
+        self._overlap_skips = 0  # per-run counter (reported in the results)
         macs_done = False
 
         next_dev = None
@@ -614,12 +629,20 @@ class InferenceEngine:
                 self.variables, carry, *inp_dev, *gt_dev
             )
             # overlap the next chunk's h2d with this chunk's device scan
-            # (same bit-identical pipelining as _rollout_chunks)
-            if self.h2d_overlap and ci + 1 < len(chunk_bounds):
+            # (same bit-identical pipelining + done()-gate + skip counter
+            # as _rollout_chunks)
+            if (
+                self.h2d_overlap and ci + 1 < len(chunk_bounds)
+                and pending.done()
+            ):
                 inp_c, gt_c = pending.result()
                 if ci + 2 < len(chunk_bounds):
                     pending = pool.submit(load_chunk, *chunk_bounds[ci + 2])
                 next_dev = self._place_events(inp_c, gt_c, b)
+            else:
+                if self.h2d_overlap and ci + 1 < len(chunk_bounds):
+                    self._overlap_skips += 1
+                next_dev = None
             esr = np.asarray(esr)
             dt_ms = (time.perf_counter() - t0) * 1000.0 / steps
             bicm = np.asarray(bicm)
@@ -638,7 +661,11 @@ class InferenceEngine:
         pool.shutdown(wait=False)
         for ds in dss:
             ds.close()
-        return [t.result() for t in tracks]
+        results = [t.result() for t in tracks]
+        if self.h2d_overlap:
+            for r in results:  # run-level counter, same for every stream
+                r["h2d_overlap_skips"] = self._overlap_skips
+        return results
 
     # -- datalist driver ----------------------------------------------------
 

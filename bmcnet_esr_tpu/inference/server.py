@@ -960,8 +960,9 @@ class EventSRServer:
     def _dispatch_tick(self, bounded_s: float | None = None):
         """Pop up to ``depth`` windows per pending slot and enqueue ONE
         device step; returns ``(owners, out_map, preds_device, enqueued,
-        deep)`` for the later fetch, or ``None`` if the dispatch itself
-        failed (every pusher got an ERROR reply).
+        deep, lane_of)`` for the later fetch (``lane_of``: slot->column
+        map of a lane-compacted deep tick, else ``None``), or ``None`` if
+        the dispatch itself failed (every pusher got an ERROR reply).
 
         ``bounded_s`` (shutdown drain only) runs the device call through
         :func:`_call_bounded`; if it never returns, the consumed windows

@@ -122,12 +122,13 @@ def rollout_fps_v(
 
 
 def main():
+    # THE blessed cache helper (CLAUDE.md): makedirs + min-compile-time too
+    from bmcnet_esr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     print("devices:", jax.devices(), flush=True)
 
     t_end = time.monotonic() + BUDGET_S

@@ -178,18 +178,23 @@ def bench_daemon_loopback(
         compact_lanes=compact_lanes,
     )
     if compact_lanes and n_clients < slots:
-        # only the occupancy bucket this client count hits: k = next
-        # power of two >= n_clients (see StreamPool.push_async_deep)
-        k = 1
-        while k < n_clients:
-            k *= 2
+        # every occupancy bucket live ticks can hit: a batch window may
+        # close with anywhere from 1 to n_clients slots queued, so the
+        # rung set is all power-of-two k up to bucket(n_clients) — capped
+        # BELOW slots (at k >= slots push_async_deep uses the padded
+        # program, and StreamPool.prewarm rejects such rungs)
+        k_max = 1
+        while k_max < n_clients:
+            k_max *= 2
         depths, d = [1], 2
         while d <= scan_k:
             depths.append(d)
             d *= 2
-        server.pool.prewarm(
-            depths, compact=[(dd, k) for dd in depths if dd > 1]
-        )
+        rungs, kk = [], 1
+        while kk <= k_max and kk < slots:
+            rungs.extend((dd, kk) for dd in depths if dd > 1)
+            kk *= 2
+        server.pool.prewarm(depths, compact=rungs)
     else:
         server.prewarm()
     server.start()

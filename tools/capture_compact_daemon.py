@@ -47,8 +47,11 @@ def main():
         "runs": [],
     }
     offs, ons = [], []
-    seq = [("warm_on", True), ("off", False), ("on", True)] * 1 + [
-        ("off", False), ("on", True), ("off", False), ("on", True),
+    seq = [
+        ("warm_on", True),
+        ("off", False), ("on", True),
+        ("off", False), ("on", True),
+        ("off", False), ("on", True),
     ]
     for label, compact in seq:
         t0 = time.perf_counter()
