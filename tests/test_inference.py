@@ -118,6 +118,12 @@ class TestEngine:
         )
         for a, b in zip(b_plain, b_pipe):
             assert a["esr_mse"] == b["esr_mse"]
+        # observability: overlaps the done() gate skipped are surfaced in
+        # results (pipelined runs only — the knob off means nothing skipped)
+        assert pipelined["h2d_overlap_skips"] >= 0
+        assert "h2d_overlap_skips" not in plain
+        for b in b_pipe:
+            assert b["h2d_overlap_skips"] >= 0
 
     def test_datalist_outputs(self, fixture_h5, tmp_path):
         eng = make_engine(visualize=True)
