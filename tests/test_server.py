@@ -415,6 +415,7 @@ class TestServer:
         def fake_serve(self):
             launched["addr"] = self.address
             launched["chunks"] = self.pool.fetch_chunks
+            launched["compact"] = self.compact_lanes
 
         monkeypatch.setattr(
             serve_cli.EventSRServer, "serve_forever", fake_serve
@@ -429,8 +430,13 @@ class TestServer:
         serve_cli.main(base)
         assert launched["addr"][1] > 0
         assert launched["chunks"] == 4  # auto default at --slots 8
+        assert launched["compact"] is False  # opt-in (DESIGN §10)
         serve_cli.main(base + ["--slots", "6"])
         assert launched["chunks"] == 3  # largest divisor of 6 that is <= 4
+        serve_cli.main(
+            base + ["--slots", "4", "--scan_k", "2", "--compact_lanes"]
+        )
+        assert launched["compact"] is True
 
     def test_cli_int8_startup_calibration(self, monkeypatch, tmp_path):
         """--dtype int8 with --calib_h5 starts the server with a calibrated
