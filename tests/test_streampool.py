@@ -710,3 +710,37 @@ class TestLaneCompaction:
             {s: make_windows(rng, 2)}, depth=2, compact=True
         )
         assert np.asarray(preds).shape[1] == 1 and lane_of == {s: 0}
+
+    def test_compact_survives_hot_reload(self, model_vars):
+        """reload() swaps weights; compact rungs (weights are call args,
+        not baked constants) keep serving the new weights with state
+        carried — equality vs a solo rollout that swaps at the same
+        point, through compacted deep ticks on both sides of the swap."""
+        model, v1 = model_vars
+        h, w = RES
+        dummy = jnp.zeros((1, 2, h, w, 2))
+        v2 = model.init(jax.random.key(123), dummy, *model.init_state(1, h, w))
+        rng = np.random.default_rng(37)
+        wins = make_windows(rng, 4)
+        pool = StreamPool(model, v1, RES, slots=4, window_size=WINDOW)
+        s = pool.attach()
+
+        def drain(wlist):
+            out_map, preds, lane_of = pool.push_async_deep(
+                {s: wlist}, depth=2, compact=True
+            )
+            preds = np.asarray(preds)
+            return [preds[j, lane_of[s]] for j, has in out_map[s] if has]
+
+        got = drain(wins[:2])
+        pool.reload(v2)
+        got += drain(wins[2:])
+
+        solo = StreamingSR(model, v1, RES, window_size=WINDOW)
+        want = [solo.push(wv) for wv in wins[:2]]
+        solo.reload(v2)
+        want += [solo.push(wv) for wv in wins[2:]]
+        want = [p for p in want if p is not None]
+        assert len(got) == len(want) == 3
+        for g, wv in zip(got, want):
+            np.testing.assert_allclose(g, wv, rtol=1e-5, atol=1e-6)
