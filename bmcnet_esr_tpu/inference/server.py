@@ -166,6 +166,11 @@ _MAX_FRAME = 64 << 20  # generous bound: the largest legal frame is one
 # PRED (kh*kw*c f32 ~ a few MB); a hostile/corrupt length field must not
 # drive a multi-GB allocation or an IndexError on an empty payload
 _RECV_CHUNK = 1 << 18  # bytes per non-blocking recv on the server side
+_MAX_RBUF = 8 << 20  # inbound-buffer cap per connection: far above any
+# legitimate frame (a PUSH is 16*window_size+20 bytes — 32 KB at the
+# default window), so only a flooding/desynced peer ever reaches it; the
+# read loop yields back to the selector at the cap (fairness) and a
+# still-oversized unparseable residue drops the connection (OOM guard)
 _MAX_WBUF = 64 << 20  # buffered unsent replies before a non-reading client
 # is dropped — backpressure must never block the single server thread
 _MAX_QUEUE = 32  # pending windows per slot; the device consumes one per
@@ -210,8 +215,12 @@ def _call_bounded(fn, timeout_s: float):
 
 def _valid_polarity(p: "np.ndarray") -> bool:
     """True iff every polarity is exactly -1, 0 (padding) or +1 — the
-    domain on which the compact int8 transfer is bit-exact (NaN fails)."""
-    return bool(np.isin(p, (-1.0, 0.0, 1.0)).all())
+    domain on which the compact int8 transfer is bit-exact (NaN fails).
+    Delegates to THE implementation in streaming.valid_polarity so the
+    protocol boundary and the pool's own guard can never disagree."""
+    from bmcnet_esr_tpu.inference.streaming import valid_polarity
+
+    return valid_polarity(p)
 
 
 def _read_frame(sock: socket.socket) -> Tuple[int, bytes]:
@@ -331,6 +340,7 @@ class EventSRServer:
         # marks entries that own (and must release) _reload_inflight.
         self._reload_q: deque = deque()
         self._reload_inflight = threading.Event()
+        self._reload_check = threading.Lock()  # atomic test-and-set above
         self._listener = socket.create_server((host, port))
         self._listener.setblocking(False)
         self.address = self._listener.getsockname()
@@ -434,11 +444,15 @@ class EventSRServer:
         # single in-flight reload: the loader runs the full checkpoint
         # load/convert (and int8 calibration), so a RELOAD-spamming client
         # must not stack loader threads + weight pytrees (the same "no
-        # single connection can wedge/OOM the daemon" rule as _MAX_QUEUE)
-        if self._reload_inflight.is_set():
-            self.reloads_failed += 1
-            raise ValueError("reload already in progress")
-        self._reload_inflight.set()
+        # single connection can wedge/OOM the daemon" rule as _MAX_QUEUE).
+        # The test-and-set is under a lock: a SIGHUP trigger_reload (main
+        # thread) racing a client RELOAD frame (serve thread) could
+        # otherwise both pass the is_set() check and stack two loaders
+        with self._reload_check:
+            if self._reload_inflight.is_set():
+                self.reloads_failed += 1
+                raise ValueError("reload already in progress")
+            self._reload_inflight.set()
 
         def _load():
             try:
@@ -649,7 +663,13 @@ class EventSRServer:
             )
 
     def _accept(self) -> None:
-        conn, _ = self._listener.accept()
+        try:
+            conn, _ = self._listener.accept()
+        except OSError:
+            # EMFILE (fd exhaustion), ECONNABORTED, …: the ONE new
+            # connection fails; the daemon must keep serving everyone else
+            # instead of letting the exception kill the serve thread
+            return
         conn.setblocking(False)  # never let one peer's pace stall the loop
         self._sel.register(conn, selectors.EVENT_READ, "client")
         self._conn_slots[conn] = set()
@@ -815,6 +835,13 @@ class EventSRServer:
                 conn.rbuf += chunk
                 if len(chunk) < _RECV_CHUNK:
                     break
+                if len(conn.rbuf) >= _MAX_RBUF:
+                    # a peer writing faster than we parse must not pin the
+                    # serve thread in this loop (every other client and the
+                    # device ticks would stall) nor grow rbuf unboundedly —
+                    # parse what we have; the level-triggered selector
+                    # re-delivers the rest next loop iteration
+                    break
         except (BlockingIOError, InterruptedError):
             pass
         except OSError:
@@ -825,6 +852,12 @@ class EventSRServer:
         except ValueError:
             # a corrupt length word is indistinguishable from a desynced
             # byte stream — drop the connection, never the server
+            self._drop(sock)
+            return
+        if len(conn.rbuf) > _MAX_RBUF:
+            # parsing consumed nothing and the residue still exceeds the
+            # cap: a single "frame" larger than any legitimate one — a
+            # desynced or hostile stream; drop the peer, never OOM
             self._drop(sock)
             return
         for opcode, body in frames:
@@ -915,8 +948,8 @@ class EventSRServer:
                         f"window of {n} events exceeds window_size "
                         f"{self.pool.window_size}"
                     )
-                queue = self._pending.setdefault(slot, [])
-                if len(queue) >= _MAX_QUEUE:
+                queue = self._pending.get(slot)
+                if queue is not None and len(queue) >= _MAX_QUEUE:
                     raise ValueError(
                         f"slot {slot} queue full "
                         f"({_MAX_QUEUE} windows pending)"
@@ -932,7 +965,12 @@ class EventSRServer:
                     raise ValueError(
                         "event polarity must be -1, 0 (padding) or +1"
                     )
-                queue.append((ev, time.monotonic()))
+                # enqueue ONLY after every validation passed: a rejected
+                # frame must not leave a permanently-empty queue entry in
+                # _pending (it would poison a later shared tick)
+                self._pending.setdefault(slot, []).append(
+                    (ev, time.monotonic())
+                )
             elif opcode == STATS:
                 self._send(
                     sock, _frame(STATS_OK, json.dumps(self.stats()).encode())
@@ -949,7 +987,11 @@ class EventSRServer:
         ``scan_k`` and the deepest slot queue.  Shallow queues keep 1-step
         latency; backlogs drain through deep ticks (one dispatch for up to
         ``scan_k`` windows per slot — see :meth:`StreamPool.push_async_deep`)."""
-        if self.scan_k <= 1:
+        if self.scan_k <= 1 or not self._pending:
+            # _pending can empty between the due check and the dispatch:
+            # the _fetched reply drain in between can _drop a client whose
+            # socket errored, releasing its slots — max() over an empty
+            # dict would kill the serve thread
             return 1
         max_d = max(len(q) for q in self._pending.values())
         depth = 1
@@ -975,8 +1017,14 @@ class EventSRServer:
             del queue[:depth]
             if not queue:
                 del self._pending[slot]
+            if not take:
+                continue  # defensively skip an empty queue entry: an
+                # empty window list would IndexError inside the shared
+                # tick and error every OTHER pusher's consumed windows
             windows[slot] = [w for w, _ in take]
             enqueued[slot] = [t for _, t in take]
+        if not windows:
+            return None  # raced: every pending client dropped before us
         # capture owners NOW: a slot detached and re-attached by another
         # client while this tick is in flight must not receive its reply
         owners = {slot: self._slot_owner.get(slot) for slot in windows}

@@ -176,8 +176,7 @@ def pad_window_compact(
     xy = np.zeros((2, window_size), np.int16)
     p = np.zeros((window_size,), np.int8)
     if n:
-        pol = events[3]
-        if not ((pol == 0) | (np.abs(pol) == 1)).all():
+        if not valid_polarity(events[3]):
             # the int8 polarity cast is exact ONLY on {-1, 0, +1}: 0.5
             # would truncate to 0 and 200 wrap to -56, silently diverging
             # from the float32 solo path (the daemon rejects such windows
@@ -186,6 +185,15 @@ def pad_window_compact(
             raise ValueError("event polarity must be -1, 0 (padding) or +1")
         xy[:, :n], p[:n] = compact_events(events)
     return xy, p
+
+
+def valid_polarity(pol: np.ndarray) -> bool:
+    """True iff every polarity is exactly -1, 0 (padding) or +1 — the one
+    domain on which the compact int8 transfer is bit-exact (NaN fails).
+    THE single implementation of the rule: both the daemon's per-client
+    protocol rejection (server._valid_polarity) and the pool's own guard
+    (:func:`pad_window_compact`) call this, so they can never diverge."""
+    return bool(np.isin(pol, (-1.0, 0.0, 1.0)).all())
 
 
 def _validate_swap(old, new) -> None:

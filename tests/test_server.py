@@ -1720,3 +1720,100 @@ class TestLaneCompaction:
             assert {2, 4, (2, 1), (2, 2), (4, 1), (4, 2)} <= keys
         finally:
             srv.shutdown()
+
+
+class TestDaemonRobustnessR5:
+    """Round-5 review fixes: races and resource bounds that could kill or
+    wedge the whole daemon from one client's behavior."""
+
+    def test_rejected_push_does_not_poison_shared_tick(self, server, model_vars):
+        """A PUSH that fails validation (bad polarity) must not leave an
+        empty queue entry behind: the NEXT shared tick used to IndexError
+        on it, erroring every other client's consumed windows."""
+        import socket as socket_mod
+        import struct as struct_mod
+
+        from bmcnet_esr_tpu.inference import server as server_mod
+
+        model, variables = model_vars
+        rng = np.random.default_rng(61)
+
+        def attach(s):
+            s.sendall(server_mod._frame(server_mod.ATTACH, b""))
+            opcode, body = server_mod._read_frame(s)
+            assert opcode == server_mod.ATTACHED
+            return struct_mod.unpack("<I", body[:4])[0]
+
+        sa = socket_mod.create_connection(server.address)
+        sa.settimeout(20.0)
+        raw_hello(sa)
+        slot_a = attach(sa)
+        bad = make_windows(rng, 1)[0]
+        bad[3, 0] = 0.5  # invalid polarity -> per-client rejection
+        sa.sendall(server_mod._frame(
+            server_mod.PUSH,
+            struct_mod.pack("<II", slot_a, bad.shape[1])
+            + np.ascontiguousarray(bad, np.float32).tobytes(),
+        ))
+        opcode, _ = server_mod._read_frame(sa)
+        assert opcode == server_mod.ERROR
+        # no ghost entry for A's slot may survive the rejection
+        assert slot_a not in server._pending
+
+        sb = socket_mod.create_connection(server.address)
+        sb.settimeout(20.0)
+        raw_hello(sb)
+        slot_b = attach(sb)
+        good = make_windows(rng, 1)[0]
+        sb.sendall(server_mod._frame(
+            server_mod.PUSH,
+            struct_mod.pack("<II", slot_b, good.shape[1])
+            + np.ascontiguousarray(good, np.float32).tobytes(),
+        ))
+        opcode, _ = server_mod._read_frame(sb)
+        assert opcode == server_mod.PENDING  # served, not errored
+        sa.close()
+        sb.close()
+
+    def test_tick_depth_survives_emptied_pending(self, server):
+        """_pending can empty between the due check and the dispatch (a
+        reply-drain _drop releases the only pending client's slots); the
+        tick path must no-op, not ValueError the serve thread."""
+        assert server._pending == {}
+        assert server._tick_depth() == 1
+        assert server._dispatch_tick() is None
+
+    def test_oversized_unparseable_stream_dropped_not_oomed(self, server):
+        """A single 'frame' claiming a length beyond any legitimate frame
+        must drop the connection once the buffered residue exceeds the
+        inbound cap — never grow rbuf unboundedly."""
+        import socket as socket_mod
+        import struct as struct_mod
+
+        from bmcnet_esr_tpu.inference import server as server_mod
+
+        import time as time_mod
+
+        before = server.conns_closed
+        s = socket_mod.create_connection(server.address)
+        s.settimeout(20.0)
+        raw_hello(s)
+        # one frame header claiming ~3x the cap, then stream garbage
+        s.sendall(struct_mod.pack("<BI", server_mod.PUSH, 3 * server_mod._MAX_RBUF))
+        blob = b"\x00" * (1 << 20)
+        try:
+            for _ in range(3 * server_mod._MAX_RBUF // len(blob) + 2):
+                s.sendall(blob)
+        except (BrokenPipeError, ConnectionResetError):
+            pass  # server dropped us mid-stream: exactly the guard firing
+        # the server must DROP the connection (counter increments) rather
+        # than buffer the stream forever — poll briefly for the teardown
+        deadline = time_mod.monotonic() + 10.0
+        while server.conns_closed <= before and time_mod.monotonic() < deadline:
+            time_mod.sleep(0.05)
+        assert server.conns_closed > before, "oversized stream never dropped"
+        s.close()
+        c = EventSRClient(*server.address)  # daemon still serves
+        c.attach()
+        c.detach()
+        c.close()
