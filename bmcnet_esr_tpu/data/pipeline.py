@@ -102,12 +102,16 @@ class SequenceLoader:
             self._index.extend((d, i) for i in range(len(ds)))
 
     def __len__(self) -> int:
-        n = len(self._shard_indices(epoch=0, count_only=True))
+        # arithmetic, not a materialized shard: the shuffle cannot change
+        # the count, and _shard_indices pads to equal-length shards
+        n = len(self._index)
+        if self.shard_count > 1:
+            n = -(-n // self.shard_count)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _shard_indices(self, epoch: int, count_only: bool = False):
+    def _shard_indices(self, epoch: int):
         idx = list(self._index)
         if self.shuffle:
             np.random.default_rng(self.seed + epoch).shuffle(idx)
@@ -210,6 +214,14 @@ class SequenceLoader:
                     rng = np.random.default_rng((self.seed, epoch, b))
                     if not put_or_stop(queues[wid], self._load_batch(local, batch, rng)):
                         break
+            except BaseException as exc:  # noqa: BLE001 — must reach the consumer
+                # a worker failure (corrupt h5, schema mismatch) must NOT
+                # degrade into a silent early completion sentinel: that
+                # would drop ~1/num_workers of the epoch without a trace,
+                # and under multi-host break the equal-batch-count
+                # invariant (the next collective would hang every host).
+                # Ship the exception itself; the consumer re-raises.
+                put_or_stop(queues[wid], exc)
             finally:
                 # close BEFORE signalling completion: if the interpreter
                 # starts finalizing while a daemon worker sits inside h5py's
@@ -283,6 +295,13 @@ class SequenceLoader:
                 if item is None:
                     done[wid] = True
                     continue
+                if isinstance(item, BaseException):
+                    # surfaced from a failed worker (see the worker's
+                    # except): the epoch is incomplete — raise, never
+                    # silently yield a short epoch
+                    raise RuntimeError(
+                        "loader worker failed while reading a batch"
+                    ) from item
                 yield item
         finally:
             try:

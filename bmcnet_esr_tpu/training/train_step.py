@@ -156,7 +156,9 @@ def _events_for_terms(batch: Dict[str, Array], extra_losses: Tuple):
     terms (flow / brightness-constancy families) need the raw format —
     ``compact_transfer: False`` in the dataloader block.
     """
-    if not any(getattr(fn, "needs_events", False) for _, _, fn in extra_losses):
+    from bmcnet_esr_tpu.training.losses import needs_events  # THE predicate
+
+    if not needs_events(extra_losses):
         return None, None
     if "inp_events" not in batch:
         raise ValueError(
@@ -314,6 +316,14 @@ def make_eval_step(
     final short batch to full size), padded clips are excluded from the
     metrics by a weighted mean — one compilation for the whole valid loop
     instead of a second multi-minute compile for the odd final batch.
+
+    Known limitation (documented, not silent): EXTRA loss terms return
+    batch-mean scalars by contract (``fn(pred, gt, aux) -> scalar``), so on
+    the final wrap-padded batch their component of ``valid_loss`` includes
+    the duplicated clips at full weight — a slight over-weighting of real
+    (wrapped) clips, bounded by ``(B - n_valid)/B`` of the extra term's
+    magnitude on one batch.  The MSE component is exactly mask-weighted.
+    Excluding padding from the extras would need a per-clip term contract.
     """
 
     def step(params, batch: Dict[str, Array]):

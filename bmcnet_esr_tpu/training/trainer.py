@@ -210,6 +210,24 @@ class Trainer:
                         "transfer format, which drops timestamps — set "
                         f"compact_transfer: False in the {label} block"
                     )
+        # ship the valid-event counts only when a term needs them (see the
+        # _STEP_KEYS comment): event-consuming terms anchor timestamp
+        # normalization on the last VALID event of each padded window
+        self._step_keys = self._STEP_KEYS + (
+            ("inp_len",) if needs_events(self.extra_losses) else ()
+        )
+        if self.train_loader is not None and getattr(
+            self.train_loader, "pad_last", False
+        ):
+            # the TRAIN loss has no clip_mask weighting (matching the
+            # reference's unweighted mean): wrap-padded duplicate clips in
+            # the final short batch would train at full gradient weight
+            self.logger.warning(
+                "train_dataloader pad_last=True: the final short batch's "
+                "wrap-padded duplicate clips contribute full-weight "
+                "gradients (clip_mask weighting applies to EVAL only); "
+                "prefer drop_last for training"
+            )
         if self.extra_losses:
             self.logger.info(
                 "extra loss terms: "
@@ -279,7 +297,10 @@ class Trainer:
                     )
                 n_dev = jax.device_count()
             else:
-                n_dev = jax.device_count() // n_model
+                # data_parallel: false with model_parallel > 1 means a
+                # (1, model) mesh — the user disabled the data axis, so it
+                # must not be silently re-enabled from the device count
+                n_dev = jax.device_count() // n_model if use_dp else 1
                 if batch_size % n_dev != 0:
                     # shrink the data axis to the largest divisor of the batch
                     n_dev = max(d for d in range(1, n_dev + 1) if batch_size % d == 0)
@@ -348,15 +369,34 @@ class Trainer:
         # same one-ahead device placement for validation (numpy-fed eval
         # dispatches would pay the synchronous upload the train path avoids)
         self._shard_eval_batch = jax.device_put
-        if (
-            self.mesh is not None
-            and self.valid_loader is not None
+        eval_shard_ok = False
+        if self.mesh is not None and self.valid_loader is not None:
             # data-axis degree: 'data' x the outer 'dcn_data' on a
-            # multi-slice mesh (batch shards over the hierarchy jointly)
-            and self.valid_loader.batch_size
-            % (self.mesh.shape["data"] * self.mesh.shape.get("dcn_data", 1))
-            == 0
-        ):
+            # multi-slice mesh (batch shards over the hierarchy jointly).
+            # Under multi-host the LOCAL valid batch shards over THIS
+            # process's share of that degree (shard_batch assembles the
+            # global array) — dividing the local batch by the GLOBAL
+            # degree would wrongly reject every multi-host config and
+            # fall back to a device_put path that cannot feed mesh-placed
+            # params.
+            data_degree = self.mesh.shape["data"] * self.mesh.shape.get(
+                "dcn_data", 1
+            )
+            if jax.process_count() > 1:
+                data_degree = max(data_degree // jax.process_count(), 1)
+            eval_shard_ok = (
+                self.valid_loader.batch_size % data_degree == 0
+            )
+            if not eval_shard_ok and jax.process_count() > 1:
+                # the single-host fallback below places host-local arrays,
+                # which is incompatible with globally-replicated params —
+                # fail loudly with guidance instead of hanging at _valid
+                raise ValueError(
+                    f"local valid batch {self.valid_loader.batch_size} must "
+                    f"be divisible by this host's {data_degree}-way share "
+                    "of the mesh data axis for multi-host validation"
+                )
+        if eval_shard_ok:
             from bmcnet_esr_tpu.parallel import channel_sharding, make_parallel_eval_step
 
             params_sh = (
@@ -459,10 +499,18 @@ class Trainer:
 
     # the jitted steps consume only these keys; shipping anything else (the
     # *_len bookkeeping) changes the jit SIGNATURE — a second multi-minute
-    # compile of an identical program — and wastes transfer
+    # compile of an identical program — and wastes transfer.  gt_frame is
+    # deliberately absent: the steps rasterize GT from events
+    # (counts_from_batch) and nothing reads the pre-rendered frames, so
+    # shipping them would be pure dead transfer.  ``self._step_keys``
+    # (set in __init__) extends this with ``inp_len`` when an attached
+    # loss term consumes raw event windows — _events_for_terms anchors
+    # timestamp normalization on the last VALID event of each zero-padded
+    # window, and without the counts the pad's ts==0 poisons the
+    # normalization denominator (losses/terms.py:_iwe_event_list).
     _STEP_KEYS = (
         "inp_events", "gt_events", "inp_xy", "inp_p", "gt_xy", "gt_p",
-        "clip_mask", "gt_frame",
+        "clip_mask",
     )
 
     def _device_prefetched(self, loader, shard_fn=None):
@@ -475,7 +523,7 @@ class Trainer:
         shard_fn = shard_fn or self._shard_batch
         staged = None
         for batch in loader:
-            batch = {k: v for k, v in batch.items() if k in self._STEP_KEYS}
+            batch = {k: v for k, v in batch.items() if k in self._step_keys}
             nxt = shard_fn(batch)
             if staged is not None:
                 yield staged
@@ -588,6 +636,14 @@ class Trainer:
                     stop, best = self._eval_monitor(val_log)
                     valid_stamp += 1
                     if stop:
+                        # count the just-finished iteration BEFORE leaving:
+                        # the post-loop save labels `iter_idx - 1`, and the
+                        # state already contains this iteration's update —
+                        # breaking pre-increment would label the checkpoint
+                        # one behind its contents and make a resume re-apply
+                        # an optimizer step (the completion/SIGTERM breaks
+                        # below happen after the increment)
+                        iter_idx += 1
                         break
 
                 if (iter_idx % self.save_period == 0 and iter_idx != 0) or best:

@@ -765,3 +765,138 @@ class TestQAT:
             build_model({"model": {"args": {"quant": "pconv"}}}, scale=2)
         m = build_model({"model": {"args": {"variant": "plain", "quant": "qat"}}}, scale=2)
         assert m.quant == "qat"
+
+
+class TestRound5ReviewFixes:
+    """Regressions for the round-5 trainer/pipeline review findings."""
+
+    def _cfg(self, tmp_path, **trainer_over):
+        trainer = {
+            "output_path": str(tmp_path), "monitor": "min valid_loss",
+            "early_stop": 100, "tensorboard": False,
+            "iteration_based_train": {
+                "enabled": True, "iterations": 8, "save_period": 50,
+                "train_log_step": 2, "valid_log_step": 10, "valid_step": 50,
+                "lr_change_rate": 4,
+            },
+        }
+        trainer.update(trainer_over)
+        return {
+            "experiment": "r5fix",
+            "model": {"name": "tiny", "args": {"n_c": 8, "n_b": 2, "variant": "plain"}},
+            "optimizer": {"name": "Adam", "args": {"lr": 1e-3}},
+            "lr_scheduler": {"name": "ExponentialLR", "args": {"gamma": 0.95}},
+            "trainer": trainer,
+            "train_dataloader": {"dataset": {"scale": 2}},
+        }
+
+    def test_event_term_trainer_ships_inp_len(self, loaders, tmp_path):
+        """An attached needs_events term must receive aux['events_len']:
+        _STEP_KEYS used to strip inp_len, so timestamp normalization
+        anchored on the zero pad (the poisoning _iwe_event_list warns
+        about)."""
+
+        def fn(pred, gt, aux):
+            return jnp.float32(0.0)
+
+        fn.needs_events = True
+        train_loader, _ = loaders
+        tr = Trainer(
+            RunConfig(self._cfg(tmp_path), runid="r5a"),
+            train_loader=train_loader, seed=0,
+            extra_losses=(("ev", 1.0, fn),),
+        )
+        assert "inp_len" in tr._step_keys
+        batch = next(tr._device_prefetched(train_loader))
+        assert "inp_len" in batch
+        # and the dead pre-rendered GT frames are no longer shipped
+        assert "gt_frame" not in batch
+
+    def test_plain_trainer_keeps_lean_signature(self, loaders, tmp_path):
+        train_loader, _ = loaders
+        tr = Trainer(
+            RunConfig(self._cfg(tmp_path), runid="r5b"),
+            train_loader=train_loader, seed=0,
+        )
+        assert "inp_len" not in tr._step_keys
+        assert "gt_frame" not in tr._step_keys
+
+    def test_worker_failure_raises_not_truncates(self, loaders, monkeypatch):
+        """A loader worker exception must surface to the consumer — the old
+        path swallowed it as a completion sentinel and silently dropped
+        that worker's share of the epoch."""
+        train_loader, _ = loaders
+
+        def boom(self, local, batch, rng):
+            raise OSError("corrupt h5 chunk")
+
+        monkeypatch.setattr(SequenceLoader, "_load_batch", boom)
+        with pytest.raises(RuntimeError, match="loader worker failed"):
+            for _ in train_loader:
+                pass
+
+    def test_len_is_arithmetic_and_matches_iteration(self, tmp_path):
+        path = str(tmp_path / "len.h5")
+        write_synthetic_fixture(
+            path, (32, 32), ("ori", "down2"), {"ori": 30000, "down2": 7500},
+            seed=2,
+        )
+        cfg = DatasetConfig(
+            scale=2, ori_scale="down2", window=128, sliding_window=64,
+            sequence=SequenceConfig(sequence_length=3, seqn=2, step_size=3),
+        )
+        for shard_count, drop_last in ((1, True), (1, False), (2, True), (2, False)):
+            ld = SequenceLoader(
+                [path], cfg, batch_size=2, shuffle=True, drop_last=drop_last,
+                num_workers=1, seed=0, shard_index=0, shard_count=shard_count,
+            )
+            assert len(ld) == sum(1 for _ in ld), (shard_count, drop_last)
+
+    def test_early_stop_checkpoint_label_matches_executed_steps(
+        self, loaders, tmp_path
+    ):
+        """Early stop must checkpoint the iteration whose update the state
+        already contains: resuming must continue at `steps executed`, not
+        re-apply the last optimizer step."""
+        train_loader, valid_loader = loaders
+        cfg = self._cfg(
+            tmp_path,
+            **{"iteration_based_train": {
+                "enabled": True, "iterations": 20, "save_period": 50,
+                "train_log_step": 2, "valid_log_step": 10, "valid_step": 2,
+                "lr_change_rate": 10,
+            }},
+        )
+        tr = Trainer(
+            RunConfig(cfg, runid="r5c"), train_loader=train_loader,
+            valid_loader=valid_loader, seed=0,
+        )
+        steps = {"n": 0}
+        orig = tr.train_step
+
+        def counting(state, batch):
+            steps["n"] += 1
+            return orig(state, batch)
+
+        tr.train_step = counting
+        tr._eval_monitor = lambda log: (True, False)  # stop at first valid
+        tr.train()
+        latest = latest_checkpoint(tr.run.save_dir)
+        assert latest is not None
+        start = tr.resume(latest)
+        assert start == steps["n"], (start, steps["n"])
+
+    def test_data_parallel_false_disables_the_data_axis(self, loaders, tmp_path):
+        """data_parallel: false + model_parallel: 2 must give a (1, 2)
+        mesh — the device count must not silently re-enable the axis the
+        user turned off."""
+        train_loader, _ = loaders
+        cfg = self._cfg(tmp_path)
+        cfg["trainer"]["data_parallel"] = False
+        cfg["trainer"]["model_parallel"] = 2
+        tr = Trainer(
+            RunConfig(cfg, runid="r5d"), train_loader=train_loader, seed=0
+        )
+        assert tr.mesh is not None
+        assert tr.mesh.shape["data"] == 1
+        assert tr.mesh.shape["model"] == 2
