@@ -277,6 +277,11 @@ class EventH5Dataset:
                 self.frame_ts = np.array(
                     [f[f"ori_images/{n}"].attrs["timestamp"] for n in names], np.float64
                 )
+                # keep the names frame_ts was built from: _gt_frame indexes
+                # THIS list, never reconstructs image{gi:09d} — a file whose
+                # frames start at 1, have gaps, or use another scheme would
+                # otherwise KeyError (or read the wrong frame)
+                self.frame_names = names
                 self.num_frames = len(names)
             else:
                 self.frame_ts = None
@@ -516,7 +521,7 @@ class EventH5Dataset:
         mid_ts = self.file[f"{self.layout.inp_prefix}_events/ts"][(i0 + i1) // 2]
         gi = int(np.searchsorted(self.frame_ts, mid_ts, "left"))
         gi = min(max(gi, 0), self.num_frames - 1)
-        img = self.file[f"ori_images/image{gi:09d}"][:]
+        img = self.file[f"ori_images/{self.frame_names[gi]}"][:]
         if self.config.augment.enabled:
             img = self.augment_frame(img, seed)
         img = cv2.resize(

@@ -24,6 +24,7 @@ metrics come back in one transfer per chunk.  Behavioural parity:
 from __future__ import annotations
 
 import functools
+import logging
 import os
 import time
 from typing import Any, Dict, List, Optional, Tuple
@@ -159,12 +160,35 @@ class InferenceEngine:
         exists for A/B measurement and as a safety valve."""
         self.model = model
         self.variables = variables
+        if dataset_config.augment.enabled:
+            # evaluation must see the stream as recorded: the engine reads
+            # each window with an independent seed, so stochastic augment
+            # would flip consecutive windows of the SAME recurrent pair
+            # differently (and the chunk-boundary window twice, two ways),
+            # silently corrupting the stride-1 rollout
+            import dataclasses as _dc
+
+            logging.getLogger(__name__).warning(
+                "dataset augment is enabled in an inference config; "
+                "disabling it for the rollout (stochastic per-window "
+                "augmentation breaks stride-1 window pairing)"
+            )
+            dataset_config = _dc.replace(
+                dataset_config,
+                augment=_dc.replace(dataset_config.augment, enabled=False),
+            )
         self.config = dataset_config
         self.chunk_size = chunk_size
         self.visualize = visualize
         self.vis = EventVisualizer()
         self.vis_color_scheme = vis_color_scheme
         self.extra_metrics = tuple(extra_metrics)  # subset of {psnr, ssim}
+        unknown = set(self.extra_metrics) - {"psnr", "ssim"}
+        if unknown:
+            raise ValueError(
+                f"unknown extra_metrics {sorted(unknown)}; choose from "
+                "('psnr', 'ssim')"
+            )
         self.h2d_overlap = bool(h2d_overlap)
         # chunks whose upload pipelining was skipped because the host h5
         # read hadn't finished (pending.done() gate) — surfaced in results
@@ -186,7 +210,23 @@ class InferenceEngine:
         )
 
     def _sharded(self, batch: int) -> bool:
-        return self.mesh is not None and batch > 1
+        if self.mesh is None or batch <= 1:
+            return False
+        if batch % self.mesh.size != 0:
+            # e.g. infer_datalist's LAST partial group (10 files at
+            # batch_streams=8 leaves a 2-stream tail on an 8-device mesh):
+            # run it unsharded instead of aborting the whole run after
+            # most of the work completed — per-stream results are
+            # identical either way (the batched==solo invariant)
+            if not getattr(self, "_warned_unsharded_tail", False):
+                self._warned_unsharded_tail = True
+                logging.getLogger(__name__).warning(
+                    "batch of %d streams does not divide the %d-device "
+                    "mesh; running this group unsharded (results are "
+                    "identical, just single-device)", batch, self.mesh.size,
+                )
+            return False
+        return True
 
     def _place_carry(self, carry, batch: int):
         """Commit recurrent states to the mesh, stream batch sharded."""
@@ -278,10 +318,13 @@ class InferenceEngine:
                 bic_mse = jnp.mean(jnp.square(bic - gt), axis=(1, 2, 3))
                 extras = []
                 nchw = lambda x: jnp.moveaxis(x, -1, 1)
-                if "psnr" in self.extra_metrics:
-                    extras.append(jax.vmap(psnr_metric)(nchw(pred_fit), nchw(gt)))
-                if "ssim" in self.extra_metrics:
-                    extras.append(jax.vmap(ssim_metric)(nchw(pred_fit), nchw(gt)))
+                # iterate the USER'S tuple order: the readout maps stacked
+                # column mi -> self.extra_metrics[mi], so a fixed stacking
+                # order would silently swap esr_psnr/esr_ssim for
+                # extra_metrics=("ssim", "psnr")
+                for m in self.extra_metrics:
+                    fn = psnr_metric if m == "psnr" else ssim_metric
+                    extras.append(jax.vmap(fn)(nchw(pred_fit), nchw(gt)))
                 return tuple(outs), (pred_fit, bic, esr_mse, bic_mse,
                                      jnp.stack(extras, 1) if extras
                                      else jnp.zeros((pred_fit.shape[0], 0)))
@@ -408,9 +451,18 @@ class InferenceEngine:
                     pass
             if img_pool is not None:
                 img_pool.shutdown(wait=True)
-            pool.shutdown(wait=False)
+            # cancel_futures + wait: the double-buffered load may still be
+            # queued/running — closing the dataset under it would let the
+            # worker's next lazy `.file` access reopen the h5 (a leaked
+            # handle) and swallow its exception in an abandoned future
+            pool.shutdown(wait=True, cancel_futures=True)
             ds.close()
         result = track.result()
+        # real-world captures have no GT (need_gt_events=False): esr/bicubic
+        # mse were computed against the zero image the dataset's sentinel
+        # rasterizes to (reference --real_world_test semantics) — flag it so
+        # logged numbers can't be mistaken for genuine evaluation
+        result["gt_available"] = bool(self.config.need_gt_events)
         if self.h2d_overlap:
             result["h2d_overlap_skips"] = self._overlap_skips
         if logger is not None:
@@ -552,7 +604,16 @@ class InferenceEngine:
         inp_res = tuple(dss[0].layout.inp_resolution)
         gt_res = tuple(dss[0].layout.gt_resolution)
         for ds in dss[1:]:
-            if tuple(ds.layout.inp_resolution) != inp_res:
+            # BOTH resolutions must match: sensors whose input rounds to
+            # the same LR shape can still differ at the GT scale (e.g.
+            # heights 64 vs 66 at down8/x4: inp rows 8 == 8 but GT rows
+            # 32 != 33) — rasterizing stream 2's GT at stream 1's
+            # resolution would silently drop its boundary rows as OOB and
+            # corrupt esr_mse, breaking the batched==solo invariant
+            if (
+                tuple(ds.layout.inp_resolution) != inp_res
+                or tuple(ds.layout.gt_resolution) != gt_res
+            ):
                 raise ValueError("batched inference needs equal resolutions")
         b = len(dss)
         n_windows = [len(ds) - 1 for ds in dss]
@@ -600,7 +661,32 @@ class InferenceEngine:
             chunk_bounds.append((pos, steps))
             pos += steps
 
+        # try/finally like the solo path: a mid-rollout failure (corrupt h5
+        # chunk, device error) must not leak the worker pool or the b open
+        # h5 handles — in a long-lived process each failed group would
+        # otherwise pin files and threads forever
         pool = ThreadPoolExecutor(max_workers=1)
+        try:
+            self._batch_rollout(
+                chunk_bounds, load_chunk, pool, dss, tracks, n_windows,
+                inp_res, gt_res, b,
+            )
+        finally:
+            # cancel_futures + wait: an in-flight load must finish (or be
+            # cancelled) BEFORE the datasets close, or the worker's next
+            # lazy `.file` access would silently reopen a closed h5
+            pool.shutdown(wait=True, cancel_futures=True)
+            for ds in dss:
+                ds.close()
+        results = [t.result() for t in tracks]
+        for r in results:
+            r["gt_available"] = bool(self.config.need_gt_events)  # see infer_file
+            if self.h2d_overlap:  # run-level counter, same for every stream
+                r["h2d_overlap_skips"] = self._overlap_skips
+        return results
+
+    def _batch_rollout(self, chunk_bounds, load_chunk, pool, dss, tracks,
+                       n_windows, inp_res, gt_res, b):
         pending = pool.submit(load_chunk, *chunk_bounds[0])
         carry = self._place_carry(tuple(self.model.init_state(b, *inp_res)), b)
         self._overlap_skips = 0  # per-run counter (reported in the results)
@@ -657,15 +743,6 @@ class InferenceEngine:
                     t.update("time", dt_ms)
                     for mi, mname in enumerate(self.extra_metrics):
                         t.update(f"esr_{mname}", float(extras[s, j, mi]))
-
-        pool.shutdown(wait=False)
-        for ds in dss:
-            ds.close()
-        results = [t.result() for t in tracks]
-        if self.h2d_overlap:
-            for r in results:  # run-level counter, same for every stream
-                r["h2d_overlap_skips"] = self._overlap_skips
-        return results
 
     # -- datalist driver ----------------------------------------------------
 

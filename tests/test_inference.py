@@ -439,3 +439,86 @@ def test_real_world_eventzoom_path(tmp_path):
     eng_hot = InferenceEngine(model, variables, cfg_hot, chunk_size=8, visualize=False)
     res_hot = eng_hot.infer_file(path)
     assert np.isfinite(res_hot["esr_mse"])
+
+
+class TestR5EngineFixes:
+    """Regressions for the round-5 engine/dataset review findings."""
+
+    def test_extra_metric_order_does_not_swap_values(self, fixture_h5):
+        """The scan body used to stack extras in fixed (psnr, ssim) order
+        while the readout mapped columns to the USER'S tuple order —
+        extra_metrics=("ssim", "psnr") silently swapped the two."""
+        a = make_engine(extra_metrics=("psnr", "ssim")).infer_file(fixture_h5)
+        b = make_engine(extra_metrics=("ssim", "psnr")).infer_file(fixture_h5)
+        assert a["esr_psnr"] == pytest.approx(b["esr_psnr"], rel=1e-6)
+        assert a["esr_ssim"] == pytest.approx(b["esr_ssim"], rel=1e-6)
+        # the two metrics genuinely differ, so a swap cannot hide
+        assert abs(a["esr_psnr"] - a["esr_ssim"]) > 1e-3
+        with pytest.raises(ValueError, match="extra_metrics"):
+            make_engine(extra_metrics=("psnr", "nope"))
+
+    def test_batch_rejects_gt_resolution_mismatch(self, tmp_path):
+        """Sensor heights 64 vs 66 at down8/x4 round to the SAME input
+        resolution but different GT resolutions — rasterizing stream 2's
+        GT at stream 1's shape would silently zero its boundary rows."""
+        pa, pb = str(tmp_path / "a.h5"), str(tmp_path / "b.h5")
+        write_synthetic_fixture(
+            pa, (64, 64), ("down2", "down8"), {"down2": 8000, "down8": 2000},
+            seed=1,
+        )
+        write_synthetic_fixture(
+            pb, (66, 64), ("down2", "down8"), {"down2": 8000, "down8": 2000},
+            seed=2,
+        )
+        model = BMCNetPlain(scale=4, n_c=8, n_b=2)
+        dummy = jnp.zeros((1, 2, 8, 8, 2))
+        variables = model.init(
+            jax.random.key(0), dummy, *model.init_state(1, 8, 8)
+        )
+        cfg = DatasetConfig(
+            scale=4, ori_scale="down8", window=128, sliding_window=64,
+            sequence=SequenceConfig(4, 2, 1),
+        )
+        eng = InferenceEngine(model, variables, cfg, chunk_size=4,
+                              visualize=False)
+        with pytest.raises(ValueError, match="equal resolutions"):
+            eng.infer_file_batch([pa, pb])
+
+    def test_mesh_tail_group_runs_unsharded(self, fixture_h5, tmp_path):
+        """A stream batch that does not divide the mesh (a datalist's last
+        partial group) must run unsharded with identical results, not
+        abort the run after most of the work completed."""
+        from bmcnet_esr_tpu.parallel import make_mesh
+
+        p2 = str(tmp_path / "second.h5")
+        write_synthetic_fixture(
+            p2, (32, 32), ("ori", "down2"), {"ori": 30000, "down2": 7500},
+            seed=9,
+        )
+        solo = make_engine().infer_file_batch([fixture_h5, p2])
+        meshed = make_engine(mesh=make_mesh(8)).infer_file_batch(
+            [fixture_h5, p2]  # 2 streams, 8-device mesh: tail-group shape
+        )
+        for s, m in zip(solo, meshed):
+            assert m["esr_mse"] == pytest.approx(s["esr_mse"], rel=1e-5)
+
+    def test_inference_forces_augment_off(self):
+        from bmcnet_esr_tpu.data.h5dataset import AugmentConfig
+
+        cfg = DatasetConfig(
+            scale=2, ori_scale="down2", window=128, sliding_window=64,
+            augment=AugmentConfig(enabled=True),
+            sequence=SequenceConfig(4, 2, 1),
+        )
+        model = BMCNetPlain(scale=2, n_c=8, n_b=2)
+        dummy = jnp.zeros((1, 2, 16, 16, 2))
+        variables = model.init(
+            jax.random.key(1), dummy, *model.init_state(1, 16, 16)
+        )
+        eng = InferenceEngine(model, variables, cfg, visualize=False)
+        # stochastic per-window flips would desync stride-1 window pairs
+        assert eng.config.augment.enabled is False
+
+    def test_gt_available_flag(self, fixture_h5):
+        res = make_engine().infer_file(fixture_h5)
+        assert res["gt_available"] is True

@@ -180,8 +180,13 @@ class TestParallelStep:
             assert g["esr_mse"] == pytest.approx(w["esr_mse"], rel=1e-5)
             assert g["bicubic_mse"] == pytest.approx(w["bicubic_mse"], rel=1e-5)
 
-        with pytest.raises(ValueError, match="divide"):
-            sharded.infer_file_batch(paths[:3])  # 3 streams on an 8-mesh
+        # a batch that does not divide the mesh (a datalist's last partial
+        # group) runs UNSHARDED with identical results instead of aborting
+        # the run (round-5 fix; the warning-only fallback is also pinned by
+        # test_inference.py::TestR5EngineFixes)
+        tail = sharded.infer_file_batch(paths[:3])  # 3 streams on an 8-mesh
+        for w, g in zip(want[:3], tail):
+            assert g["esr_mse"] == pytest.approx(w["esr_mse"], rel=1e-5)
 
     @pytest.mark.slow
     def test_sharded_int8_serving_calibrates_and_tracks_fp32(
